@@ -1,0 +1,154 @@
+"""Ghost-zone filling: block-to-block halo exchange + physical BCs.
+
+Replaces the reference's MPI pack/send/recv/unpack machinery
+(reference: src/bvals/bvals_cc.cpp:42-289, src/bvals/physics/hydro_bcs.cpp)
+with a TPU-native design:
+
+  * Same-level neighbor exchange is a static gather along the block axis
+    (``u[nbr_gid]``).  Under block-axis sharding, XLA lowers this gather to
+    ICI collectives automatically — the collective schedule the reference
+    hand-builds with rank-packed MPI messages.
+  * The three axes are swept sequentially (x1 then x2 then x3), each sweep
+    copying the *full current extent* of the transverse axes.  Because sweep
+    N copies ghosts filled by sweep N-1, edge and corner ghosts are filled
+    transitively — the standard dimensional-sweep trick, replacing the
+    reference's 56-neighbor buffer enumeration (reference: src/bvals/bvals.hpp:61-101).
+  * Physical boundaries are applied afterwards on masked blocks with
+    jnp.where selects, so the whole fill is one fused, shape-static program.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .indices import IVX, IVY, IVZ
+from .mesh import Mesh
+
+# cell-axis position of each mesh axis in [nmb, nvar, x3, x2, x1] arrays
+_AXIS_OF = {"x1": 4, "x2": 3, "x3": 2}
+_NORMAL_VEL = {"x1": IVX, "x2": IVY, "x3": IVZ}
+
+
+class BoundaryValues:
+    """Precomputed gather tables + BC appliers for cell-centered arrays."""
+
+    def __init__(self, mesh: Mesh) -> None:
+        self.mesh = mesh
+        mbi = mesh.mb_indcs
+        self.ng = mbi.ng
+        # which axes actually have ghost zones
+        self.active_axes = []
+        if mbi.nx1 > 1:
+            self.active_axes.append("x1")
+        if mbi.nx2 > 1:
+            self.active_axes.append("x2")
+        if mbi.nx3 > 1:
+            self.active_axes.append("x3")
+
+        self.nbr = {k: jnp.asarray(v) for k, v in mesh.nbr_gid.items()}
+        self.mask = {k: jnp.asarray(v) for k, v in mesh.phys_bc_mask.items()}
+        self.any_phys = {k: bool(v.any()) for k, v in mesh.phys_bc_mask.items()}
+        # boundary flag per mesh face ("m" side key ix*, "p" side key ox*)
+        self.flag = {
+            "x1m": mesh.mesh_bcs["ix1"], "x1p": mesh.mesh_bcs["ox1"],
+            "x2m": mesh.mesh_bcs["ix2"], "x2p": mesh.mesh_bcs["ox2"],
+            "x3m": mesh.mesh_bcs["ix3"], "x3p": mesh.mesh_bcs["ox3"],
+        }
+        # fixed inflow states, set by problem generators that use inflow BCs:
+        # dict face-key -> [nvar] array
+        self.inflow_state: Dict[str, jnp.ndarray] = {}
+        # user BC hook: fn(u, bvals) -> u
+        self.user_bc_func = None
+
+    # ------------------------------------------------------------------
+    def fill_ghosts(self, u):
+        """Fill all ghost zones of a cell-centered array [nmb, nvar, n3, n2, n1].
+
+        The normal-velocity channel for reflect/diode BCs is taken from the
+        conserved/primitive index convention (IVX/IVY/IVZ == IM1/IM2/IM3).
+        """
+        for ax in self.active_axes:
+            u = self._sweep_axis(u, ax)
+        if self.user_bc_func is not None:
+            u = self.user_bc_func(u, self)
+        return u
+
+    # ------------------------------------------------------------------
+    def _sweep_axis(self, u, ax: str):
+        ng = self.ng
+        axis = _AXIS_OF[ax]
+        n = u.shape[axis]
+
+        def slc(lo, hi):
+            idx = [slice(None)] * 5
+            idx[axis] = slice(lo, hi)
+            return tuple(idx)
+
+        # ---- minus side: ghosts [0:ng] from neighbor's last ng active cells
+        donor_m = jnp.take(u, self.nbr[f"{ax}m"], axis=0)[slc(n - 2 * ng, n - ng)]
+        ghost_m = donor_m
+        if self.any_phys[f"{ax}m"]:
+            ghost_m = self._phys_bc(u, ax, "m", slc, n, ghost_m)
+        u = u.at[slc(0, ng)].set(ghost_m)
+
+        # ---- plus side: ghosts [n-ng:n] from neighbor's first ng active cells
+        donor_p = jnp.take(u, self.nbr[f"{ax}p"], axis=0)[slc(ng, 2 * ng)]
+        ghost_p = donor_p
+        if self.any_phys[f"{ax}p"]:
+            ghost_p = self._phys_bc(u, ax, "p", slc, n, ghost_p)
+        u = u.at[slc(n - ng, n)].set(ghost_p)
+        return u
+
+    # ------------------------------------------------------------------
+    def _phys_bc(self, u, ax: str, side: str, slc, n, gathered):
+        """Compute physical-BC ghost values and select them on masked blocks.
+
+        Ghost slabs are ordered by increasing cell index along the axis, so on
+        the minus side slot g (g=0 outermost) corresponds to ghost index
+        ng-1-g... careful index maps below mirror the reference loops
+        (reference: src/bvals/physics/hydro_bcs.cpp:85-130).
+        """
+        ng = self.ng
+        axis = _AXIS_OF[ax]
+        key = f"{ax}{side}"
+        flag = self.flag[key]
+        nvel = _NORMAL_VEL[ax]
+        mask = self.mask[key]
+        maskb = mask.reshape((-1,) + (1,) * 4)
+
+        if side == "m":
+            active_edge = u[slc(ng, 2 * ng)]     # cells is..is+ng-1 (increasing)
+            edge_cell = u[slc(ng, ng + 1)]       # cell is
+            mirrored = jnp.flip(active_edge, axis=axis)
+        else:
+            active_edge = u[slc(n - 2 * ng, n - ng)]  # cells ie-ng+1..ie
+            edge_cell = u[slc(n - ng - 1, n - ng)]    # cell ie
+            mirrored = jnp.flip(active_edge, axis=axis)
+
+        if flag == "reflect":
+            bc = mirrored.at[:, nvel].multiply(-1.0)
+        elif flag == "outflow":
+            bc = jnp.broadcast_to(edge_cell, gathered.shape)
+        elif flag == "diode":
+            # outflow, but the normal velocity/momentum cannot point inward
+            v = edge_cell[:, nvel]
+            v = jnp.minimum(v, 0.0) if side == "m" else jnp.maximum(v, 0.0)
+            bc = jnp.broadcast_to(edge_cell.at[:, nvel].set(v), gathered.shape)
+        elif flag == "inflow":
+            state = self.inflow_state.get(key)
+            if state is None:
+                bc = jnp.broadcast_to(edge_cell, gathered.shape)  # pre-pgen
+            else:
+                bc = jnp.broadcast_to(
+                    state.reshape(1, -1, 1, 1, 1), gathered.shape)
+        elif flag == "vacuum":
+            bc = jnp.zeros_like(gathered)
+        elif flag in ("periodic", "shear_periodic", "user"):
+            return gathered  # periodic via gather; user hook runs afterwards
+        else:
+            raise ValueError(f"unhandled boundary flag '{flag}'")
+
+        return jnp.where(maskb, bc, gathered)

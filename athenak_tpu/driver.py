@@ -1,0 +1,186 @@
+"""Driver: integrator tables, the jitted cycle function, and the main loop.
+
+Parity target: the reference ``Driver`` (reference: src/driver/driver.cpp).
+The 2S-register Shu-Osher coefficient tables are reproduced exactly
+(reference: src/driver/driver.cpp:61-280).  The per-stage task lists become
+one jitted ``cycle(u, w, dt) -> (u, w, dtnew, counters)`` function; the host
+loop only advances time, decides dt (2x growth limit + CFL + tlim clamp,
+reference: src/mesh/mesh.cpp:573-640), and triggers outputs.
+"""
+
+from __future__ import annotations
+
+import time as _time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_HUGE = float(np.finfo(np.float32).max)
+
+
+@dataclass
+class IntegratorData:
+    name: str
+    nexp_stages: int
+    cfl_limit: float
+    gam0: List[float]
+    gam1: List[float]
+    beta: List[float]
+    delta: List[float] = field(default_factory=lambda: [0.0] * 4)
+
+
+def make_integrator(name: str) -> IntegratorData:
+    """RK coefficient tables (reference: src/driver/driver.cpp:96-160)."""
+    if name == "rk1":
+        return IntegratorData("rk1", 1, 1.0, [0.0], [1.0], [1.0])
+    if name == "rk2":
+        # Heun / SSPRK(2,2), Gottlieb (2009) eq 3.1
+        return IntegratorData("rk2", 2, 1.0,
+                              [0.0, 0.5], [1.0, 0.5], [1.0, 0.5])
+    if name == "rk3":
+        # SSPRK(3,3), Gottlieb (2009) eq 3.2
+        return IntegratorData("rk3", 3, 1.0,
+                              [0.0, 0.25, 2.0 / 3.0],
+                              [1.0, 0.75, 1.0 / 3.0],
+                              [1.0, 0.25, 2.0 / 3.0])
+    if name == "rk4":
+        # RK4()4[2S] from Table 2 of Ketcheson (2010)
+        return IntegratorData(
+            "rk4", 4, 1.3925,
+            [0.0, 0.121098479554482, -3.843833699660025, 0.546370891121863],
+            [1.0, 0.721781678111411, 2.121209265338722, 0.198653035682705],
+            [1.193743905974738, 0.099279895495783,
+             1.131678018054042, 0.310665766509336],
+            [1.0, 0.217683334308543, 1.065841341361089, 0.0])
+    raise ValueError(f"integrator '{name}' not implemented "
+                     "(valid: rk1, rk2, rk3, rk4)")
+
+
+class Driver:
+    """Main evolution loop over a single physics module (hydro or MHD)."""
+
+    def __init__(self, pin, mesh, phys) -> None:
+        self.mesh = mesh
+        self.phys = phys
+        self.time_evolution = pin.get_string("time", "evolution")
+        if self.time_evolution not in ("static", "kinematic", "dynamic"):
+            raise ValueError(
+                f"time/evolution={self.time_evolution} not implemented")
+
+        if self.time_evolution != "static":
+            self.integrator = make_integrator(
+                pin.get_or_add_string("time", "integrator", "rk2"))
+            self.tlim = pin.get_real("time", "tlim")
+            self.nlim = pin.get_or_add_integer("time", "nlim", -1)
+            self.ndiag = pin.get_or_add_integer("time", "ndiag", 1)
+            self.cfl_no = pin.get_or_add_real("time", "cfl_number", 0.8)
+
+        self.ecounters: Dict[str, int] = {}
+        self.nmb_updated = 0
+        self._cycle_fn = None
+
+    # ------------------------------------------------------------------
+    def _build_cycle(self) -> Callable:
+        integ = self.integrator
+        phys = self.phys
+        is_rk4 = integ.name == "rk4"
+
+        def cycle(u, w, dt):
+            u1 = u
+            counters_tot = None
+            for s in range(integ.nexp_stages):
+                if s > 0 and is_rk4:
+                    u1 = u1 + integ.delta[s] * u
+                u, w, counters = phys.stage_update(
+                    u, u1, w, integ.gam0[s], integ.gam1[s],
+                    integ.beta[s] * dt)
+                if counters_tot is None:
+                    counters_tot = counters
+                else:
+                    counters_tot = {k: counters_tot[k] + v
+                                    for k, v in counters.items()}
+            dtnew = phys.new_dt(w)
+            return u, w, dtnew, counters_tot
+
+        return jax.jit(cycle, donate_argnums=(0, 1))
+
+    # ------------------------------------------------------------------
+    def initialize(self, u, w):
+        """Ghost-zone init + first dt (reference: Driver::Initialize,
+        src/driver/driver.cpp:314-372)."""
+        u = self.phys.bvals.fill_ghosts(u)
+        w, u, _ = self.phys.cons_to_prim(u)
+        if self.time_evolution != "static":
+            dtnew = float(self.phys.new_dt(w))
+            self.mesh.dt = min(self.cfl_no * dtnew, _HUGE)
+            if self.mesh.time < self.tlim and \
+                    self.mesh.time + self.mesh.dt > self.tlim:
+                self.mesh.dt = self.tlim - self.mesh.time
+        return u, w
+
+    # ------------------------------------------------------------------
+    def execute(self, u, w, outputs=None, verbose: bool = False):
+        """Main cycle loop (reference: Driver::Execute,
+        src/driver/driver.cpp:380-460)."""
+        if self.time_evolution == "static":
+            return u, w
+        if self._cycle_fn is None:
+            self._cycle_fn = self._build_cycle()
+
+        mesh = self.mesh
+        outputs = outputs or []
+        wall0 = _time.perf_counter()
+        zones = (mesh.mb_indcs.nx1 * mesh.mb_indcs.nx2 * mesh.mb_indcs.nx3
+                 * mesh.nmb_total)
+
+        # initial-condition outputs
+        for out in outputs:
+            out.maybe_write(mesh, u, w, force=True)
+
+        while (mesh.time < self.tlim
+               and (self.nlim < 0 or mesh.ncycle < self.nlim)):
+            if verbose and mesh.ncycle % self.ndiag == 0:
+                print(f"cycle={mesh.ncycle} time={mesh.time:.6e} "
+                      f"dt={mesh.dt:.6e}")
+
+            u, w, dtnew, counters = self._cycle_fn(
+                u, w, jnp.asarray(mesh.dt, dtype=u.dtype))
+
+            mesh.time += mesh.dt
+            mesh.ncycle += 1
+            self.nmb_updated += mesh.nmb_total
+
+            # accumulate event counters on host (async fetch)
+            for k, v in (counters or {}).items():
+                self.ecounters[k] = self.ecounters.get(k, 0) + int(v)
+
+            # new dt: 2x growth limit, CFL, exact tlim stop
+            dtnew = float(dtnew)
+            mesh.dtold = mesh.dt
+            dt = min(2.0 * mesh.dt, self.cfl_no * dtnew)
+            if mesh.time < self.tlim and (mesh.time + dt) > self.tlim:
+                dt = self.tlim - mesh.time
+            mesh.dt = dt
+
+            for out in outputs:
+                out.maybe_write(mesh, u, w)
+
+        self.wall_seconds = _time.perf_counter() - wall0
+        self.zone_cycles = zones * mesh.ncycle
+        self.zcps = self.zone_cycles / max(self.wall_seconds, 1e-12)
+
+        # final outputs
+        for out in outputs:
+            out.maybe_write(mesh, u, w, force=True)
+        return u, w
+
+    # ------------------------------------------------------------------
+    def finalize_report(self) -> str:
+        """zone-cycles/s report (reference: Driver::Finalize,
+        src/driver/driver.cpp:465-525)."""
+        return (f"zone-cycles/cpu_second = {self.zcps:.6e}\n"
+                f"cycles = {self.mesh.ncycle}, wall = "
+                f"{self.wall_seconds:.3f} s")

@@ -1,0 +1,147 @@
+"""Entry point / CLI.
+
+Parity target: reference src/main.cpp:61-420 CLI flags:
+  -i <file>   input athinput file
+  -d <dir>    run directory
+  -n          dump parameters and quit
+  -c          show configuration and quit
+  -m          output mesh structure and quit
+  -v          validate input deck (construct everything, check params, exit)
+  -t hh:mm:ss wall-time limit
+plus block/par=value command-line overrides.
+
+Also exposes ``run(pin)``, the programmatic API the test-suite uses
+(the reference test harness shells out to the binary; ours can do both).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time as _time
+
+
+def setup_precision(pin) -> None:
+    """Enable f64 unless <job>/precision=single.
+
+    The reference selects precision at compile time
+    (reference: config.hpp.in SINGLE_PRECISION_ENABLED, src/athena.hpp:22-36);
+    we select per-run before building any arrays.
+    """
+    import jax
+    prec = "double"
+    if pin.does_block_exist("job") and \
+            pin.does_parameter_exist("job", "precision"):
+        prec = pin.get_string("job", "precision")
+    if prec == "double":
+        jax.config.update("jax_enable_x64", True)
+    elif prec != "single":
+        raise ValueError(f"job/precision={prec} must be single|double")
+
+
+def build(pin):
+    """Construct mesh -> physics -> pgen -> driver (reference main.cpp order)."""
+    from .bvals import BoundaryValues
+    from .driver import Driver
+    from .mesh import Mesh
+    from .pgen import get_pgen
+    from .physics.hydro import Hydro
+
+    setup_precision(pin)
+    mesh = Mesh(pin)
+    bvals = BoundaryValues(mesh)
+
+    if pin.does_block_exist("mhd"):
+        from .physics.mhd import MHD  # noqa: deferred import (round >=1 MHD)
+        phys = MHD(pin, mesh, bvals)
+    elif pin.does_block_exist("hydro"):
+        phys = Hydro(pin, mesh, bvals)
+    else:
+        raise ValueError("no <hydro> or <mhd> block in input file")
+
+    pgen_name = pin.get_string("problem", "pgen_name")
+    pgen = get_pgen(pgen_name)
+    u, w = pgen.init(pin, mesh, phys)
+
+    # pgen may rescale tlim (linear wave); Driver reads <time> afterwards,
+    # matching the reference construction order (main.cpp:351-374)
+    driver = Driver(pin, mesh, phys)
+    return mesh, phys, pgen, driver, u, w
+
+
+def run(pin, verbose: bool = False):
+    """Full run; returns (mesh, phys, driver, u, w)."""
+    from .outputs import make_outputs
+
+    mesh, phys, pgen, driver, u, w = build(pin)
+    outputs = make_outputs(pin, mesh, phys)
+    u, w = driver.initialize(u, w)
+    u, w = driver.execute(u, w, outputs=outputs, verbose=verbose)
+    if hasattr(pgen, "final"):
+        pgen.final(pin, mesh, phys, u)
+    return mesh, phys, driver, u, w
+
+
+def main(argv=None) -> int:
+    from .athinput import ParameterInput
+
+    ap = argparse.ArgumentParser(prog="athenak_tpu")
+    ap.add_argument("-i", dest="input", help="input athinput file")
+    ap.add_argument("-d", dest="rundir", help="run directory", default=None)
+    ap.add_argument("-n", dest="dump_params", action="store_true",
+                    help="dump parameters and quit")
+    ap.add_argument("-c", dest="show_config", action="store_true",
+                    help="show configuration and quit")
+    ap.add_argument("-m", dest="show_mesh", action="store_true",
+                    help="output mesh structure and quit")
+    ap.add_argument("-v", dest="validate", action="store_true",
+                    help="validate input file and quit")
+    ap.add_argument("-t", dest="walltime", default=None,
+                    help="wall time limit hh:mm:ss")
+    ap.add_argument("overrides", nargs="*",
+                    help="block/par=value parameter overrides")
+    args = ap.parse_args(argv)
+
+    if args.show_config:
+        import jax
+        print(f"athenak_tpu on jax {jax.__version__}, "
+              f"devices: {jax.devices()}")
+        return 0
+
+    if not args.input:
+        ap.error("an input file is required (-i)")
+    pin = ParameterInput.from_file(args.input)
+    pin.modify_from_cmdline(args.overrides)
+
+    if args.rundir:
+        os.makedirs(args.rundir, exist_ok=True)
+        os.chdir(args.rundir)
+
+    if args.dump_params:
+        pin.dump(sys.stdout)
+        return 0
+
+    if args.show_mesh or args.validate:
+        from .mesh import Mesh
+        setup_precision(pin)
+        mesh = Mesh(pin)
+        if args.show_mesh:
+            print(f"nmb_total={mesh.nmb_total} "
+                  f"({mesh.nmb_x1}x{mesh.nmb_x2}x{mesh.nmb_x3} blocks)")
+            for gid in range(mesh.nmb_total):
+                loc = mesh.lloc_eachmb[gid]
+                print(f"  gid={gid} lloc=({loc[0]},{loc[1]},{loc[2]})")
+        if args.validate:
+            build(pin)
+            pin.check_unused_parameters()
+            print("validation complete")
+        return 0
+
+    mesh, phys, driver, u, w = run(pin, verbose=True)
+    print(driver.finalize_report())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

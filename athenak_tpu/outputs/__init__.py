@@ -1,0 +1,205 @@
+"""Output types (tab, hst, ...).
+
+Parity target: reference src/outputs/ — BaseTypeOutput + 13 concrete types
+behind an <outputN> block factory (reference: src/outputs/outputs.cpp:224-260).
+Round-1 scope: hst (history sums) and tab (formatted tables) in formats the
+reference's vis/python/athena_read.py parses unchanged; bin/rst follow.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import List, Optional
+
+import numpy as np
+
+from ..indices import IDN, IEN, IM1, IM2, IM3, IVX, IVY, IVZ
+
+
+class OutputParameters:
+    def __init__(self, pin, block: str) -> None:
+        self.block = block
+        self.file_type = pin.get_string(block, "file_type")
+        self.variable = pin.get_or_add_string(block, "variable", "hydro_u")
+        self.dt = pin.get_or_add_real(block, "dt", 0.0)
+        self.dcycle = pin.get_or_add_integer(block, "dcycle", 0)
+        self.data_format = pin.get_or_add_string(block, "data_format",
+                                                 "%12.5e").strip()
+        self.file_number = 0
+        self.last_time = -1e300
+        # optional slicing
+        self.slice_x1 = self._maybe_real(pin, block, "slice_x1")
+        self.slice_x2 = self._maybe_real(pin, block, "slice_x2")
+        self.slice_x3 = self._maybe_real(pin, block, "slice_x3")
+
+    @staticmethod
+    def _maybe_real(pin, block, key):
+        if pin.does_parameter_exist(block, key):
+            return pin.get_real(block, key)
+        return None
+
+
+class BaseOutput:
+    def __init__(self, pin, mesh, phys, block: str) -> None:
+        self.params = OutputParameters(pin, block)
+        self.basename = pin.get_string("job", "basename")
+        self.phys = phys
+
+    def due(self, mesh) -> bool:
+        p = self.params
+        if p.dcycle > 0:
+            return mesh.ncycle % p.dcycle == 0
+        if p.dt > 0.0:
+            # float32 compare like the reference (driver.cpp:432-445)
+            return (np.float32(mesh.time) >= np.float32(p.last_time + p.dt))
+        return False
+
+    def maybe_write(self, mesh, u, w, force: bool = False) -> None:
+        if force or self.due(mesh):
+            self.write(mesh, u, w)
+            if self.params.dt > 0.0:
+                if self.params.last_time < -1e299:
+                    self.params.last_time = mesh.time
+                else:
+                    self.params.last_time += self.params.dt
+            self.params.file_number += 1
+
+    def write(self, mesh, u, w) -> None:
+        raise NotImplementedError
+
+
+class HistoryOutput(BaseOutput):
+    """Volume-weighted history sums (reference: src/outputs/history.cpp)."""
+
+    def write(self, mesh, u, w) -> None:
+        mbi = mesh.mb_indcs
+        sl = (slice(None), slice(None),
+              slice(mbi.ks, mbi.ke + 1),
+              slice(mbi.js, mbi.je + 1),
+              slice(mbi.is_, mbi.ie + 1))
+        ua = np.asarray(u[sl], dtype=np.float64)
+        wa = np.asarray(w[sl], dtype=np.float64)
+        ms = mesh.mesh_size
+        vol = ms.dx1 * ms.dx2 * ms.dx3
+
+        is_ideal = self.phys.eos.is_ideal
+        labels = ["mass", "1-mom", "2-mom", "3-mom"]
+        data = [vol * ua[:, IDN].sum(), vol * ua[:, IM1].sum(),
+                vol * ua[:, IM2].sum(), vol * ua[:, IM3].sum()]
+        if is_ideal:
+            labels.append("tot-E")
+            data.append(vol * ua[:, IEN].sum())
+        for n, lab in ((IVX, "1-KE"), (IVY, "2-KE"), (IVZ, "3-KE")):
+            labels.append(lab)
+            data.append(vol * (0.5 * wa[:, IDN] * wa[:, n] ** 2).sum())
+
+        fname = self.basename + ".hst"
+        new = not os.path.exists(fname)
+        with open(fname, "a") as f:
+            if new:
+                f.write("# Athena++ history data\n")
+                cols = "#  [1]=time      [2]=dt       "
+                for i, lab in enumerate(labels):
+                    cols += f"[{i + 3}]={lab[:10]}    "
+                f.write(cols + "\n")
+            fmt = self.params.data_format + " "
+            f.write(fmt % mesh.time)
+            f.write(fmt % mesh.dt)
+            for v in data:
+                f.write(fmt % v)
+            f.write("\n")
+
+
+class TabularOutput(BaseOutput):
+    """Formatted table dumps (reference: src/outputs/formatted_table.cpp)."""
+
+    _VARIABLES = {
+        "hydro_u": ("u", ["dens", "mom1", "mom2", "mom3", "ener"]),
+        "hydro_w": ("w", ["dens", "velx", "vely", "velz", "eint"]),
+        "mhd_u": ("u", ["dens", "mom1", "mom2", "mom3", "ener"]),
+        "mhd_w": ("w", ["dens", "velx", "vely", "velz", "eint"]),
+    }
+
+    def write(self, mesh, u, w) -> None:
+        p = self.params
+        kind, labels = self._VARIABLES.get(
+            p.variable, ("w", ["dens", "velx", "vely", "velz", "eint"]))
+        arr = np.asarray(u if kind == "u" else w, dtype=np.float64)
+        nvar = min(arr.shape[1], len(labels))
+        mbi = mesh.mb_indcs
+
+        fname = f"{self.basename}.{p.variable}.{p.file_number:05d}.tab"
+        with open(fname, "w") as f:
+            f.write(f"# Athena++ data at time={mesh.time:e}"
+                    f"  cycle={mesh.ncycle} \n")
+            slice2 = p.slice_x2 is not None or mbi.nx2 == 1
+            slice3 = p.slice_x3 is not None or mbi.nx3 == 1
+            f.write("# gid  ")
+            f.write(" i       x1v     ")
+            if not slice2:
+                f.write(" j       x2v     ")
+            if not slice3:
+                f.write(" k       x3v     ")
+            for lab in labels[:nvar]:
+                f.write(f"    {lab}     ")
+            f.write("\n")
+
+            fmt = p.data_format
+            for gid in range(mesh.nmb_total):
+                x1v, x2v, x3v = mesh.cell_centers(gid)
+                # pick slice indices
+                j_range = range(mbi.js, mbi.je + 1)
+                k_range = range(mbi.ks, mbi.ke + 1)
+                if slice2:
+                    jmid = self._slice_index(
+                        x2v, mbi.js, mbi.je, p.slice_x2)
+                    if jmid is None:
+                        continue
+                    j_range = [jmid]
+                if slice3:
+                    kmid = self._slice_index(
+                        x3v, mbi.ks, mbi.ke, p.slice_x3)
+                    if kmid is None:
+                        continue
+                    k_range = [kmid]
+                for k in k_range:
+                    for j in j_range:
+                        for i in range(mbi.is_, mbi.ie + 1):
+                            f.write(f"{gid:05d}")
+                            f.write(f"  {i - mbi.is_:04d}  " + fmt % x1v[i])
+                            if not slice2:
+                                f.write(f"  {j - mbi.js:04d}  " + fmt % x2v[j])
+                            if not slice3:
+                                f.write(f"  {k - mbi.ks:04d}  " + fmt % x3v[k])
+                            for n in range(nvar):
+                                f.write("  " + fmt % arr[gid, n, k, j, i])
+                            f.write("\n")
+
+    @staticmethod
+    def _slice_index(xv, lo, hi, slice_pos) -> Optional[int]:
+        if slice_pos is None:
+            return lo  # degenerate axis
+        # block contains the slice position?
+        if xv[lo] - 1e-12 <= slice_pos <= xv[hi] + 1e-12 or lo == hi:
+            return int(np.argmin(np.abs(np.asarray(xv[lo:hi + 1])
+                                        - slice_pos))) + lo
+        return None
+
+
+_TYPES = {
+    "hst": HistoryOutput,
+    "tab": TabularOutput,
+}
+
+
+def make_outputs(pin, mesh, phys) -> List[BaseOutput]:
+    outs: List[BaseOutput] = []
+    for block in list(pin.blocks):
+        if re.match(r"^output\d+$", block):
+            ftype = pin.get_string(block, "file_type")
+            cls = _TYPES.get(ftype)
+            if cls is None:
+                continue  # unimplemented output types are skipped, not fatal
+            outs.append(cls(pin, mesh, phys, block))
+    return outs

@@ -1,0 +1,28 @@
+"""Problem generators (initial conditions + optional final error hooks).
+
+Parity target: the reference pgen registry and callback enrollment
+(reference: src/pgen/pgen.hpp:27-93).  Each generator is a module with
+
+    init(pin, mesh, phys) -> (u, w)        # device arrays, ghosts unfilled
+    final(pin, mesh, phys, u) -> None      # optional, e.g. error reports
+
+selected by <problem>/pgen_name, like the reference's runtime dispatch
+(reference: src/pgen/pgen.cpp:910+).
+"""
+
+from __future__ import annotations
+
+from importlib import import_module
+
+_REGISTRY = {
+    "linear_wave": "athenak_tpu.pgen.linear_wave",
+    "shock_tube": "athenak_tpu.pgen.shock_tube",
+    "advection": "athenak_tpu.pgen.advection",
+}
+
+
+def get_pgen(name: str):
+    if name not in _REGISTRY:
+        raise ValueError(f"problem/pgen_name = '{name}' not found "
+                         f"(available: {sorted(_REGISTRY)})")
+    return import_module(_REGISTRY[name])

@@ -1,0 +1,18 @@
+"""Test configuration: CPU backend with 8 virtual devices + f64.
+
+Mirrors the reference test strategy (reference: tst/run_test_suite.py) of
+running the full production path on CPU; the 8-device virtual mesh exercises
+the block-axis sharding the driver validates separately on real hardware.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
