@@ -88,45 +88,44 @@ class Driver:
         phys = self.phys
         is_rk4 = integ.name == "rk4"
 
-        def cycle(u, w, dt):
-            u1 = u
+        def cycle(state, dt):
+            saved = phys.save_state(state)
             counters_tot = None
             for s in range(integ.nexp_stages):
                 if s > 0 and is_rk4:
-                    u1 = u1 + integ.delta[s] * u
-                u, w, counters = phys.stage_update(
-                    u, u1, w, integ.gam0[s], integ.gam1[s],
+                    saved = phys.accumulate_rk4(saved, state, integ.delta[s])
+                state, counters = phys.stage_update(
+                    state, saved, integ.gam0[s], integ.gam1[s],
                     integ.beta[s] * dt)
                 if counters_tot is None:
                     counters_tot = counters
                 else:
                     counters_tot = {k: counters_tot[k] + v
                                     for k, v in counters.items()}
-            dtnew = phys.new_dt(w)
-            return u, w, dtnew, counters_tot
+            dtnew = phys.dt_from_state(state)
+            return state, dtnew, counters_tot
 
-        return jax.jit(cycle, donate_argnums=(0, 1))
+        return jax.jit(cycle, donate_argnums=(0,))
 
     # ------------------------------------------------------------------
-    def initialize(self, u, w):
+    def initialize(self, state):
         """Ghost-zone init + first dt (reference: Driver::Initialize,
         src/driver/driver.cpp:314-372)."""
-        u = self.phys.bvals.fill_ghosts(u)
-        w, u, _ = self.phys.cons_to_prim(u)
+        state = self.phys.init_ghosts(state)
         if self.time_evolution != "static":
-            dtnew = float(self.phys.new_dt(w))
+            dtnew = float(self.phys.dt_from_state(state))
             self.mesh.dt = min(self.cfl_no * dtnew, _HUGE)
             if self.mesh.time < self.tlim and \
                     self.mesh.time + self.mesh.dt > self.tlim:
                 self.mesh.dt = self.tlim - self.mesh.time
-        return u, w
+        return state
 
     # ------------------------------------------------------------------
-    def execute(self, u, w, outputs=None, verbose: bool = False):
+    def execute(self, state, outputs=None, verbose: bool = False):
         """Main cycle loop (reference: Driver::Execute,
         src/driver/driver.cpp:380-460)."""
         if self.time_evolution == "static":
-            return u, w
+            return state
         if self._cycle_fn is None:
             self._cycle_fn = self._build_cycle()
 
@@ -138,16 +137,17 @@ class Driver:
 
         # initial-condition outputs
         for out in outputs:
-            out.maybe_write(mesh, u, w, force=True)
+            out.maybe_write(mesh, state["u"], state["w"], force=True)
 
+        dtype = state["u"].dtype
         while (mesh.time < self.tlim
                and (self.nlim < 0 or mesh.ncycle < self.nlim)):
             if verbose and mesh.ncycle % self.ndiag == 0:
                 print(f"cycle={mesh.ncycle} time={mesh.time:.6e} "
                       f"dt={mesh.dt:.6e}")
 
-            u, w, dtnew, counters = self._cycle_fn(
-                u, w, jnp.asarray(mesh.dt, dtype=u.dtype))
+            state, dtnew, counters = self._cycle_fn(
+                state, jnp.asarray(mesh.dt, dtype=dtype))
 
             mesh.time += mesh.dt
             mesh.ncycle += 1
@@ -166,7 +166,7 @@ class Driver:
             mesh.dt = dt
 
             for out in outputs:
-                out.maybe_write(mesh, u, w)
+                out.maybe_write(mesh, state["u"], state["w"])
 
         self.wall_seconds = _time.perf_counter() - wall0
         self.zone_cycles = zones * mesh.ncycle
@@ -174,8 +174,8 @@ class Driver:
 
         # final outputs
         for out in outputs:
-            out.maybe_write(mesh, u, w, force=True)
-        return u, w
+            out.maybe_write(mesh, state["u"], state["w"], force=True)
+        return state
 
     # ------------------------------------------------------------------
     def finalize_report(self) -> str:

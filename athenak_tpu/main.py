@@ -62,25 +62,25 @@ def build(pin):
 
     pgen_name = pin.get_string("problem", "pgen_name")
     pgen = get_pgen(pgen_name)
-    u, w = pgen.init(pin, mesh, phys)
+    state = pgen.init(pin, mesh, phys)
 
     # pgen may rescale tlim (linear wave); Driver reads <time> afterwards,
     # matching the reference construction order (main.cpp:351-374)
     driver = Driver(pin, mesh, phys)
-    return mesh, phys, pgen, driver, u, w
+    return mesh, phys, pgen, driver, state
 
 
 def run(pin, verbose: bool = False):
-    """Full run; returns (mesh, phys, driver, u, w)."""
+    """Full run; returns (mesh, phys, driver, state)."""
     from .outputs import make_outputs
 
-    mesh, phys, pgen, driver, u, w = build(pin)
+    mesh, phys, pgen, driver, state = build(pin)
     outputs = make_outputs(pin, mesh, phys)
-    u, w = driver.initialize(u, w)
-    u, w = driver.execute(u, w, outputs=outputs, verbose=verbose)
+    state = driver.initialize(state)
+    state = driver.execute(state, outputs=outputs, verbose=verbose)
     if hasattr(pgen, "final"):
-        pgen.final(pin, mesh, phys, u)
-    return mesh, phys, driver, u, w
+        pgen.final(pin, mesh, phys, state)
+    return mesh, phys, driver, state
 
 
 def main(argv=None) -> int:

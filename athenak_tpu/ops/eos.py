@@ -34,6 +34,7 @@ class EOSData:
     tfloor: float = float(jnp.finfo(jnp.float32).tiny)
     sfloor: float = float(jnp.finfo(jnp.float32).tiny)
     gamma_max: float = float(jnp.finfo(jnp.float32).max)
+    sigma_max: float = float(jnp.finfo(jnp.float32).max)
 
     @classmethod
     def from_input(cls, pin, block: str) -> "EOSData":
@@ -50,6 +51,8 @@ class EOSData:
             tfloor=pin.get_or_add_real(block, "tfloor", tiny),
             sfloor=pin.get_or_add_real(block, "sfloor", tiny),
             gamma_max=pin.get_or_add_real(block, "gamma_max",
+                                          float(jnp.finfo(jnp.float32).max)),
+            sigma_max=pin.get_or_add_real(block, "sigma_max",
                                           float(jnp.finfo(jnp.float32).max)),
         )
 
@@ -134,6 +137,94 @@ def cons_to_prim_hydro(u, eos: EOSData):
         u_fixed = u_fixed.at[..., nfluid:, :, :, :].set(s)
 
     return w, u_fixed, counters
+
+
+def cons_to_prim_mhd(u, bcc, eos: EOSData, sigma_max: float = None):
+    """Vectorized Newtonian MHD c2p (reference SingleC2P_IdealMHD,
+    src/eos/ideal_c2p_mhd.hpp:21-67).  ``bcc`` is [..., 3, nz, ny, nx]
+    cell-centered field; primitives do not carry B."""
+    d = u[..., IDN, :, :, :]
+    mx = u[..., IM1, :, :, :]
+    my = u[..., IM2, :, :, :]
+    mz = u[..., IM3, :, :, :]
+    bx = bcc[..., 0, :, :, :]
+    by = bcc[..., 1, :, :, :]
+    bz = bcc[..., 2, :, :, :]
+
+    b2 = bx * bx + by * by + bz * bz
+    dfloor = jnp.maximum(eos.dfloor, b2 / eos.sigma_max)
+    dfloor_used = d < dfloor
+    d = jnp.maximum(d, dfloor)
+
+    di = 1.0 / d
+    vx, vy, vz = di * mx, di * my, di * mz
+    counters = {"neos_dfloor": jnp.sum(dfloor_used)}
+
+    if eos.is_ideal:
+        gm1 = eos.gamma - 1.0
+        efloor = eos.pfloor / gm1
+        etot = u[..., IEN, :, :, :]
+        e_k = 0.5 * di * (mx * mx + my * my + mz * mz)
+        e_m = 0.5 * b2
+        e = etot - e_k - e_m
+
+        efloor_used = e < efloor
+        e = jnp.maximum(e, efloor)
+        tfloor_used = gm1 * e * di < eos.tfloor
+        e = jnp.where(tfloor_used, d * eos.tfloor / gm1, e)
+        spe_over_eps = gm1 / jnp.power(d, gm1)
+        sfloor_used = spe_over_eps * e * di <= eos.sfloor
+        e = jnp.where(sfloor_used, d * eos.sfloor / spe_over_eps, e)
+
+        etot_fixed = jnp.where(efloor_used | tfloor_used | sfloor_used,
+                               e + e_k + e_m, etot)
+        w = u.at[..., IDN, :, :, :].set(d)
+        w = w.at[..., IVX, :, :, :].set(vx)
+        w = w.at[..., IVY, :, :, :].set(vy)
+        w = w.at[..., IVZ, :, :, :].set(vz)
+        w = w.at[..., IEN, :, :, :].set(e)
+        u_fixed = u.at[..., IDN, :, :, :].set(d)
+        u_fixed = u_fixed.at[..., IEN, :, :, :].set(etot_fixed)
+        counters["neos_efloor"] = jnp.sum(efloor_used | sfloor_used)
+        counters["neos_tfloor"] = jnp.sum(tfloor_used)
+    else:
+        w = u.at[..., IDN, :, :, :].set(d)
+        w = w.at[..., IVX, :, :, :].set(vx)
+        w = w.at[..., IVY, :, :, :].set(vy)
+        w = w.at[..., IVZ, :, :, :].set(vz)
+        u_fixed = u.at[..., IDN, :, :, :].set(d)
+
+    nfluid = 5 if eos.is_ideal else 4
+    nvar = u.shape[-4]
+    if nvar > nfluid:
+        s = jnp.maximum(u[..., nfluid:, :, :, :], 0.0)
+        w = w.at[..., nfluid:, :, :, :].set(s * di[..., None, :, :, :])
+        u_fixed = u_fixed.at[..., nfluid:, :, :, :].set(s)
+
+    return w, u_fixed, counters
+
+
+def prim_to_cons_mhd(w, bcc, eos: EOSData):
+    """Vectorized Newtonian MHD p2c (reference SingleP2C_IdealMHD)."""
+    d = w[..., IDN, :, :, :]
+    vx = w[..., IVX, :, :, :]
+    vy = w[..., IVY, :, :, :]
+    vz = w[..., IVZ, :, :, :]
+    u = w.at[..., IM1, :, :, :].set(d * vx)
+    u = u.at[..., IM2, :, :, :].set(d * vy)
+    u = u.at[..., IM3, :, :, :].set(d * vz)
+    if eos.is_ideal:
+        e = w[..., IEN, :, :, :]
+        b2 = (bcc[..., 0, :, :, :] ** 2 + bcc[..., 1, :, :, :] ** 2
+              + bcc[..., 2, :, :, :] ** 2)
+        u = u.at[..., IEN, :, :, :].set(
+            e + 0.5 * (d * (vx * vx + vy * vy + vz * vz) + b2))
+    nfluid = 5 if eos.is_ideal else 4
+    nvar = w.shape[-4]
+    if nvar > nfluid:
+        u = u.at[..., nfluid:, :, :, :].set(
+            w[..., nfluid:, :, :, :] * d[..., None, :, :, :])
+    return u
 
 
 def prim_to_cons_hydro(w, eos: EOSData):

@@ -54,4 +54,4 @@ def init(pin, mesh, phys):
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     wj = jnp.asarray(w, dtype=dtype)
     u = phys.prim_to_cons(wj)
-    return u, wj
+    return phys.make_state(u, wj)

@@ -126,18 +126,25 @@ def _build_w(pin, mesh, phys, rescale_tlim: bool):
 
 
 def init(pin, mesh, phys):
-    """Set ICs; returns (u, w) device arrays."""
+    """Set ICs; returns the physics state dict."""
     import jax
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    if getattr(phys, "is_mhd", False):
+        from .linear_wave_mhd import init_mhd
+        return init_mhd(pin, mesh, phys, dtype)
     w_host = _build_w(pin, mesh, phys, rescale_tlim=True)
     w = jnp.asarray(w_host, dtype=dtype)
     u = phys.prim_to_cons(w)
-    return u, w
+    return phys.make_state(u, w)
 
 
-def final(pin, mesh, phys, u):
+def final(pin, mesh, phys, state):
     """Recompute the analytic solution (= ICs after integer periods) and
     write the L1-error file (reference: LinearWaveErrors)."""
+    u = state["u"]
+    if getattr(phys, "is_mhd", False):
+        from .linear_wave_mhd import final_mhd
+        return final_mhd(pin, mesh, phys, state)
     w_ref = jnp.asarray(_build_w(pin, mesh, phys, rescale_tlim=False),
                         dtype=u.dtype)
     u_ref = phys.prim_to_cons(w_ref)

@@ -71,5 +71,30 @@ def init(pin, mesh, phys):
 
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     wj = jnp.asarray(w, dtype=dtype)
+    if getattr(phys, "is_mhd", False):
+        # MHD shock tubes: uniform field from problem/bxl etc. (Brio-Wu)
+        bxl = pin.get_or_add_real("problem", "bxl", 0.0)
+        byl = pin.get_or_add_real("problem", "byl", 0.0)
+        bzl = pin.get_or_add_real("problem", "bzl", 0.0)
+        bxr = pin.get_or_add_real("problem", "bxr", bxl)
+        byr = pin.get_or_add_real("problem", "byr", byl)
+        bzr = pin.get_or_add_real("problem", "bzr", bzl)
+        bfc = {k: np.zeros(s) for k, s in phys.fc_shapes.items()}
+        for gid in range(mesh.nmb_total):
+            x1f, x2f, x3f = mesh.face_edges(gid)
+            x1v, x2v, x3v = mesh.cell_centers(gid)
+            coords_f = (x1f, x2v, x3v)  # x1f faces use face coords in x1
+            if shock_dir != 1:
+                raise NotImplementedError("MHD shock tube only along x1")
+            bfc["x1f"][gid] = np.where(x1f.reshape(1, 1, -1) < xshock,
+                                       bxl, bxr)
+            bfc["x2f"][gid] = np.where(x1v.reshape(1, 1, -1) < xshock,
+                                       byl, byr)
+            bfc["x3f"][gid] = np.where(x1v.reshape(1, 1, -1) < xshock,
+                                       bzl, bzr)
+        bfc = {k: jnp.asarray(v, dtype=dtype) for k, v in bfc.items()}
+        bcc = phys.compute_bcc(bfc)
+        u = phys.prim_to_cons(wj, bcc)
+        return phys.make_state(u, wj, bfc)
     u = phys.prim_to_cons(wj)
-    return u, wj
+    return phys.make_state(u, wj)

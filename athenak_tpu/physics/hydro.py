@@ -155,15 +155,34 @@ class Hydro:
             dt = jnp.minimum(dt, jnp.min(ms.dx3 / jnp.maximum(dv3, 1e-300)))
         return dt
 
-    # ---------------------------------------------------------- stage update
-    def stage_update(self, u0, u1, w0, gam0, gam1, beta_dt):
-        """One full RK stage: flux -> update -> srcterms -> halo -> c2p.
+    # ------------------------------------------------- state-dict interface
+    is_mhd = False
 
-        Returns (u0, w0, counters)."""
-        flx = self.fluxes(w0)
-        u0 = self.rk_update(u0, u1, flx, gam0, gam1, beta_dt)
+    def make_state(self, u, w):
+        return {"u": u, "w": w}
+
+    def save_state(self, state):
+        return {"u1": state["u"]}
+
+    def accumulate_rk4(self, saved, state, delta):
+        return {"u1": saved["u1"] + delta * state["u"]}
+
+    def init_ghosts(self, state):
+        u = self.bvals.fill_ghosts(state["u"])
+        w, u, _ = self.cons_to_prim(u)
+        return {"u": u, "w": w}
+
+    def stage_update(self, state, saved, gam0, gam1, beta_dt):
+        """One full RK stage: flux -> update -> srcterms -> halo -> c2p
+        (reference task chain hydro_tasks.cpp:54-70)."""
+        u, w = state["u"], state["w"]
+        flx = self.fluxes(w)
+        u = self.rk_update(u, saved["u1"], flx, gam0, gam1, beta_dt)
         if self.srcterms_func is not None:
-            u0 = self.srcterms_func(u0, w0, beta_dt)
-        u0 = self.bvals.fill_ghosts(u0)
-        w0, u0, counters = self.cons_to_prim(u0)
-        return u0, w0, counters
+            u = self.srcterms_func(u, w, beta_dt)
+        u = self.bvals.fill_ghosts(u)
+        w, u, counters = self.cons_to_prim(u)
+        return {"u": u, "w": w}, counters
+
+    def dt_from_state(self, state):
+        return self.new_dt(state["w"])

@@ -1,0 +1,457 @@
+"""Newtonian magnetohydrodynamics with constrained transport.
+
+Parity target: the reference ``MHD`` class and task DAG
+(reference: src/mhd/mhd.hpp, mhd_tasks.cpp:48-81, mhd_fluxes.cpp,
+mhd_corner_e.cpp, mhd_ct.cpp).  TPU-native design:
+
+  * Face-centered B is a pytree of three arrays with +1 extent on the
+    normal axis: x1f [nmb,n3,n2,n1+1], x2f [nmb,n3,n2+1,n1],
+    x3f [nmb,n3+1,n2,n1] (CT staggering kept as separate arrays per
+    SURVEY.md §7 guidance).
+  * Corner EMFs (Gardiner & Stone 2007 upwinding) and the CT curl are
+    cell-indexed roll-stencil ops: entry (k,j,i) is the edge at the lower
+    corner of cell (k,j,i) — static shapes, no scatter.
+  * The per-stage task chain (flux -> rkupdate -> cornerE -> CT -> halo ->
+    BCs -> c2p) is one pure function; XLA fuses and schedules it.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+
+from ..bvals import BoundaryValues, _AXIS_OF
+from ..indices import IDN, IEN, IVX, IVY, IVZ, RECON_NGHOST
+from ..mesh import Mesh
+from ..ops import recon as recon_ops
+from ..ops import rsolvers_mhd
+from ..ops.eos import EOSData, cons_to_prim_mhd, prim_to_cons_mhd
+
+
+def _sh(a, s: int, axis: int):
+    """a shifted so result[i] = a[i + s] (circular)."""
+    return jnp.roll(a, -s, axis=axis)
+
+
+class MHD:
+    """Owns MHD configuration and provides the pure per-stage update."""
+
+    is_mhd = True
+
+    def __init__(self, pin, mesh: Mesh, bvals: BoundaryValues) -> None:
+        self.mesh = mesh
+        self.bvals = bvals
+        self.eos = EOSData.from_input(pin, "mhd")
+        self.nmhd = 5 if self.eos.is_ideal else 4
+        self.nscalars = pin.get_or_add_integer("mhd", "nscalars", 0)
+        self.nvar = self.nmhd + self.nscalars
+
+        self.recon_method = pin.get_or_add_string("mhd", "reconstruct", "plm")
+        if self.recon_method not in recon_ops.RECON_FNS:
+            raise ValueError(f"mhd/reconstruct={self.recon_method} unknown")
+        self.rsolver = pin.get_or_add_string("mhd", "rsolver", "llf")
+        if self.rsolver not in rsolvers_mhd.MHD_RSOLVER_FNS:
+            raise ValueError(f"mhd/rsolver={self.rsolver} unknown")
+
+        ng_need = RECON_NGHOST[self.recon_method]
+        if mesh.mb_indcs.ng < ng_need:
+            raise ValueError(
+                f"reconstruct={self.recon_method} requires nghost >= {ng_need}"
+                f" but mesh/nghost={mesh.mb_indcs.ng}")
+
+        mbi = mesh.mb_indcs
+        n1, n2, n3 = mbi.ncells1, mbi.ncells2, mbi.ncells3
+        self.shape = (mesh.nmb_total, self.nvar, n3, n2, n1)
+        self.bcc_shape = (mesh.nmb_total, 3, n3, n2, n1)
+        self.fc_shapes = {
+            "x1f": (mesh.nmb_total, n3, n2, n1 + 1),
+            "x2f": (mesh.nmb_total, n3, n2 + 1, n1),
+            "x3f": (mesh.nmb_total, n3 + 1, n2, n1),
+        }
+
+        self.dirs = [("x1", 4, IVX, mesh.mesh_size.dx1)]
+        if mbi.nx2 > 1:
+            self.dirs.append(("x2", 3, IVY, mesh.mesh_size.dx2))
+        if mbi.nx3 > 1:
+            self.dirs.append(("x3", 2, IVZ, mesh.mesh_size.dx3))
+
+        self.time_evolution = pin.get_string("time", "evolution") \
+            if pin.does_block_exist("time") else "dynamic"
+        self.srcterms_func = None
+
+    # ------------------------------------------------------------- allocate
+    def allocate(self, dtype):
+        u = jnp.zeros(self.shape, dtype=dtype)
+        w = jnp.zeros(self.shape, dtype=dtype)
+        bfc = {k: jnp.zeros(s, dtype=dtype) for k, s in self.fc_shapes.items()}
+        return u, w, bfc
+
+    # ----------------------------------------------------------------- bcc
+    def compute_bcc(self, bfc):
+        """Cell-centered field from face averages
+        (reference: src/mhd/mhd.cpp bcc0 computation)."""
+        b1 = 0.5 * (bfc["x1f"][..., :-1] + bfc["x1f"][..., 1:])
+        b2 = 0.5 * (bfc["x2f"][..., :-1, :] + bfc["x2f"][..., 1:, :])
+        b3 = 0.5 * (bfc["x3f"][..., :-1, :, :] + bfc["x3f"][..., 1:, :, :])
+        return jnp.stack([b1, b2, b3], axis=1)
+
+    # ----------------------------------------------------------------- c2p
+    def cons_to_prim(self, u, bcc):
+        return cons_to_prim_mhd(u, bcc, self.eos)
+
+    def prim_to_cons(self, w, bcc):
+        return prim_to_cons_mhd(w, bcc, self.eos)
+
+    # --------------------------------------------------------------- fluxes
+    def fluxes(self, w, bcc, bfc):
+        """Reconstruct (w, bcc) + Riemann-solve per direction.
+
+        Returns (flx, emf) dicts; emf keys follow the reference naming:
+        x1 faces store (e3x1, e2x1), x2 faces (e1x2, e3x2), x3 faces
+        (e2x3, e1x3) (reference: src/mhd/mhd_fluxes.cpp:120-250)."""
+        rec = recon_ops.RECON_FNS[self.recon_method]
+        solve = rsolvers_mhd.MHD_RSOLVER_FNS[self.rsolver]
+        floors = self.recon_method in recon_ops.FLOORED_METHODS
+
+        flx = {}
+        emf = {}
+        ey_name = {"x1": "e3x1", "x2": "e1x2", "x3": "e2x3"}
+        ez_name = {"x1": "e2x1", "x2": "e3x2", "x3": "e1x3"}
+        bface = {
+            "x1": bfc["x1f"][..., :-1],
+            "x2": bfc["x2f"][..., :-1, :],
+            "x3": bfc["x3f"][..., :-1, :, :],
+        }
+        for name, axis, ivx, _dx in self.dirs:
+            wl, wr = rec(w, axis)
+            bl, br = rec(bcc, axis)
+            if floors:
+                wl = wl.at[:, IDN].max(self.eos.dfloor)
+                wr = wr.at[:, IDN].max(self.eos.dfloor)
+                if self.eos.is_ideal:
+                    efloor = self.eos.pfloor / (self.eos.gamma - 1.0)
+                    wl = wl.at[:, IEN].max(efloor)
+                    wr = wr.at[:, IEN].max(efloor)
+            f, ey, ez = solve(wl, wr, bl, br, bface[name], self.eos, ivx)
+            flx[name] = f
+            emf[ey_name[name]] = ey
+            emf[ez_name[name]] = ez
+        return flx, emf
+
+    # --------------------------------------------------------------- update
+    def rk_update(self, u0, u1, flx, gam0, gam1, beta_dt):
+        divf = None
+        for name, axis, _ivx, dx in self.dirs:
+            f = flx[name]
+            d = (_sh(f, 1, axis) - f) / dx
+            divf = d if divf is None else divf + d
+        return gam0 * u0 + gam1 * u1 - beta_dt * divf
+
+    # ------------------------------------------------------------- corner E
+    def corner_e(self, w, bcc, flx, emf):
+        """Edge-centered EMFs via Gardiner-Stone (2005/07) upwinding
+        (reference: src/mhd/mhd_corner_e.cpp).  Returns cell-indexed edge
+        arrays e1/e2/e3: entry (k,j,i) is the edge at the lower corner of
+        cell (k,j,i)."""
+        one_d = len(self.dirs) == 1
+        two_d = len(self.dirs) == 2
+        KA, JA, IA = 2, 3, 4  # array axes for (x3, x2, x1)
+
+        if one_d:
+            e2 = emf["e2x1"]
+            e3 = emf["e3x1"]
+            e1 = jnp.zeros_like(e2)
+            return e1, e2, e3
+
+        vx = w[:, IVX]
+        vy = w[:, IVY]
+        vz = w[:, IVZ]
+        bx = bcc[:, 0]
+        by = bcc[:, 1]
+        bz = bcc[:, 2]
+        # cell-centered EMFs, E = -v x B (Newtonian)
+        e3cc = vy * bx - vx * by
+        fx1 = flx["x1"][:, IDN]  # mass flux upwinding selector
+        fx2 = flx["x2"][:, IDN]
+
+        def gs07(e_cc, e_a, e_b, f_a, f_b, axa, axb):
+            """Corner value of an EMF component lying along the remaining
+            axis, from its two face-centered averages e_a (on faces normal
+            to axa) and e_b (on faces normal to axb), upwinded by the mass
+            fluxes f_a (normal axa) and f_b (normal axb).
+
+            Index convention: corner (ka, kb) sits at the lower corner in
+            both transverse axes, so stencils read offsets {-1, 0}.
+            """
+            e_a_m = _sh(e_a, -1, axb)     # e_a at (b-1)
+            e_b_m = _sh(e_b, -1, axa)     # e_b at (a-1)
+            f_a_m = _sh(f_a, -1, axb)     # f_a at (b-1)
+            f_b_m = _sh(f_b, -1, axa)     # f_b at (a-1)
+            cc_mm = _sh(_sh(e_cc, -1, axa), -1, axb)
+            cc_am = _sh(e_cc, -1, axa)    # (a-1, b)
+            cc_bm = _sh(e_cc, -1, axb)    # (a, b-1)
+
+            # d(e)/da upwinded by f_a (evaluated at b-1/2 and b+1/2), and
+            # d(e)/db upwinded by f_b (at a-1/2 and a+1/2)
+            l_b = jnp.where(f_a_m >= 0.0, e_b_m - cc_mm, e_b - cc_bm)
+            r_b = jnp.where(f_a >= 0.0, e_b_m - cc_am, e_b - e_cc)
+            l_a = jnp.where(f_b_m >= 0.0, e_a_m - cc_mm, e_a - cc_am)
+            r_a = jnp.where(f_b >= 0.0, e_a_m - cc_bm, e_a - e_cc)
+            return 0.25 * (l_b + r_b + l_a + r_a
+                           + e_b_m + e_b + e_a_m + e_a)
+
+        if two_d:
+            # E3 at corners via GS07; E1/E2 copied from faces
+            e3 = gs07(e3cc, emf["e3x1"], emf["e3x2"], fx1, fx2, IA, JA)
+            e1 = emf["e1x2"]
+            e2 = emf["e2x1"]
+            return e1, e2, e3
+
+        # 3D
+        e1cc = vz * by - vy * bz
+        e2cc = vx * bz - vz * bx
+        fx3 = flx["x3"][:, IDN]
+        # E1 lies along x1; faces: e1x2 (x2-faces), e1x3 (x3-faces);
+        # corner in (x2, x3) plane
+        e1 = gs07(e1cc, emf["e1x2"], emf["e1x3"], fx2, fx3, JA, KA)
+        # E2 along x2; faces: e2x3 (x3-faces), e2x1 (x1-faces); plane (x3,x1)
+        e2 = gs07(e2cc, emf["e2x3"], emf["e2x1"], fx3, fx1, KA, IA)
+        # E3 along x3; faces: e3x1 (x1-faces), e3x2 (x2-faces); plane (x1,x2)
+        e3 = gs07(e3cc, emf["e3x1"], emf["e3x2"], fx1, fx2, IA, JA)
+        return e1, e2, e3
+
+    # ------------------------------------------------------------------- CT
+    def ct_update(self, bfc, bfc_old, e1, e2, e3, gam0, gam1, beta_dt):
+        """Constrained-transport curl update
+        (reference: src/mhd/mhd_ct.cpp:40-80).  Face arrays carry a +1
+        normal extent; edge arrays are cell-indexed, so face index i pairs
+        with edges (i) and (i+1) via rolls on the cell-sized edge arrays."""
+        ms = self.mesh.mesh_size
+        multi_d = len(self.dirs) >= 2
+        three_d = len(self.dirs) == 3
+        KA, JA, IA = 1, 2, 3  # axes in 4D face/edge arrays (no var axis)
+
+        new = {}
+        # --- B1 faces: ncells1+1 on last axis.  For face index fi, the
+        # edge arrays are sampled at cell i=fi (their entry is the lower
+        # corner), which for the last face fi=n1 wraps; that slot is ghost
+        # data and refilled by the exchange.
+        b1 = gam0 * bfc["x1f"] + gam1 * bfc_old["x1f"]
+        if multi_d:
+            de3 = (_sh(e3, 1, JA) - e3) / ms.dx2
+            b1 = b1 - beta_dt * self._to_face(de3, axis=3)
+            if three_d:
+                de2 = (_sh(e2, 1, KA) - e2) / ms.dx3
+                b1 = b1 + beta_dt * self._to_face(de2, axis=3)
+        new["x1f"] = b1
+
+        # --- B2 faces (+1 on x2 axis)
+        b2 = gam0 * bfc["x2f"] + gam1 * bfc_old["x2f"]
+        de3 = (_sh(e3, 1, IA) - e3) / ms.dx1
+        b2 = b2 + beta_dt * self._to_face(de3, axis=2)
+        if three_d:
+            de1 = (_sh(e1, 1, KA) - e1) / ms.dx3
+            b2 = b2 - beta_dt * self._to_face(de1, axis=2)
+        new["x2f"] = b2
+
+        # --- B3 faces (+1 on x3 axis)
+        b3 = gam0 * bfc["x3f"] + gam1 * bfc_old["x3f"]
+        de2 = (_sh(e2, 1, IA) - e2) / ms.dx1
+        b3 = b3 - beta_dt * self._to_face(de2, axis=1)
+        if multi_d:
+            de1 = (_sh(e1, 1, JA) - e1) / ms.dx2
+            b3 = b3 + beta_dt * self._to_face(de1, axis=1)
+        new["x3f"] = b3
+        return new
+
+    @staticmethod
+    def _to_face(cell_arr, axis: int):
+        """Extend a cell-indexed edge-difference array to face extent (+1)
+        along `axis` by wrapping one slot (the extra face slot is ghost
+        data, refilled by the face-field exchange)."""
+        first = jnp.take(cell_arr, jnp.array([0]), axis=axis)
+        return jnp.concatenate([cell_arr, first], axis=axis)
+
+    # ------------------------------------------------------- face-field halo
+    def fill_ghosts_fc(self, bfc):
+        """Halo exchange + physical BCs for the staggered field.
+
+        Sequential axis sweeps like the CC exchange; on the normal axis of
+        each component the shared face is owned identically by both blocks,
+        so only the ng faces beyond it are exchanged
+        (reference: src/bvals/bvals_fc.cpp, buffs_fc.cpp)."""
+        bv = self.bvals
+        mbi = self.mesh.mb_indcs
+        ng = mbi.ng
+
+        for ax in bv.active_axes:
+            axis4 = _AXIS_OF[ax] - 1  # face arrays have no var axis
+            nbr_m = bv.nbr[f"{ax}m"]
+            nbr_p = bv.nbr[f"{ax}p"]
+            nxa = {"x1": mbi.nx1, "x2": mbi.nx2, "x3": mbi.nx3}[ax]
+            for comp, arr in bfc.items():
+                normal = (comp == f"{ax}f")
+                n = arr.shape[axis4]
+
+                def slc(lo, hi, axis=axis4):
+                    idx = [slice(None)] * 4
+                    idx[axis] = slice(lo, hi)
+                    return tuple(idx)
+
+                if normal:
+                    # ghost faces [0,ng) <- donor faces [nxa, nxa+ng)
+                    donor = jnp.take(arr, nbr_m, axis=0)[slc(nxa, nxa + ng)]
+                    arr = arr.at[slc(0, ng)].set(donor)
+                    # ghost faces [ng+nxa+1, n) <- donor faces [ng+1, 2ng+1)
+                    donor = jnp.take(arr, nbr_p, axis=0)[
+                        slc(ng + 1, 2 * ng + 1)]
+                    arr = arr.at[slc(ng + nxa + 1, n)].set(donor)
+                else:
+                    donor = jnp.take(arr, nbr_m, axis=0)[
+                        slc(n - 2 * ng, n - ng)]
+                    arr = arr.at[slc(0, ng)].set(donor)
+                    donor = jnp.take(arr, nbr_p, axis=0)[slc(ng, 2 * ng)]
+                    arr = arr.at[slc(n - ng, n)].set(donor)
+                bfc = {**bfc, comp: arr}
+            bfc = self._phys_bc_fc(bfc, ax)
+        return bfc
+
+    def _phys_bc_fc(self, bfc, ax: str):
+        """Physical BCs for face fields
+        (reference: src/bvals/physics/bfield_bcs.cpp:81-155)."""
+        bv = self.bvals
+        ng = self.mesh.mb_indcs.ng
+        for side in ("m", "p"):
+            key = f"{ax}{side}"
+            if not bv.any_phys[key]:
+                continue
+            flag = bv.flag[key]
+            if flag in ("periodic", "shear_periodic", "user"):
+                continue
+            mask = bv.mask[key].reshape((-1,) + (1,) * 3)
+            for comp, arr in bfc.items():
+                axis4 = _AXIS_OF[ax] - 1
+                normal = (comp == f"{ax}f")
+                n = arr.shape[axis4]
+
+                def slc(lo, hi):
+                    idx = [slice(None)] * 4
+                    idx[axis4] = slice(lo, hi)
+                    return tuple(idx)
+
+                if flag in ("outflow", "diode", "vacuum"):
+                    if normal:
+                        if side == "m":
+                            edge = arr[slc(ng, ng + 1)]
+                            ghost = slc(0, ng)
+                        else:
+                            edge = arr[slc(n - ng - 1, n - ng)]
+                            ghost = slc(n - ng, n)
+                    else:
+                        if side == "m":
+                            edge = arr[slc(ng, ng + 1)]
+                            ghost = slc(0, ng)
+                        else:
+                            edge = arr[slc(n - ng - 1, n - ng)]
+                            ghost = slc(n - ng, n)
+                    bc = jnp.broadcast_to(edge, arr[ghost].shape)
+                elif flag == "reflect":
+                    if normal:
+                        # b_normal(is-i-1) = -b_normal(is+i+1): mirror about
+                        # the boundary face, negated
+                        if side == "m":
+                            src = arr[slc(ng + 1, 2 * ng + 1)]
+                            bc = -jnp.flip(src, axis=axis4)
+                            ghost = slc(0, ng)
+                        else:
+                            src = arr[slc(n - 2 * ng - 1, n - ng - 1)]
+                            bc = -jnp.flip(src, axis=axis4)
+                            ghost = slc(n - ng, n)
+                    else:
+                        if side == "m":
+                            src = arr[slc(ng, 2 * ng)]
+                            bc = jnp.flip(src, axis=axis4)
+                            ghost = slc(0, ng)
+                        else:
+                            src = arr[slc(n - 2 * ng, n - ng)]
+                            bc = jnp.flip(src, axis=axis4)
+                            ghost = slc(n - ng, n)
+                else:
+                    raise ValueError(
+                        f"B-field boundary flag '{flag}' not implemented")
+                arr = arr.at[ghost].set(jnp.where(mask, bc, arr[ghost]))
+                bfc = {**bfc, comp: arr}
+        return bfc
+
+    # ---------------------------------------------------------------- newdt
+    def new_dt(self, w, bcc):
+        """min dx / (|v| + c_fast) per direction
+        (reference: src/mhd/mhd_newdt.cpp)."""
+        mbi = self.mesh.mb_indcs
+        sl = (slice(None), slice(None),
+              slice(mbi.ks, mbi.ke + 1),
+              slice(mbi.js, mbi.je + 1),
+              slice(mbi.is_, mbi.ie + 1))
+        wa = w[sl]
+        ba = bcc[sl]
+        d = wa[:, IDN]
+        if self.time_evolution == "kinematic":
+            dv1 = jnp.abs(wa[:, IVX])
+            dv2 = jnp.abs(wa[:, IVY])
+            dv3 = jnp.abs(wa[:, IVZ])
+        else:
+            p = self.eos.pressure(wa[:, IEN]) if self.eos.is_ideal else None
+            b1, b2, b3 = ba[:, 0], ba[:, 1], ba[:, 2]
+            cf1 = self.eos.mhd_fast_speed(d, p, b1, b2, b3)
+            cf2 = self.eos.mhd_fast_speed(d, p, b2, b3, b1)
+            cf3 = self.eos.mhd_fast_speed(d, p, b3, b1, b2)
+            dv1 = jnp.abs(wa[:, IVX]) + cf1
+            dv2 = jnp.abs(wa[:, IVY]) + cf2
+            dv3 = jnp.abs(wa[:, IVZ]) + cf3
+
+        ms = self.mesh.mesh_size
+        dt = jnp.min(ms.dx1 / dv1)
+        if mbi.nx2 > 1:
+            dt = jnp.minimum(dt, jnp.min(ms.dx2 / dv2))
+        if mbi.nx3 > 1:
+            dt = jnp.minimum(dt, jnp.min(ms.dx3 / dv3))
+        return dt
+
+    # ------------------------------------------------- state-dict interface
+    def make_state(self, u, w, bfc):
+        return {"u": u, "w": w, "bfc": bfc, "bcc": self.compute_bcc(bfc)}
+
+    def save_state(self, state):
+        return {"u1": state["u"], "bfc1": state["bfc"]}
+
+    def accumulate_rk4(self, saved, state, delta):
+        return {"u1": saved["u1"] + delta * state["u"],
+                "bfc1": {k: saved["bfc1"][k] + delta * state["bfc"][k]
+                         for k in saved["bfc1"]}}
+
+    def init_ghosts(self, state):
+        u = self.bvals.fill_ghosts(state["u"])
+        bfc = self.fill_ghosts_fc(state["bfc"])
+        bcc = self.compute_bcc(bfc)
+        w, u, _ = self.cons_to_prim(u, bcc)
+        return {"u": u, "w": w, "bfc": bfc, "bcc": bcc}
+
+    def stage_update(self, state, saved, gam0, gam1, beta_dt):
+        """One RK stage (reference task chain mhd_tasks.cpp:48-81)."""
+        u, w, bfc, bcc = state["u"], state["w"], state["bfc"], state["bcc"]
+        flx, emf = self.fluxes(w, bcc, bfc)
+        u = self.rk_update(u, saved["u1"], flx, gam0, gam1, beta_dt)
+        if self.srcterms_func is not None:
+            u = self.srcterms_func(u, w, beta_dt)
+        e1, e2, e3 = self.corner_e(w, bcc, flx, emf)
+        bfc = self.ct_update(bfc, saved["bfc1"], e1, e2, e3,
+                             gam0, gam1, beta_dt)
+        u = self.bvals.fill_ghosts(u)
+        bfc = self.fill_ghosts_fc(bfc)
+        bcc = self.compute_bcc(bfc)
+        w, u, counters = self.cons_to_prim(u, bcc)
+        return {"u": u, "w": w, "bfc": bfc, "bcc": bcc}, counters
+
+    def dt_from_state(self, state):
+        return self.new_dt(state["w"], state["bcc"])

@@ -87,7 +87,7 @@ def _run_once(tmp_path, integ, recon, wave, res, rsolver):
         f"mesh/nx1={res}",
         f"job/basename={tmp_path}/LinWave_{integ}_{recon}_{wave}",
     ])
-    mesh, phys, driver, u, w = run(pin)
+    mesh, phys, driver, state = run(pin)
     # read rms error from the errs file the pgen wrote
     fname = pin.get_string("job", "basename") + "-errs.dat"
     data = np.loadtxt(fname)

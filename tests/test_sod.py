@@ -72,9 +72,9 @@ def test_sod(tmp_path, rsolver):
         f"hydro/rsolver={rsolver}",
         f"job/basename={tmp_path}/Sod",
     ])
-    mesh, phys, driver, u, w = run(pin)
+    mesh, phys, driver, state = run(pin)
     mbi = mesh.mb_indcs
-    ua = np.asarray(u)[:, :, mbi.ks, mbi.js, mbi.is_:mbi.ie + 1]
+    ua = np.asarray(state["u"])[:, :, mbi.ks, mbi.js, mbi.is_:mbi.ie + 1]
 
     d = ua[:, IDN].ravel()
     e = ua[:, IEN].ravel()
@@ -107,9 +107,9 @@ def test_sod_multiblock_matches_singleblock(tmp_path):
             f"meshblock/nx1={mbx}",
             f"job/basename={tmp_path}/Sod{mbx}",
         ])
-        mesh, phys, driver, u, w = run(pin)
+        mesh, phys, driver, state = run(pin)
         mbi = mesh.mb_indcs
-        ua = np.asarray(u)[:, :, mbi.ks, mbi.js, mbi.is_:mbi.ie + 1]
+        ua = np.asarray(state["u"])[:, :, mbi.ks, mbi.js, mbi.is_:mbi.ie + 1]
         # reassemble blocks in x order
         order = np.argsort(mesh.mb_size["x1min"])
         results.append(np.concatenate([ua[g] for g in order], axis=-1))
