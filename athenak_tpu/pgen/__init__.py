@@ -18,6 +18,8 @@ _REGISTRY = {
     "linear_wave": "athenak_tpu.pgen.linear_wave",
     "shock_tube": "athenak_tpu.pgen.shock_tube",
     "advection": "athenak_tpu.pgen.advection",
+    "orszag_tang": "athenak_tpu.pgen.orszag_tang",
+    "blast": "athenak_tpu.pgen.blast",
 }
 
 

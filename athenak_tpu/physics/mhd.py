@@ -156,7 +156,8 @@ class MHD:
         cell (k,j,i)."""
         one_d = len(self.dirs) == 1
         two_d = len(self.dirs) == 2
-        KA, JA, IA = 2, 3, 4  # array axes for (x3, x2, x1)
+        # axes of the 4D [nmb, n3, n2, n1] EMF/flux-channel arrays
+        KA, JA, IA = 1, 2, 3
 
         if one_d:
             e2 = emf["e2x1"]
