@@ -48,8 +48,12 @@ class BoundaryValues:
         if mbi.nx3 > 1:
             self.active_axes.append("x3")
 
-        self.nbr = {k: jnp.asarray(v) for k, v in mesh.nbr_gid.items()}
-        self.mask = {k: jnp.asarray(v) for k, v in mesh.phys_bc_mask.items()}
+        # Keep index tables as HOST numpy arrays: jit tracing embeds numpy
+        # closures as HLO literals directly, whereas device-array closures
+        # force a device->host readback at trace time (pathologically slow
+        # over a tunneled TPU link).
+        self.nbr = {k: np.asarray(v) for k, v in mesh.nbr_gid.items()}
+        self.mask = {k: np.asarray(v) for k, v in mesh.phys_bc_mask.items()}
         self.any_phys = {k: bool(v.any()) for k, v in mesh.phys_bc_mask.items()}
         # boundary flag per mesh face ("m" side key ix*, "p" side key ox*)
         self.flag = {

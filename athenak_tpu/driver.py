@@ -81,9 +81,14 @@ class Driver:
         self.ecounters: Dict[str, int] = {}
         self.nmb_updated = 0
         self._cycle_fn = None
+        # optional jax.sharding.Mesh: shards the block axis over devices
+        # (the TPU-native analogue of MPI rank decomposition)
+        self.dmesh = None
 
     # ------------------------------------------------------------------
-    def _build_cycle(self) -> Callable:
+    def make_cycle_fn(self) -> Callable:
+        """The pure (un-jitted) one-cycle function: state, dt -> state, dtnew,
+        counters.  Exposed for graft/compile checks and sharded execution."""
         integ = self.integrator
         phys = self.phys
         is_rk4 = integ.name == "rk4"
@@ -105,15 +110,22 @@ class Driver:
             dtnew = phys.dt_from_state(state)
             return state, dtnew, counters_tot
 
-        return jax.jit(cycle, donate_argnums=(0,))
+        return cycle
+
+    def _build_cycle(self) -> Callable:
+        return jax.jit(self.make_cycle_fn(), donate_argnums=(0,))
 
     # ------------------------------------------------------------------
     def initialize(self, state):
         """Ghost-zone init + first dt (reference: Driver::Initialize,
         src/driver/driver.cpp:314-372)."""
-        state = self.phys.init_ghosts(state)
+        if self.dmesh is not None:
+            from .parallel import check_divisible, shard_state
+            check_divisible(self.mesh.nmb_total, self.dmesh)
+            state = shard_state(state, self.dmesh)
+        state = jax.jit(self.phys.init_ghosts)(state)
         if self.time_evolution != "static":
-            dtnew = float(self.phys.dt_from_state(state))
+            dtnew = float(jax.jit(self.phys.dt_from_state)(state))
             self.mesh.dt = min(self.cfl_no * dtnew, _HUGE)
             if self.mesh.time < self.tlim and \
                     self.mesh.time + self.mesh.dt > self.tlim:

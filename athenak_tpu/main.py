@@ -138,7 +138,7 @@ def main(argv=None) -> int:
             print("validation complete")
         return 0
 
-    mesh, phys, driver, u, w = run(pin, verbose=True)
+    mesh, phys, driver, state = run(pin, verbose=True)
     print(driver.finalize_report())
     return 0
 

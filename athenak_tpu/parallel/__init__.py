@@ -1,0 +1,72 @@
+"""Distributed execution: block-axis sharding over a TPU device mesh.
+
+Replaces the reference's MPI rank decomposition (reference:
+src/mesh/load_balance.cpp:38-90, src/bvals/bvals_cc.cpp:42-289) with the
+TPU-native equivalent: every state array has leading axis ``nmb`` (the
+MeshBlockPack batch axis), and we shard that axis over a 1-D
+``jax.sharding.Mesh``.  Because blocks are Z-ordered (mesh.py), a contiguous
+shard is spatially compact — the same locality property the reference's
+cost-list partitioner exploits — so the halo-exchange gathers lower to
+mostly nearest-neighbor ICI collectives.
+
+The per-cycle compute path needs *no* changes: the ``jnp.take(u, nbr, 0)``
+gathers inside BoundaryValues become XLA collective-permutes under jit with
+sharded operands, and the dt min-reduce becomes a global ``min`` collective
+(the reference's MPI_Allreduce(MPI_MIN), reference: src/mesh/mesh.cpp:636).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh as DeviceMesh
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+BLOCK_AXIS = "mb"
+
+
+def make_device_mesh(n_devices: Optional[int] = None,
+                     devices=None) -> DeviceMesh:
+    """1-D device mesh over the MeshBlock axis.
+
+    The reference's only inter-node parallelism is data-parallel domain
+    decomposition over blocks (SURVEY.md §2); a 1-D logical mesh is the
+    native mapping.  The physical ICI topology is handled by XLA's device
+    assignment.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return DeviceMesh(np.array(devices), (BLOCK_AXIS,))
+
+
+def block_sharding(dmesh: DeviceMesh) -> NamedSharding:
+    """Sharding that splits the leading (block) axis."""
+    return NamedSharding(dmesh, P(BLOCK_AXIS))
+
+
+def replicated(dmesh: DeviceMesh) -> NamedSharding:
+    return NamedSharding(dmesh, P())
+
+
+def shard_state(state, dmesh: DeviceMesh):
+    """Place a physics state pytree on the mesh, block axis sharded.
+
+    Every leaf in our state dicts ({u, w, [bfc, bcc]}) carries the leading
+    nmb axis, so a uniform PartitionSpec('mb') applies to all of them.
+    """
+    sh = block_sharding(dmesh)
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), state)
+
+
+def check_divisible(nmb_total: int, dmesh: DeviceMesh) -> None:
+    n = dmesh.devices.size
+    if nmb_total % n != 0:
+        raise ValueError(
+            f"nmb_total={nmb_total} not divisible by {n} devices; choose "
+            f"meshblock sizes so the block count is a multiple of the mesh "
+            f"(the reference imposes nmb >= nranks the same way, "
+            f"reference: src/mesh/load_balance.cpp:55-63)")

@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Dict, Tuple
 
 import jax.numpy as jnp
+import numpy as _np
 
 from ..bvals import BoundaryValues, _AXIS_OF
 from ..indices import IDN, IEN, IVX, IVY, IVZ, RECON_NGHOST
@@ -271,7 +272,7 @@ class MHD:
         """Extend a cell-indexed edge-difference array to face extent (+1)
         along `axis` by wrapping one slot (the extra face slot is ghost
         data, refilled by the face-field exchange)."""
-        first = jnp.take(cell_arr, jnp.array([0]), axis=axis)
+        first = jnp.take(cell_arr, _np.array([0]), axis=axis)
         return jnp.concatenate([cell_arr, first], axis=axis)
 
     # ------------------------------------------------------- face-field halo

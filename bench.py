@@ -1,0 +1,103 @@
+"""Benchmark: 3D MHD blast zone-cycles/second on one chip.
+
+Mirrors the reference's own figure of merit — the zone-cycles/cpu_second
+line printed at the end of every run (reference:
+src/driver/driver.cpp:505-525) — on the headline 3D MHD blast workload
+(BASELINE.md north star: >= 1e9 zone-cycles/s/chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from athenak_tpu.athinput import ParameterInput
+    from athenak_tpu.main import build
+
+    # Single precision is the TPU fast path (the reference exposes the same
+    # choice via SINGLE_PRECISION_ENABLED, reference: src/athena.hpp:22-36).
+    nx = int(os.environ.get("BENCH_NX", "256"))
+    mbx = int(os.environ.get("BENCH_MBX", str(nx)))
+    ncycles = int(os.environ.get("BENCH_NCYCLES", "20"))
+
+    deck = f"""
+<job>
+basename = bench_blast
+precision = single
+
+<mesh>
+nghost = 2
+nx1 = {nx}
+x1min = -1.0
+x1max = 1.0
+nx2 = {nx}
+x2min = -1.0
+x2max = 1.0
+nx3 = {nx}
+x3min = -1.0
+x3max = 1.0
+
+<meshblock>
+nx1 = {mbx}
+nx2 = {mbx}
+nx3 = {mbx}
+
+<time>
+evolution = dynamic
+integrator = rk2
+cfl_number = 0.3
+tlim = 10.0
+
+<mhd>
+eos = ideal
+gamma = 1.6666666666666667
+reconstruct = plm
+rsolver = hlld
+
+<problem>
+pgen_name = blast
+inner_radius = 0.1
+outer_radius = 0.25
+prat = 100.0
+b_amb = 0.1
+"""
+    pin = ParameterInput.from_string(deck)
+    mesh, phys, pgen, driver, state = build(pin)
+    state = driver.initialize(state)
+
+    cycle = jax.jit(driver.make_cycle_fn(), donate_argnums=(0,))
+    dt = jnp.asarray(driver.mesh.dt, dtype=state["u"].dtype)
+
+    # warm-up / compile
+    state, dtnew, _ = cycle(state, dt)
+    jax.block_until_ready(state)
+
+    t0 = time.perf_counter()
+    for _ in range(ncycles):
+        state, dtnew, _ = cycle(state, dt)
+    jax.block_until_ready(state)
+    wall = time.perf_counter() - t0
+
+    zones = nx ** 3
+    zcps = zones * ncycles / wall
+    print(json.dumps({
+        "metric": "zone_cycles_per_second_3d_mhd_blast",
+        "value": zcps,
+        "unit": "zone-cycles/s",
+        "vs_baseline": zcps / 1.0e9,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
