@@ -20,6 +20,7 @@ _REGISTRY = {
     "advection": "athenak_tpu.pgen.advection",
     "orszag_tang": "athenak_tpu.pgen.orszag_tang",
     "blast": "athenak_tpu.pgen.blast",
+    "diffusion_test": "athenak_tpu.pgen.diffusion_test",
 }
 
 

@@ -32,9 +32,15 @@ class Hydro:
     """Owns hydro configuration and provides the pure per-stage update."""
 
     def __init__(self, pin, mesh: Mesh, bvals: BoundaryValues) -> None:
+        from ..coordinates import Coordinates
         self.mesh = mesh
         self.bvals = bvals
+        self.coord = Coordinates(pin)
         self.eos = EOSData.from_input(pin, "hydro")
+        self.is_sr = self.coord.is_special_relativistic
+        self.is_gr = self.coord.is_general_relativistic
+        if (self.is_sr or self.is_gr) and not self.eos.is_ideal:
+            raise ValueError("relativistic hydro requires the ideal-gas EOS")
         self.nhydro = 5 if self.eos.is_ideal else 4
         self.nscalars = pin.get_or_add_integer("hydro", "nscalars", 0)
         self.nvar = self.nhydro + self.nscalars
@@ -43,8 +49,24 @@ class Hydro:
         if self.recon_method not in recon_ops.RECON_FNS:
             raise ValueError(f"hydro/reconstruct={self.recon_method} unknown")
         self.rsolver = pin.get_or_add_string("hydro", "rsolver", "llf")
-        if self.rsolver not in rsolvers.HYDRO_RSOLVER_FNS:
-            raise ValueError(f"hydro/rsolver={self.rsolver} unknown")
+        if self.is_sr:
+            # SR runs map the generic solver names onto their SR variants
+            # (reference: src/hydro/hydro.cpp:207-230)
+            from ..ops.rsolvers_sr import SR_HYDRO_RSOLVER_FNS
+            if self.rsolver not in SR_HYDRO_RSOLVER_FNS:
+                raise ValueError(
+                    f"hydro/rsolver={self.rsolver} not available in SR")
+            self._rsolver_fns = SR_HYDRO_RSOLVER_FNS
+        elif self.is_gr:
+            from ..ops.rsolvers_gr import GR_HYDRO_RSOLVER_FNS
+            if self.rsolver not in GR_HYDRO_RSOLVER_FNS:
+                raise ValueError(
+                    f"hydro/rsolver={self.rsolver} not available in GR")
+            self._rsolver_fns = GR_HYDRO_RSOLVER_FNS
+        else:
+            if self.rsolver not in rsolvers.HYDRO_RSOLVER_FNS:
+                raise ValueError(f"hydro/rsolver={self.rsolver} unknown")
+            self._rsolver_fns = rsolvers.HYDRO_RSOLVER_FNS
 
         ng_need = RECON_NGHOST[self.recon_method]
         if mesh.mb_indcs.ng < ng_need:
@@ -66,6 +88,24 @@ class Hydro:
         self.time_evolution = pin.get_string("time", "evolution") \
             if pin.does_block_exist("time") else "dynamic"
 
+        # diffusion (constructed only if coefficients present,
+        # reference: src/hydro/hydro.cpp:77-96)
+        from ..diffusion import Conduction, Viscosity
+        self.pvisc = Viscosity("hydro", pin, mesh, self.eos) \
+            if (pin.does_parameter_exist("hydro", "nu_iso")
+                or pin.does_parameter_exist("hydro", "nu_aniso")) else None
+        self.pcond = Conduction("hydro", pin, mesh, self.eos) \
+            if (pin.does_parameter_exist("hydro", "alpha_iso")
+                or pin.does_parameter_exist("hydro", "alpha_aniso")
+                or pin.does_parameter_exist("hydro", "alpha_spitzer")) \
+            else None
+
+        # physics source terms from the <hydro_srcterms> block
+        # (reference: src/srcterms/srcterms.cpp:37-80)
+        from ..srcterms import SourceTerms
+        self.srcterms = SourceTerms("hydro_srcterms", pin, mesh, self.eos) \
+            if pin.does_block_exist("hydro_srcterms") else None
+
         # optional extra source-term hook: fn(u, w, beta_dt) -> u
         self.srcterms_func = None
 
@@ -77,9 +117,15 @@ class Hydro:
 
     # ----------------------------------------------------------------- c2p
     def cons_to_prim(self, u):
+        if self.is_sr:
+            from ..ops.eos_sr import cons_to_prim_sr_hydro
+            return cons_to_prim_sr_hydro(u, self.eos)
         return cons_to_prim_hydro(u, self.eos)
 
     def prim_to_cons(self, w):
+        if self.is_sr:
+            from ..ops.eos_sr import prim_to_cons_sr_hydro
+            return prim_to_cons_sr_hydro(w, self.eos)
         return prim_to_cons_hydro(w, self.eos)
 
     # --------------------------------------------------------------- fluxes
@@ -91,7 +137,7 @@ class Hydro:
         uflx layout (reference: src/hydro/hydro_fluxes.cpp:78-120).
         """
         rec = recon_ops.RECON_FNS[self.recon_method]
-        solve = rsolvers.HYDRO_RSOLVER_FNS[self.rsolver]
+        solve = self._rsolver_fns[self.rsolver]
         floors = self.recon_method in recon_ops.FLOORED_METHODS
 
         out = {}
@@ -104,7 +150,20 @@ class Hydro:
                     efloor = self.eos.pfloor / (self.eos.gamma - 1.0)
                     wl = wl.at[:, IEN].max(efloor)
                     wr = wr.at[:, IEN].max(efloor)
-            out[name] = solve(wl, wr, self.eos, ivx)
+            f = solve(wl, wr, self.eos, ivx)
+            if self.nscalars > 0:
+                # passive scalars: upwind advection on the mass flux
+                # (reference: scalar flux blocks in each rsolver, e.g.
+                # src/hydro/rsolvers/hllc_hyd.hpp end)
+                fd = f[:, IDN:IDN + 1]
+                ns = self.nhydro
+                fs = jnp.where(fd >= 0.0, fd * wl[:, ns:], fd * wr[:, ns:])
+                f = f.at[:, ns:].set(fs)
+            out[name] = f
+        if self.pvisc is not None:
+            out = self.pvisc.add_viscous_flux(w, out, self.dirs)
+        if self.pcond is not None:
+            out = self.pcond.add_heat_flux(w, out, self.dirs)
         return out
 
     # --------------------------------------------------------------- update
@@ -137,6 +196,21 @@ class Hydro:
             dv1 = jnp.abs(vx)
             dv2 = jnp.abs(vy)
             dv3 = jnp.abs(vz)
+        elif self.is_gr:
+            # light speed bounds all signals (reference: hydro_newdt.cpp:85-88)
+            one = jnp.ones_like(vx)
+            dv1 = dv2 = dv3 = one
+        elif self.is_sr:
+            from ..ops.eos_sr import sr_hydro_sound_speeds
+            lor = jnp.sqrt(1.0 + vx * vx + vy * vy + vz * vz)
+            p = self.eos.pressure(wa[:, IEN])
+            d = wa[:, IDN]
+            lp1, lm1 = sr_hydro_sound_speeds(self.eos, d, p, vx, lor)
+            lp2, lm2 = sr_hydro_sound_speeds(self.eos, d, p, vy, lor)
+            lp3, lm3 = sr_hydro_sound_speeds(self.eos, d, p, vz, lor)
+            dv1 = jnp.maximum(jnp.abs(lm1), lp1)
+            dv2 = jnp.maximum(jnp.abs(lm2), lp2)
+            dv3 = jnp.maximum(jnp.abs(lm3), lp3)
         else:
             if self.eos.is_ideal:
                 p = self.eos.pressure(wa[:, IEN])
@@ -178,11 +252,25 @@ class Hydro:
         u, w = state["u"], state["w"]
         flx = self.fluxes(w)
         u = self.rk_update(u, saved["u1"], flx, gam0, gam1, beta_dt)
+        if self.srcterms is not None and self.srcterms.any_enabled:
+            u = self.srcterms.apply(u, w, beta_dt, flx=flx,
+                                    phi=state.get("phi"))
         if self.srcterms_func is not None:
             u = self.srcterms_func(u, w, beta_dt)
         u = self.bvals.fill_ghosts(u)
         w, u, counters = self.cons_to_prim(u)
-        return {"u": u, "w": w}, counters
+        out = dict(state)
+        out.update({"u": u, "w": w})
+        return out, counters
 
     def dt_from_state(self, state):
-        return self.new_dt(state["w"])
+        dt = self.new_dt(state["w"])
+        ndim = len(self.dirs)
+        dtype = state["w"].dtype
+        if self.pvisc is not None:
+            dt = jnp.minimum(dt, self.pvisc.new_dt(ndim, dtype))
+        if self.pcond is not None:
+            dt = jnp.minimum(dt, self.pcond.new_dt(ndim, dtype))
+        if self.srcterms is not None and self.srcterms.any_enabled:
+            dt = jnp.minimum(dt, self.srcterms.new_dt(state["w"]))
+        return dt

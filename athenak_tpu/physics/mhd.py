@@ -41,9 +41,15 @@ class MHD:
     is_mhd = True
 
     def __init__(self, pin, mesh: Mesh, bvals: BoundaryValues) -> None:
+        from ..coordinates import Coordinates
         self.mesh = mesh
         self.bvals = bvals
+        self.coord = Coordinates(pin)
         self.eos = EOSData.from_input(pin, "mhd")
+        self.is_sr = self.coord.is_special_relativistic
+        self.is_gr = self.coord.is_general_relativistic
+        if (self.is_sr or self.is_gr) and not self.eos.is_ideal:
+            raise ValueError("relativistic MHD requires the ideal-gas EOS")
         self.nmhd = 5 if self.eos.is_ideal else 4
         self.nscalars = pin.get_or_add_integer("mhd", "nscalars", 0)
         self.nvar = self.nmhd + self.nscalars
@@ -52,8 +58,24 @@ class MHD:
         if self.recon_method not in recon_ops.RECON_FNS:
             raise ValueError(f"mhd/reconstruct={self.recon_method} unknown")
         self.rsolver = pin.get_or_add_string("mhd", "rsolver", "llf")
-        if self.rsolver not in rsolvers_mhd.MHD_RSOLVER_FNS:
-            raise ValueError(f"mhd/rsolver={self.rsolver} unknown")
+        if self.is_sr:
+            # SR runs map generic solver names onto SR variants
+            # (reference: src/mhd/mhd.cpp solver dispatch)
+            from ..ops.rsolvers_srmhd import SR_MHD_RSOLVER_FNS
+            if self.rsolver not in SR_MHD_RSOLVER_FNS:
+                raise ValueError(
+                    f"mhd/rsolver={self.rsolver} not available in SR MHD")
+            self._rsolver_fns = SR_MHD_RSOLVER_FNS
+        elif self.is_gr:
+            from ..ops.rsolvers_grmhd import GR_MHD_RSOLVER_FNS
+            if self.rsolver not in GR_MHD_RSOLVER_FNS:
+                raise ValueError(
+                    f"mhd/rsolver={self.rsolver} not available in GR MHD")
+            self._rsolver_fns = GR_MHD_RSOLVER_FNS
+        else:
+            if self.rsolver not in rsolvers_mhd.MHD_RSOLVER_FNS:
+                raise ValueError(f"mhd/rsolver={self.rsolver} unknown")
+            self._rsolver_fns = rsolvers_mhd.MHD_RSOLVER_FNS
 
         ng_need = RECON_NGHOST[self.recon_method]
         if mesh.mb_indcs.ng < ng_need:
@@ -79,6 +101,25 @@ class MHD:
 
         self.time_evolution = pin.get_string("time", "evolution") \
             if pin.does_block_exist("time") else "dynamic"
+        # diffusion (constructed only if coefficients present,
+        # reference: src/mhd/mhd.cpp:103-131)
+        from ..diffusion import Conduction, Resistivity, Viscosity
+        self.pvisc = Viscosity("mhd", pin, mesh, self.eos) \
+            if (pin.does_parameter_exist("mhd", "nu_iso")
+                or pin.does_parameter_exist("mhd", "nu_aniso")) else None
+        self.presist = Resistivity(pin, mesh, self.eos) \
+            if (pin.does_parameter_exist("mhd", "eta_ohm")
+                or pin.does_parameter_exist("mhd", "eta_ad")) else None
+        self.pcond = Conduction("mhd", pin, mesh, self.eos) \
+            if (pin.does_parameter_exist("mhd", "alpha_iso")
+                or pin.does_parameter_exist("mhd", "alpha_aniso")
+                or pin.does_parameter_exist("mhd", "alpha_spitzer")) \
+            else None
+
+        # physics source terms from the <mhd_srcterms> block
+        from ..srcterms import SourceTerms
+        self.srcterms = SourceTerms("mhd_srcterms", pin, mesh, self.eos) \
+            if pin.does_block_exist("mhd_srcterms") else None
         self.srcterms_func = None
 
     # ------------------------------------------------------------- allocate
@@ -99,9 +140,15 @@ class MHD:
 
     # ----------------------------------------------------------------- c2p
     def cons_to_prim(self, u, bcc):
+        if self.is_sr:
+            from ..ops.eos_sr import cons_to_prim_sr_mhd
+            return cons_to_prim_sr_mhd(u, bcc, self.eos)
         return cons_to_prim_mhd(u, bcc, self.eos)
 
     def prim_to_cons(self, w, bcc):
+        if self.is_sr:
+            from ..ops.eos_sr import prim_to_cons_sr_mhd
+            return prim_to_cons_sr_mhd(w, bcc, self.eos)
         return prim_to_cons_mhd(w, bcc, self.eos)
 
     # --------------------------------------------------------------- fluxes
@@ -112,7 +159,7 @@ class MHD:
         x1 faces store (e3x1, e2x1), x2 faces (e1x2, e3x2), x3 faces
         (e2x3, e1x3) (reference: src/mhd/mhd_fluxes.cpp:120-250)."""
         rec = recon_ops.RECON_FNS[self.recon_method]
-        solve = rsolvers_mhd.MHD_RSOLVER_FNS[self.rsolver]
+        solve = self._rsolver_fns[self.rsolver]
         floors = self.recon_method in recon_ops.FLOORED_METHODS
 
         flx = {}
@@ -135,9 +182,22 @@ class MHD:
                     wl = wl.at[:, IEN].max(efloor)
                     wr = wr.at[:, IEN].max(efloor)
             f, ey, ez = solve(wl, wr, bl, br, bface[name], self.eos, ivx)
+            if self.nscalars > 0:
+                # passive scalars: upwind advection on the mass flux
+                fd = f[:, IDN:IDN + 1]
+                ns = self.nmhd
+                fs = jnp.where(fd >= 0.0, fd * wl[:, ns:], fd * wr[:, ns:])
+                f = f.at[:, ns:].set(fs)
             flx[name] = f
             emf[ey_name[name]] = ey
             emf[ez_name[name]] = ez
+        if self.pvisc is not None:
+            flx = self.pvisc.add_viscous_flux(w, flx, self.dirs)
+        if self.pcond is not None:
+            flx = self.pcond.add_heat_flux(w, flx, self.dirs)
+        if self.presist is not None:
+            flx = self.presist.add_resistive_flux(
+                bfc, bcc, flx, self.dirs, len(self.dirs))
         return flx, emf
 
     # --------------------------------------------------------------- update
@@ -150,7 +210,7 @@ class MHD:
         return gam0 * u0 + gam1 * u1 - beta_dt * divf
 
     # ------------------------------------------------------------- corner E
-    def corner_e(self, w, bcc, flx, emf):
+    def corner_e(self, w, bcc, flx, emf, bfc=None):
         """Edge-centered EMFs via Gardiner-Stone (2005/07) upwinding
         (reference: src/mhd/mhd_corner_e.cpp).  Returns cell-indexed edge
         arrays e1/e2/e3: entry (k,j,i) is the edge at the lower corner of
@@ -164,11 +224,17 @@ class MHD:
             e2 = emf["e2x1"]
             e3 = emf["e3x1"]
             e1 = jnp.zeros_like(e2)
-            return e1, e2, e3
+            return self._add_resist(bfc, bcc, e1, e2, e3)
 
         vx = w[:, IVX]
         vy = w[:, IVY]
         vz = w[:, IVZ]
+        if self.is_sr:
+            # SR primitives store u^i = gamma v^i: the transport velocity
+            # in E = -v x B is the 3-velocity
+            # (reference: mhd_corner_e.cpp:136-143)
+            lor = jnp.sqrt(1.0 + vx * vx + vy * vy + vz * vz)
+            vx, vy, vz = vx / lor, vy / lor, vz / lor
         bx = bcc[:, 0]
         by = bcc[:, 1]
         bz = bcc[:, 2]
@@ -208,7 +274,7 @@ class MHD:
             e3 = gs07(e3cc, emf["e3x1"], emf["e3x2"], fx1, fx2, IA, JA)
             e1 = emf["e1x2"]
             e2 = emf["e2x1"]
-            return e1, e2, e3
+            return self._add_resist(bfc, bcc, e1, e2, e3)
 
         # 3D
         e1cc = vz * by - vy * bz
@@ -221,7 +287,15 @@ class MHD:
         e2 = gs07(e2cc, emf["e2x3"], emf["e2x1"], fx3, fx1, KA, IA)
         # E3 along x3; faces: e3x1 (x1-faces), e3x2 (x2-faces); plane (x1,x2)
         e3 = gs07(e3cc, emf["e3x1"], emf["e3x2"], fx1, fx2, IA, JA)
-        return e1, e2, e3
+        return self._add_resist(bfc, bcc, e1, e2, e3)
+
+    def _add_resist(self, bfc, bcc, e1, e2, e3):
+        """Non-ideal EMF contributions at cell edges
+        (reference: Resistivity::AddResistiveEMFs called from CornerE)."""
+        if self.presist is None:
+            return e1, e2, e3
+        return self.presist.add_resistive_emf(
+            bfc, bcc, e1, e2, e3, len(self.dirs))
 
     # ------------------------------------------------------------------- CT
     def ct_update(self, bfc, bfc_old, e1, e2, e3, gam0, gam1, beta_dt):
@@ -402,6 +476,27 @@ class MHD:
             dv1 = jnp.abs(wa[:, IVX])
             dv2 = jnp.abs(wa[:, IVY])
             dv3 = jnp.abs(wa[:, IVZ])
+        elif self.is_gr:
+            one = jnp.ones_like(wa[:, IVX])
+            dv1 = dv2 = dv3 = one
+        elif self.is_sr:
+            from ..ops.eos_sr import sr_mhd_fast_speeds
+            ux, uy, uz = wa[:, IVX], wa[:, IVY], wa[:, IVZ]
+            lor = jnp.sqrt(1.0 + ux * ux + uy * uy + uz * uz)
+            p = self.eos.pressure(wa[:, IEN])
+            # b^mu b_mu from cell-centered field
+            bx, by, bz = ba[:, 0], ba[:, 1], ba[:, 2]
+            b0 = bx * ux + by * uy + bz * uz
+            b1 = (bx + b0 * ux) / lor
+            b2_ = (by + b0 * uy) / lor
+            b3 = (bz + b0 * uz) / lor
+            bsq = -b0 * b0 + b1 * b1 + b2_ * b2_ + b3 * b3
+            lp1, lm1 = sr_mhd_fast_speeds(self.eos, d, p, ux, lor, bsq)
+            lp2, lm2 = sr_mhd_fast_speeds(self.eos, d, p, uy, lor, bsq)
+            lp3, lm3 = sr_mhd_fast_speeds(self.eos, d, p, uz, lor, bsq)
+            dv1 = jnp.maximum(jnp.abs(lm1), lp1)
+            dv2 = jnp.maximum(jnp.abs(lm2), lp2)
+            dv3 = jnp.maximum(jnp.abs(lm3), lp3)
         else:
             p = self.eos.pressure(wa[:, IEN]) if self.eos.is_ideal else None
             b1, b2, b3 = ba[:, 0], ba[:, 1], ba[:, 2]
@@ -444,16 +539,33 @@ class MHD:
         u, w, bfc, bcc = state["u"], state["w"], state["bfc"], state["bcc"]
         flx, emf = self.fluxes(w, bcc, bfc)
         u = self.rk_update(u, saved["u1"], flx, gam0, gam1, beta_dt)
+        if self.srcterms is not None and self.srcterms.any_enabled:
+            u = self.srcterms.apply(u, w, beta_dt, flx=flx,
+                                    phi=state.get("phi"))
         if self.srcterms_func is not None:
             u = self.srcterms_func(u, w, beta_dt)
-        e1, e2, e3 = self.corner_e(w, bcc, flx, emf)
+        e1, e2, e3 = self.corner_e(w, bcc, flx, emf, bfc=bfc)
         bfc = self.ct_update(bfc, saved["bfc1"], e1, e2, e3,
                              gam0, gam1, beta_dt)
         u = self.bvals.fill_ghosts(u)
         bfc = self.fill_ghosts_fc(bfc)
         bcc = self.compute_bcc(bfc)
         w, u, counters = self.cons_to_prim(u, bcc)
-        return {"u": u, "w": w, "bfc": bfc, "bcc": bcc}, counters
+        out = dict(state)
+        out.update({"u": u, "w": w, "bfc": bfc, "bcc": bcc})
+        return out, counters
 
     def dt_from_state(self, state):
-        return self.new_dt(state["w"], state["bcc"])
+        dt = self.new_dt(state["w"], state["bcc"])
+        ndim = len(self.dirs)
+        dtype = state["w"].dtype
+        if self.pvisc is not None:
+            dt = jnp.minimum(dt, self.pvisc.new_dt(ndim, dtype))
+        if self.pcond is not None:
+            dt = jnp.minimum(dt, self.pcond.new_dt(ndim, dtype))
+        if self.presist is not None:
+            dt = jnp.minimum(dt, self.presist.new_dt(
+                state["bcc"], ndim, dtype, self.mesh.mb_indcs))
+        if self.srcterms is not None and self.srcterms.any_enabled:
+            dt = jnp.minimum(dt, self.srcterms.new_dt(state["w"]))
+        return dt
