@@ -21,6 +21,7 @@ _REGISTRY = {
     "orszag_tang": "athenak_tpu.pgen.orszag_tang",
     "blast": "athenak_tpu.pgen.blast",
     "diffusion_test": "athenak_tpu.pgen.diffusion_test",
+    "gr_bondi": "athenak_tpu.pgen.gr_bondi",
 }
 
 

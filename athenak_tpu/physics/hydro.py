@@ -19,7 +19,7 @@ from typing import Dict, Optional, Tuple
 import jax.numpy as jnp
 
 from ..bvals import BoundaryValues
-from ..indices import IDN, IEN, IVX, IVY, IVZ, RECON_NGHOST
+from ..indices import IDN, IEN, IM1, IM2, IM3, IVX, IVY, IVZ, RECON_NGHOST
 from ..mesh import Mesh
 from ..ops import recon as recon_ops
 from ..ops import rsolvers
@@ -88,6 +88,23 @@ class Hydro:
         self.time_evolution = pin.get_string("time", "evolution") \
             if pin.does_block_exist("time") else "dynamic"
 
+        if self.is_gr:
+            from ..coordinates import GRGeometry
+            self.geom = GRGeometry(mesh, self.coord.coord_data)
+            cd = self.coord.coord_data
+            if cd.bh_excise:
+                import numpy as _np
+                mask = self.geom.excision_floor_mask()
+                self.excise_mask = _np.broadcast_to(
+                    mask, (mesh.nmb_total, mesh.mb_indcs.ncells3,
+                           mesh.mb_indcs.ncells2, mesh.mb_indcs.ncells1)
+                ).copy()
+            else:
+                self.excise_mask = None
+        else:
+            self.geom = None
+            self.excise_mask = None
+
         # diffusion (constructed only if coefficients present,
         # reference: src/hydro/hydro.cpp:77-96)
         from ..diffusion import Conduction, Viscosity
@@ -117,12 +134,24 @@ class Hydro:
 
     # ----------------------------------------------------------------- c2p
     def cons_to_prim(self, u):
+        if self.is_gr:
+            from ..ops.eos_gr import cons_to_prim_gr_hydro
+            gl, gu = self.geom.metric("cc")
+            cd = self.coord.coord_data
+            return cons_to_prim_gr_hydro(
+                u, self.eos, gl, gu,
+                excise_mask=self.excise_mask,
+                dexcise=cd.dexcise, pexcise=cd.pexcise)
         if self.is_sr:
             from ..ops.eos_sr import cons_to_prim_sr_hydro
             return cons_to_prim_sr_hydro(u, self.eos)
         return cons_to_prim_hydro(u, self.eos)
 
     def prim_to_cons(self, w):
+        if self.is_gr:
+            from ..ops.eos_gr import prim_to_cons_gr_hydro
+            gl, gu = self.geom.metric("cc")
+            return prim_to_cons_gr_hydro(w, self.eos, gl, gu)
         if self.is_sr:
             from ..ops.eos_sr import prim_to_cons_sr_hydro
             return prim_to_cons_sr_hydro(w, self.eos)
@@ -150,7 +179,11 @@ class Hydro:
                     efloor = self.eos.pfloor / (self.eos.gamma - 1.0)
                     wl = wl.at[:, IEN].max(efloor)
                     wr = wr.at[:, IEN].max(efloor)
-            f = solve(wl, wr, self.eos, ivx)
+            if self.is_gr:
+                gl, gu = self.geom.metric(name)
+                f = solve(wl, wr, self.eos, ivx, gl, gu)
+            else:
+                f = solve(wl, wr, self.eos, ivx)
             if self.nscalars > 0:
                 # passive scalars: upwind advection on the mass flux
                 # (reference: scalar flux blocks in each rsolver, e.g.
@@ -177,6 +210,42 @@ class Hydro:
             d = (jnp.roll(f, -1, axis=axis) - f) / dx
             divf = d if divf is None else divf + d
         return gam0 * u0 + gam1 * u1 - beta_dt * divf
+
+    # --------------------------------------------------------- GR srcterms
+    def coord_src_terms(self, u, w, beta_dt):
+        """Geometric source terms S_i = 1/2 T^{ab} d_i(g_ab) on the
+        momenta (reference: Coordinates::CoordSrcTerms,
+        src/coordinates/coordinates.cpp:122-233)."""
+        gl, gu = self.geom.metric("cc")
+        dgs = self.geom.metric_derivatives()
+        gp = self.eos.gamma / (self.eos.gamma - 1.0)
+
+        rho = w[:, IDN]
+        p = self.eos.pressure(w[:, IEN])
+        wvx, wvy, wvz = w[:, IVX], w[:, IVY], w[:, IVZ]
+        q = (gl[1][1] * wvx * wvx + gl[2][2] * wvy * wvy
+             + gl[3][3] * wvz * wvz
+             + 2.0 * (gl[1][2] * wvx * wvy + gl[1][3] * wvx * wvz
+                      + gl[2][3] * wvy * wvz))
+        alpha = jnp.sqrt(-1.0 / gu[0][0])
+        gam = jnp.sqrt(1.0 + q)
+        uv = {0: gam / alpha,
+              1: wvx - alpha * gam * gu[0][1],
+              2: wvy - alpha * gam * gu[0][2],
+              3: wvz - alpha * gam * gu[0][3]}
+        wtot = rho + gp * p
+
+        for d, im in ((0, IM1), (1, IM2), (2, IM3)):
+            dg = dgs[d]
+            s = None
+            for mu in range(4):
+                for nu in range(mu, 4):
+                    fac = 0.5 if mu == nu else 1.0
+                    tt = wtot * uv[mu] * uv[nu] + p * gu[mu][nu]
+                    term = fac * dg[mu][nu] * tt
+                    s = term if s is None else s + term
+            u = u.at[:, im].add(beta_dt * s)
+        return u
 
     # ---------------------------------------------------------------- newdt
     def new_dt(self, w):
@@ -252,6 +321,8 @@ class Hydro:
         u, w = state["u"], state["w"]
         flx = self.fluxes(w)
         u = self.rk_update(u, saved["u1"], flx, gam0, gam1, beta_dt)
+        if self.is_gr:
+            u = self.coord_src_terms(u, w, beta_dt)
         if self.srcterms is not None and self.srcterms.any_enabled:
             u = self.srcterms.apply(u, w, beta_dt, flx=flx,
                                     phi=state.get("phi"))

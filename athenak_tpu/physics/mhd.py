@@ -101,6 +101,22 @@ class MHD:
 
         self.time_evolution = pin.get_string("time", "evolution") \
             if pin.does_block_exist("time") else "dynamic"
+        if self.is_gr:
+            from ..coordinates import GRGeometry
+            self.geom = GRGeometry(mesh, self.coord.coord_data)
+            cd = self.coord.coord_data
+            if cd.bh_excise:
+                m_ = self.geom.excision_floor_mask()
+                self.excise_mask = _np.broadcast_to(
+                    m_, (mesh.nmb_total, mesh.mb_indcs.ncells3,
+                         mesh.mb_indcs.ncells2, mesh.mb_indcs.ncells1)
+                ).copy()
+            else:
+                self.excise_mask = None
+        else:
+            self.geom = None
+            self.excise_mask = None
+
         # diffusion (constructed only if coefficients present,
         # reference: src/mhd/mhd.cpp:103-131)
         from ..diffusion import Conduction, Resistivity, Viscosity
@@ -140,12 +156,24 @@ class MHD:
 
     # ----------------------------------------------------------------- c2p
     def cons_to_prim(self, u, bcc):
+        if self.is_gr:
+            from ..ops.eos_gr import cons_to_prim_gr_mhd
+            gl, gu = self.geom.metric("cc")
+            cd = self.coord.coord_data
+            return cons_to_prim_gr_mhd(
+                u, bcc, self.eos, gl, gu,
+                excise_mask=self.excise_mask,
+                dexcise=cd.dexcise, pexcise=cd.pexcise)
         if self.is_sr:
             from ..ops.eos_sr import cons_to_prim_sr_mhd
             return cons_to_prim_sr_mhd(u, bcc, self.eos)
         return cons_to_prim_mhd(u, bcc, self.eos)
 
     def prim_to_cons(self, w, bcc):
+        if self.is_gr:
+            from ..ops.eos_gr import prim_to_cons_gr_mhd
+            gl, gu = self.geom.metric("cc")
+            return prim_to_cons_gr_mhd(w, bcc, self.eos, gl, gu)
         if self.is_sr:
             from ..ops.eos_sr import prim_to_cons_sr_mhd
             return prim_to_cons_sr_mhd(w, bcc, self.eos)
@@ -181,7 +209,12 @@ class MHD:
                     efloor = self.eos.pfloor / (self.eos.gamma - 1.0)
                     wl = wl.at[:, IEN].max(efloor)
                     wr = wr.at[:, IEN].max(efloor)
-            f, ey, ez = solve(wl, wr, bl, br, bface[name], self.eos, ivx)
+            if self.is_gr:
+                gl_m, gu_m = self.geom.metric(name)
+                f, ey, ez = solve(wl, wr, bl, br, bface[name], self.eos,
+                                  ivx, gl_m, gu_m)
+            else:
+                f, ey, ez = solve(wl, wr, bl, br, bface[name], self.eos, ivx)
             if self.nscalars > 0:
                 # passive scalars: upwind advection on the mass flux
                 fd = f[:, IDN:IDN + 1]
@@ -229,17 +262,41 @@ class MHD:
         vx = w[:, IVX]
         vy = w[:, IVY]
         vz = w[:, IVZ]
+        bx = bcc[:, 0]
+        by = bcc[:, 1]
+        bz = bcc[:, 2]
         if self.is_sr:
             # SR primitives store u^i = gamma v^i: the transport velocity
             # in E = -v x B is the 3-velocity
             # (reference: mhd_corner_e.cpp:136-143)
             lor = jnp.sqrt(1.0 + vx * vx + vy * vy + vz * vz)
             vx, vy, vz = vx / lor, vy / lor, vz / lor
-        bx = bcc[:, 0]
-        by = bcc[:, 1]
-        bz = bcc[:, 2]
-        # cell-centered EMFs, E = -v x B (Newtonian)
-        e3cc = vy * bx - vx * by
+        if self.is_gr:
+            # GR cell EMFs from the 4-velocity and 4-field
+            # (reference: mhd_corner_e.cpp:86-133, 243-293)
+            gl, gu = self.geom.metric("cc")
+            q = (gl[1][1] * vx * vx + gl[2][2] * vy * vy
+                 + gl[3][3] * vz * vz
+                 + 2.0 * (gl[1][2] * vx * vy + gl[1][3] * vx * vz
+                          + gl[2][3] * vy * vz))
+            alpha = jnp.sqrt(-1.0 / gu[0][0])
+            gam = jnp.sqrt(1.0 + q)
+            u0 = gam / alpha
+            u1 = vx - alpha * gam * gu[0][1]
+            u2 = vy - alpha * gam * gu[0][2]
+            u3 = vz - alpha * gam * gu[0][3]
+            u_1 = gl[1][0] * u0 + gl[1][1] * u1 + gl[1][2] * u2 + gl[1][3] * u3
+            u_2 = gl[2][0] * u0 + gl[2][1] * u1 + gl[2][2] * u2 + gl[2][3] * u3
+            u_3 = gl[3][0] * u0 + gl[3][1] * u1 + gl[3][2] * u2 + gl[3][3] * u3
+            b0 = u_1 * bx + u_2 * by + u_3 * bz
+            b1 = (bx + b0 * u1) / u0
+            b2 = (by + b0 * u2) / u0
+            b3 = (bz + b0 * u3) / u0
+            e1cc_gr = b2 * u3 - b3 * u2
+            e2cc_gr = b3 * u1 - b1 * u3
+            e3cc_gr = b1 * u2 - b2 * u1
+        # cell-centered EMFs, E = -v x B (Newtonian/SR 3-velocity form)
+        e3cc = e3cc_gr if self.is_gr else vy * bx - vx * by
         fx1 = flx["x1"][:, IDN]  # mass flux upwinding selector
         fx2 = flx["x2"][:, IDN]
 
@@ -277,8 +334,8 @@ class MHD:
             return self._add_resist(bfc, bcc, e1, e2, e3)
 
         # 3D
-        e1cc = vz * by - vy * bz
-        e2cc = vx * bz - vz * bx
+        e1cc = e1cc_gr if self.is_gr else vz * by - vy * bz
+        e2cc = e2cc_gr if self.is_gr else vx * bz - vz * bx
         fx3 = flx["x3"][:, IDN]
         # E1 lies along x1; faces: e1x2 (x2-faces), e1x3 (x3-faces);
         # corner in (x2, x3) plane
@@ -460,6 +517,64 @@ class MHD:
                 bfc = {**bfc, comp: arr}
         return bfc
 
+    # --------------------------------------------------------- GR srcterms
+    def coord_src_terms(self, u, w, bcc, beta_dt):
+        """Geometric momentum sources S_i = 1/2 T^{ab} d_i(g_ab) with the
+        magnetic stress included (reference: Coordinates::CoordSrcTerms MHD
+        version, src/coordinates/coordinates.cpp:244-376)."""
+        gl, gu = self.geom.metric("cc")
+        dgs = self.geom.metric_derivatives()
+        gp = self.eos.gamma / (self.eos.gamma - 1.0)
+
+        rho = w[:, IDN]
+        p = self.eos.pressure(w[:, IEN])
+        wvx, wvy, wvz = w[:, IVX], w[:, IVY], w[:, IVZ]
+        bxc, byc, bzc = bcc[:, 0], bcc[:, 1], bcc[:, 2]
+        q = (gl[1][1] * wvx * wvx + gl[2][2] * wvy * wvy
+             + gl[3][3] * wvz * wvz
+             + 2.0 * (gl[1][2] * wvx * wvy + gl[1][3] * wvx * wvz
+                      + gl[2][3] * wvy * wvz))
+        alpha = jnp.sqrt(-1.0 / gu[0][0])
+        gam = jnp.sqrt(1.0 + q)
+        uv = {0: gam / alpha,
+              1: wvx - alpha * gam * gu[0][1],
+              2: wvy - alpha * gam * gu[0][2],
+              3: wvz - alpha * gam * gu[0][3]}
+        u_1 = (gl[1][0] * uv[0] + gl[1][1] * uv[1] + gl[1][2] * uv[2]
+               + gl[1][3] * uv[3])
+        u_2 = (gl[2][0] * uv[0] + gl[2][1] * uv[1] + gl[2][2] * uv[2]
+               + gl[2][3] * uv[3])
+        u_3 = (gl[3][0] * uv[0] + gl[3][1] * uv[1] + gl[3][2] * uv[2]
+               + gl[3][3] * uv[3])
+        b0 = u_1 * bxc + u_2 * byc + u_3 * bzc
+        bv = {0: b0,
+              1: (bxc + b0 * uv[1]) / uv[0],
+              2: (byc + b0 * uv[2]) / uv[0],
+              3: (bzc + b0 * uv[3]) / uv[0]}
+        b_sq = None
+        for mu in range(4):
+            bl_mu = (gl[mu][0] * bv[0] + gl[mu][1] * bv[1]
+                     + gl[mu][2] * bv[2] + gl[mu][3] * bv[3])
+            t = bl_mu * bv[mu]
+            b_sq = t if b_sq is None else b_sq + t
+
+        wtot = rho + gp * p + b_sq
+        ptot = p + 0.5 * b_sq
+
+        from ..indices import IM1, IM2, IM3
+        for d, im in ((0, IM1), (1, IM2), (2, IM3)):
+            dg = dgs[d]
+            s = None
+            for mu in range(4):
+                for nu in range(mu, 4):
+                    fac = 0.5 if mu == nu else 1.0
+                    tt = (wtot * uv[mu] * uv[nu] + ptot * gu[mu][nu]
+                          - bv[mu] * bv[nu])
+                    term = fac * dg[mu][nu] * tt
+                    s = term if s is None else s + term
+            u = u.at[:, im].add(beta_dt * s)
+        return u
+
     # ---------------------------------------------------------------- newdt
     def new_dt(self, w, bcc):
         """min dx / (|v| + c_fast) per direction
@@ -539,6 +654,8 @@ class MHD:
         u, w, bfc, bcc = state["u"], state["w"], state["bfc"], state["bcc"]
         flx, emf = self.fluxes(w, bcc, bfc)
         u = self.rk_update(u, saved["u1"], flx, gam0, gam1, beta_dt)
+        if self.is_gr:
+            u = self.coord_src_terms(u, w, bcc, beta_dt)
         if self.srcterms is not None and self.srcterms.any_enabled:
             u = self.srcterms.apply(u, w, beta_dt, flx=flx,
                                     phi=state.get("phi"))
