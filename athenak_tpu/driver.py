@@ -124,7 +124,8 @@ class Driver:
             check_divisible(self.mesh.nmb_total, self.dmesh)
             state = shard_state(state, self.dmesh)
         state = jax.jit(self.phys.init_ghosts)(state)
-        if self.time_evolution != "static":
+        if self.time_evolution != "static" \
+                and not getattr(self, "res_flag", False):
             dtnew = float(jax.jit(self.phys.dt_from_state)(state))
             self.mesh.dt = min(self.cfl_no * dtnew, _HUGE)
             if self.mesh.time < self.tlim and \
@@ -147,9 +148,12 @@ class Driver:
         zones = (mesh.mb_indcs.nx1 * mesh.mb_indcs.nx2 * mesh.mb_indcs.nx3
                  * mesh.nmb_total)
 
-        # initial-condition outputs
-        for out in outputs:
-            out.maybe_write(mesh, state["u"], state["w"], force=True)
+        # initial-condition outputs (skipped on restart, reference:
+        # Driver::Initialize res_flag, driver.cpp:341)
+        if not getattr(self, "res_flag", False):
+            for out in outputs:
+                out.maybe_write(mesh, state["u"], state["w"], force=True,
+                                state=state)
 
         dtype = state["u"].dtype
         while (mesh.time < self.tlim
@@ -178,7 +182,7 @@ class Driver:
             mesh.dt = dt
 
             for out in outputs:
-                out.maybe_write(mesh, state["u"], state["w"])
+                out.maybe_write(mesh, state["u"], state["w"], state=state)
 
         self.wall_seconds = _time.perf_counter() - wall0
         self.zone_cycles = zones * mesh.ncycle
@@ -186,7 +190,8 @@ class Driver:
 
         # final outputs
         for out in outputs:
-            out.maybe_write(mesh, state["u"], state["w"], force=True)
+            out.maybe_write(mesh, state["u"], state["w"], force=True,
+                            state=state)
         return state
 
     # ------------------------------------------------------------------

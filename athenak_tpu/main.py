@@ -83,11 +83,54 @@ def run(pin, verbose: bool = False):
     return mesh, phys, driver, state
 
 
+def run_restart(restart_file: str, overrides=None, verbose: bool = False):
+    """Resume from a .rst checkpoint (reference restart path:
+    src/main.cpp:250-277, Mesh::BuildTreeFromRestart).
+
+    The mesh and physics are rebuilt from the stored parameter dump
+    (cmdline overrides applied on top, like ``-r file -i deck`` merging);
+    the evolved state replaces the problem generator's ICs.
+    """
+    from .athinput import ParameterInput
+    from .outputs import load_restart, make_outputs
+
+    params, time, dt, ncycle, rstate = load_restart(restart_file)
+    pin = ParameterInput.from_string(params)
+    if overrides:
+        pin.modify_from_cmdline(overrides)
+
+    mesh, phys, pgen, driver, state = build(pin)
+    # replace pgen ICs with the checkpointed state; pgen.init already ran
+    # so any user callbacks (BCs, srcterms) are enrolled
+    state = {k: (v if not isinstance(v, dict)
+                 else {k2: v2 for k2, v2 in v.items()})
+             for k, v in rstate.items()}
+    mesh.time, mesh.dt, mesh.ncycle = time, dt, ncycle
+    driver.res_flag = True
+
+    outputs = make_outputs(pin, mesh, phys)
+    # skip output intervals already passed
+    for out in outputs:
+        if out.params.dt > 0.0:
+            import math
+            nskip = int(math.floor((time + 1e-12) / out.params.dt)) + 1
+            out.params.file_number = nskip
+            out.params.last_time = nskip * out.params.dt - out.params.dt
+
+    state = driver.initialize(state)
+    state = driver.execute(state, outputs=outputs, verbose=verbose)
+    if hasattr(pgen, "final"):
+        pgen.final(pin, mesh, phys, state)
+    return mesh, phys, driver, state
+
+
 def main(argv=None) -> int:
     from .athinput import ParameterInput
 
     ap = argparse.ArgumentParser(prog="athenak_tpu")
     ap.add_argument("-i", dest="input", help="input athinput file")
+    ap.add_argument("-r", dest="restart", help="restart (.rst) file",
+                    default=None)
     ap.add_argument("-d", dest="rundir", help="run directory", default=None)
     ap.add_argument("-n", dest="dump_params", action="store_true",
                     help="dump parameters and quit")
@@ -107,6 +150,17 @@ def main(argv=None) -> int:
         import jax
         print(f"athenak_tpu on jax {jax.__version__}, "
               f"devices: {jax.devices()}")
+        return 0
+
+    if args.restart:
+        from .main import run_restart
+        restart_path = os.path.abspath(args.restart)
+        if args.rundir:
+            os.makedirs(args.rundir, exist_ok=True)
+            os.chdir(args.rundir)
+        mesh, phys, driver, state = run_restart(
+            restart_path, overrides=args.overrides, verbose=True)
+        print(driver.finalize_report())
         return 0
 
     if not args.input:

@@ -55,7 +55,8 @@ class BaseOutput:
             return (np.float32(mesh.time) >= np.float32(p.last_time + p.dt))
         return False
 
-    def maybe_write(self, mesh, u, w, force: bool = False) -> None:
+    def maybe_write(self, mesh, u, w, force: bool = False,
+                    state=None) -> None:
         if force or self.due(mesh):
             self.write(mesh, u, w)
             if self.params.dt > 0.0:
@@ -203,3 +204,190 @@ def make_outputs(pin, mesh, phys) -> List[BaseOutput]:
                 continue  # unimplemented output types are skipped, not fatal
             outs.append(cls(pin, mesh, phys, block))
     return outs
+
+
+class BinaryOutput(BaseOutput):
+    """Reference-format binary dumps (version 1.1).
+
+    Byte-compatible with the reference writer
+    (reference: src/outputs/binary.cpp:52-260); the authoritative layout
+    spec is the reader vis/python/bin_convert.py:92-260, against which
+    this writer is tested.  Layout: ASCII preheader (version, time, cycle,
+    sizes, variable list, header offset) + full athinput dump + per-block
+    records [6x int32 output indices, 4x int32 logical location,
+    6x f64 block extents, f32/f64 cell data].
+    """
+
+    _VARIABLES = {
+        "hydro_u": ("u", ["dens", "mom1", "mom2", "mom3", "ener"]),
+        "hydro_w": ("w", ["dens", "velx", "vely", "velz", "eint"]),
+        "mhd_u": ("u", ["dens", "mom1", "mom2", "mom3", "ener"]),
+        "mhd_w": ("w", ["dens", "velx", "vely", "velz", "eint"]),
+        "mhd_w_bcc": ("w_bcc", ["dens", "velx", "vely", "velz", "eint",
+                                "bcc1", "bcc2", "bcc3"]),
+        "mhd_u_bcc": ("u_bcc", ["dens", "mom1", "mom2", "mom3", "ener",
+                                "bcc1", "bcc2", "bcc3"]),
+    }
+
+    def __init__(self, pin, mesh, phys, block: str) -> None:
+        super().__init__(pin, mesh, phys, block)
+        self.pin = pin
+        self.single = (pin.get_or_add_boolean(
+            self.params.block, "single_file_per_rank", False))
+
+    def write(self, mesh, u, w, bcc=None) -> None:
+        p = self.params
+        kind, labels = self._VARIABLES.get(
+            p.variable, ("w", ["dens", "velx", "vely", "velz", "eint"]))
+        if kind in ("u", "w"):
+            arr = np.asarray(u if kind == "u" else w, dtype=np.float64)
+            nvar_phys = min(arr.shape[1], 5)
+            arr = arr[:, :nvar_phys]
+            labels = labels[:nvar_phys]
+        else:
+            base = np.asarray(u if kind == "u_bcc" else w, dtype=np.float64)
+            b = np.asarray(bcc, dtype=np.float64)
+            arr = np.concatenate([base[:, :5], b], axis=1)
+        nvar = arr.shape[1]
+
+        mbi = mesh.mb_indcs
+        fname = f"{self.basename}.{p.variable}.{p.file_number:05d}.bin"
+        header_dump = self.pin.dump()
+        header_bytes = header_dump.encode()
+
+        with open(fname, "wb") as f:
+            f.write(b"Athena binary output version=1.1\n")
+            f.write(b"  size of preheader=5\n")
+            f.write(f"  time={mesh.time:.16e}\n".encode())
+            f.write(f"  cycle={mesh.ncycle}\n".encode())
+            f.write(b"  size of location=8\n")
+            f.write(b"  size of variable=8\n")
+            f.write(f"  number of variables={nvar}\n".encode())
+            f.write(("  variables:  " + "  ".join(labels) + "\n").encode())
+            f.write(f"  header offset={len(header_bytes)}\n".encode())
+            f.write(header_bytes)
+
+            for gid in range(mesh.nmb_total):
+                idx = np.array([mbi.is_, mbi.ie, mbi.js, mbi.je,
+                                mbi.ks, mbi.ke], dtype=np.int32)
+                f.write(idx.tobytes())
+                loc = mesh.lloc_eachmb[gid]
+                level = mesh.mb_level[gid] if hasattr(mesh, "mb_level") \
+                    else 0
+                f.write(np.array([loc[0], loc[1], loc[2], level],
+                                 dtype=np.int32).tobytes())
+                geom = np.array(
+                    [mesh.mb_size["x1min"][gid], mesh.mb_size["x1max"][gid],
+                     mesh.mb_size["x2min"][gid], mesh.mb_size["x2max"][gid],
+                     mesh.mb_size["x3min"][gid], mesh.mb_size["x3max"][gid]],
+                    dtype=np.float64)
+                f.write(geom.tobytes())
+                block_data = arr[gid, :,
+                                 mbi.ks:mbi.ke + 1,
+                                 mbi.js:mbi.je + 1,
+                                 mbi.is_:mbi.ie + 1]
+                f.write(np.ascontiguousarray(block_data,
+                                             dtype=np.float64).tobytes())
+
+    def maybe_write(self, mesh, u, w, force: bool = False, state=None):
+        if force or self.due(mesh):
+            bcc = state.get("bcc") if state is not None else None
+            self.write(mesh, u, w, bcc=bcc)
+            if self.params.dt > 0.0:
+                if self.params.last_time < -1e299:
+                    self.params.last_time = mesh.time
+                else:
+                    self.params.last_time += self.params.dt
+            self.params.file_number += 1
+
+
+class RestartOutput(BaseOutput):
+    """Checkpoint files for restart runs.
+
+    Functional parity with the reference restart system (reference:
+    src/outputs/restart.cpp:207-310): parameter dump + mesh/time metadata
+    + the full evolved state, re-loadable by ``main -r``.  The container
+    is npz (a TPU-native simplification of the reference's offset-
+    addressed MPI-IO layout; resume rebuilds the mesh from the stored
+    parameter dump exactly as BuildTreeFromRestart does).
+    """
+
+    def __init__(self, pin, mesh, phys, block: str) -> None:
+        super().__init__(pin, mesh, phys, block)
+        self.pin = pin
+
+    def maybe_write(self, mesh, u, w, force: bool = False, state=None):
+        if force or self.due(mesh):
+            self.write_state(mesh, state)
+            if self.params.dt > 0.0:
+                if self.params.last_time < -1e299:
+                    self.params.last_time = mesh.time
+                else:
+                    self.params.last_time += self.params.dt
+            self.params.file_number += 1
+
+    def write_state(self, mesh, state) -> None:
+        p = self.params
+        fname = f"{self.basename}.{p.file_number:05d}.rst"
+        payload = {
+            "params": np.frombuffer(self.pin.dump().encode(),
+                                    dtype=np.uint8),
+            "time": np.float64(mesh.time),
+            "dt": np.float64(mesh.dt),
+            "ncycle": np.int64(mesh.ncycle),
+        }
+        flat, treedef = _flatten_state(state)
+        payload["treedef"] = np.frombuffer(treedef.encode(), dtype=np.uint8)
+        for i, leaf in enumerate(flat):
+            payload[f"leaf{i}"] = np.asarray(leaf)
+        with open(fname, "wb") as f:  # keep the .rst name (no .npz suffix)
+            np.savez(f, **payload)
+
+
+def _flatten_state(state):
+    """Flatten the physics state dict (one level of nesting for bfc)."""
+    import json
+    keys = []
+    flat = []
+    for k in sorted(state):
+        v = state[k]
+        if isinstance(v, dict):
+            for k2 in sorted(v):
+                keys.append(f"{k}/{k2}")
+                flat.append(v[k2])
+        else:
+            keys.append(k)
+            flat.append(v)
+    return flat, json.dumps(keys)
+
+
+def unflatten_state(keys_json, leaves):
+    import json
+    keys = json.loads(keys_json)
+    out = {}
+    for k, leaf in zip(keys, leaves):
+        if "/" in k:
+            k1, k2 = k.split("/")
+            out.setdefault(k1, {})[k2] = leaf
+        else:
+            out[k] = leaf
+    return out
+
+
+def load_restart(fname):
+    """Read a .rst file -> (params_text, time, dt, ncycle, state_arrays)."""
+    import jax.numpy as jnp
+    z = np.load(fname)
+    params = bytes(z["params"]).decode()
+    treedef = bytes(z["treedef"]).decode()
+    leaves = []
+    i = 0
+    while f"leaf{i}" in z:
+        leaves.append(jnp.asarray(z[f"leaf{i}"]))
+        i += 1
+    state = unflatten_state(treedef, leaves)
+    return params, float(z["time"]), float(z["dt"]), int(z["ncycle"]), state
+
+
+_TYPES["bin"] = BinaryOutput
+_TYPES["rst"] = RestartOutput
