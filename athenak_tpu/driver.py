@@ -94,6 +94,10 @@ class Driver:
         is_rk4 = integ.name == "rk4"
 
         def cycle(state, dt):
+            # before-timeintegrator tasks (turbulence forcing, reference:
+            # driver.cpp:401 "before_timeintegrator" task list)
+            if getattr(phys, "pturb", None) is not None:
+                state = phys.pturb.apply(state, dt, phys)
             saved = phys.save_state(state)
             counters_tot = None
             for s in range(integ.nexp_stages):

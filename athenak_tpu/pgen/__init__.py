@@ -22,6 +22,7 @@ _REGISTRY = {
     "blast": "athenak_tpu.pgen.blast",
     "diffusion_test": "athenak_tpu.pgen.diffusion_test",
     "gr_bondi": "athenak_tpu.pgen.gr_bondi",
+    "turb": "athenak_tpu.pgen.turb",
 }
 
 

@@ -123,6 +123,30 @@ class Hydro:
         self.srcterms = SourceTerms("hydro_srcterms", pin, mesh, self.eos) \
             if pin.does_block_exist("hydro_srcterms") else None
 
+        # first-order flux correction (reference: src/hydro/hydro_fofc.cpp)
+        self.use_fofc = pin.get_or_add_boolean("hydro", "fofc", False)
+        self.fofc_excise_mask = None
+        if self.is_gr and self.coord.coord_data.bh_excise:
+            # flux-excision: cells whose surroundings touch r_ks <= r_fe
+            # (reference: SetExcisionMasks excision_flux, excision.cpp:96+)
+            import numpy as _np
+            r_fe = 1.0
+            r = self.geom.ks_radius_cc()
+            rb = _np.broadcast_to(
+                r, (mesh.nmb_total, mesh.mb_indcs.ncells3,
+                    mesh.mb_indcs.ncells2, mesh.mb_indcs.ncells1)).copy()
+            near = rb <= r_fe
+            # flag cell if it or any face neighbor is inside r_fe
+            m = near.copy()
+            for ax in (1, 2, 3):
+                m |= _np.roll(near, 1, axis=ax) | _np.roll(near, -1, axis=ax)
+            self.fofc_excise_mask = m
+
+        # turbulence driving (reference: src/srcterms/turb_driver.cpp)
+        from ..turb_driver import TurbulenceDriver
+        self.pturb = TurbulenceDriver(pin, mesh) \
+            if pin.does_block_exist("turb_driving") else None
+
         # optional extra source-term hook: fn(u, w, beta_dt) -> u
         self.srcterms_func = None
 
@@ -210,6 +234,49 @@ class Hydro:
             d = (jnp.roll(f, -1, axis=axis) - f) / dx
             divf = d if divf is None else divf + d
         return gam0 * u0 + gam1 * u1 - beta_dt * divf
+
+    # ----------------------------------------------------------------- FOFC
+    def _apply_fofc(self, u, u1, w, flx, gam0, gam1, beta_dt):
+        """First-order flux correction: estimate the update, flag cells
+        whose c2p would floor/fail, and replace the fluxes on their faces
+        with first-order LLF fluxes (reference: Hydro::FOFC,
+        src/hydro/hydro_fofc.cpp:30-200).  Returns (flx, nfofc)."""
+        flag = None
+        if self.use_fofc:
+            utest = self.rk_update(u, u1, flx, gam0, gam1, beta_dt)
+            _, u_fixed, _ = self.cons_to_prim(utest)
+            flag = jnp.any(u_fixed != utest, axis=1)
+        if self.fofc_excise_mask is not None:
+            em = jnp.asarray(self.fofc_excise_mask)
+            flag = em if flag is None else (flag | em)
+        if flag is None:
+            return flx, jnp.asarray(0)
+
+        # first-order (donor-cell) LLF fluxes from cell-centered primitives
+        if self.is_gr:
+            from ..ops.rsolvers_gr import llf_gr as first_order
+        elif self.is_sr:
+            from ..ops.rsolvers_sr import llf_sr as first_order
+        else:
+            from ..ops.rsolvers import llf as first_order
+        out = dict(flx)
+        for name, axis, ivx, _dx in self.dirs:
+            wl = jnp.roll(w, 1, axis=axis)  # cell i-1 at face i
+            wr = w
+            if self.is_gr:
+                gl, gu = self.geom.metric(name)
+                f1 = first_order(wl, wr, self.eos, ivx, gl, gu)
+            else:
+                f1 = first_order(wl, wr, self.eos, ivx)
+            if self.nscalars > 0:
+                fd = f1[:, IDN:IDN + 1]
+                ns = self.nhydro
+                fs = jnp.where(fd >= 0.0, fd * wl[:, ns:], fd * wr[:, ns:])
+                f1 = f1.at[:, ns:].set(fs)
+            # face i is corrected if cell i-1 or cell i is flagged
+            fmask = (flag | jnp.roll(flag, 1, axis=axis - 1))[:, None]
+            out[name] = jnp.where(fmask, f1, out[name])
+        return out, jnp.sum(flag)
 
     # --------------------------------------------------------- GR srcterms
     def coord_src_terms(self, u, w, beta_dt):
@@ -302,7 +369,10 @@ class Hydro:
     is_mhd = False
 
     def make_state(self, u, w):
-        return {"u": u, "w": w}
+        state = {"u": u, "w": w}
+        if self.pturb is not None:
+            state.update(self.pturb.init_state_entries(u.dtype))
+        return state
 
     def save_state(self, state):
         return {"u1": state["u"]}
@@ -313,13 +383,19 @@ class Hydro:
     def init_ghosts(self, state):
         u = self.bvals.fill_ghosts(state["u"])
         w, u, _ = self.cons_to_prim(u)
-        return {"u": u, "w": w}
+        out = dict(state)
+        out.update({"u": u, "w": w})
+        return out
 
     def stage_update(self, state, saved, gam0, gam1, beta_dt):
         """One full RK stage: flux -> update -> srcterms -> halo -> c2p
         (reference task chain hydro_tasks.cpp:54-70)."""
         u, w = state["u"], state["w"]
         flx = self.fluxes(w)
+        nfofc = None
+        if self.use_fofc or self.fofc_excise_mask is not None:
+            flx, nfofc = self._apply_fofc(u, saved["u1"], w, flx,
+                                          gam0, gam1, beta_dt)
         u = self.rk_update(u, saved["u1"], flx, gam0, gam1, beta_dt)
         if self.is_gr:
             u = self.coord_src_terms(u, w, beta_dt)
@@ -330,6 +406,8 @@ class Hydro:
             u = self.srcterms_func(u, w, beta_dt)
         u = self.bvals.fill_ghosts(u)
         w, u, counters = self.cons_to_prim(u)
+        if nfofc is not None:
+            counters = dict(counters, nfofc=nfofc)
         out = dict(state)
         out.update({"u": u, "w": w})
         return out, counters

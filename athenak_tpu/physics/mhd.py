@@ -132,10 +132,29 @@ class MHD:
                 or pin.does_parameter_exist("mhd", "alpha_spitzer")) \
             else None
 
+        # first-order flux correction (reference: src/mhd/mhd_fofc.cpp)
+        self.use_fofc = pin.get_or_add_boolean("mhd", "fofc", False)
+        self.fofc_excise_mask = None
+        if self.is_gr and self.coord.coord_data.bh_excise:
+            r_fe = 1.0
+            r = self.geom.ks_radius_cc()
+            rb = _np.broadcast_to(
+                r, (mesh.nmb_total, mesh.mb_indcs.ncells3,
+                    mesh.mb_indcs.ncells2, mesh.mb_indcs.ncells1)).copy()
+            near = rb <= r_fe
+            m = near.copy()
+            for ax in (1, 2, 3):
+                m |= _np.roll(near, 1, axis=ax) | _np.roll(near, -1, axis=ax)
+            self.fofc_excise_mask = m
+
         # physics source terms from the <mhd_srcterms> block
         from ..srcterms import SourceTerms
         self.srcterms = SourceTerms("mhd_srcterms", pin, mesh, self.eos) \
             if pin.does_block_exist("mhd_srcterms") else None
+        # turbulence driving (reference: src/srcterms/turb_driver.cpp)
+        from ..turb_driver import TurbulenceDriver
+        self.pturb = TurbulenceDriver(pin, mesh) \
+            if pin.does_block_exist("turb_driving") else None
         self.srcterms_func = None
 
     # ------------------------------------------------------------- allocate
@@ -517,6 +536,63 @@ class MHD:
                 bfc = {**bfc, comp: arr}
         return bfc
 
+    # ----------------------------------------------------------------- FOFC
+    def _apply_fofc(self, u, u1, w, bcc, bfc, flx, emf,
+                    gam0, gam1, beta_dt):
+        """First-order flux correction for MHD: flagged cells get donor-
+        cell LLF fluxes AND face EMFs (reference: MHD::FOFC,
+        src/mhd/mhd_fofc.cpp).  Returns (flx, emf, nfofc)."""
+        flag = None
+        if self.use_fofc:
+            utest = self.rk_update(u, u1, flx, gam0, gam1, beta_dt)
+            _, u_fixed, _ = self.cons_to_prim(utest, bcc)
+            flag = jnp.any(u_fixed != utest, axis=1)
+        if self.fofc_excise_mask is not None:
+            em = jnp.asarray(self.fofc_excise_mask)
+            flag = em if flag is None else (flag | em)
+        if flag is None:
+            return flx, emf, jnp.asarray(0)
+
+        if self.is_gr:
+            from ..ops.rsolvers_grmhd import llf_grmhd as first_order
+        elif self.is_sr:
+            from ..ops.rsolvers_srmhd import llf_srmhd as first_order
+        else:
+            from ..ops.rsolvers_mhd import llf as first_order
+        bface = {
+            "x1": bfc["x1f"][..., :-1],
+            "x2": bfc["x2f"][..., :-1, :],
+            "x3": bfc["x3f"][:, :-1, :, :],
+        }
+        ey_name = {"x1": "e3x1", "x2": "e1x2", "x3": "e2x3"}
+        ez_name = {"x1": "e2x1", "x2": "e3x2", "x3": "e1x3"}
+        out_f = dict(flx)
+        out_e = dict(emf)
+        for name, axis, ivx, _dx in self.dirs:
+            wl = jnp.roll(w, 1, axis=axis)
+            wr = w
+            bl = jnp.roll(bcc, 1, axis=axis)
+            br = bcc
+            if self.is_gr:
+                gl, gu = self.geom.metric(name)
+                f1, ey1, ez1 = first_order(wl, wr, bl, br, bface[name],
+                                           self.eos, ivx, gl, gu)
+            else:
+                f1, ey1, ez1 = first_order(wl, wr, bl, br, bface[name],
+                                           self.eos, ivx)
+            if self.nscalars > 0:
+                fd = f1[:, IDN:IDN + 1]
+                ns = self.nmhd
+                fs = jnp.where(fd >= 0.0, fd * wl[:, ns:], fd * wr[:, ns:])
+                f1 = f1.at[:, ns:].set(fs)
+            fmask = flag | jnp.roll(flag, 1, axis=axis - 1)
+            out_f[name] = jnp.where(fmask[:, None], f1, out_f[name])
+            out_e[ey_name[name]] = jnp.where(fmask, ey1,
+                                             out_e[ey_name[name]])
+            out_e[ez_name[name]] = jnp.where(fmask, ez1,
+                                             out_e[ez_name[name]])
+        return out_f, out_e, jnp.sum(flag)
+
     # --------------------------------------------------------- GR srcterms
     def coord_src_terms(self, u, w, bcc, beta_dt):
         """Geometric momentum sources S_i = 1/2 T^{ab} d_i(g_ab) with the
@@ -632,7 +708,11 @@ class MHD:
 
     # ------------------------------------------------- state-dict interface
     def make_state(self, u, w, bfc):
-        return {"u": u, "w": w, "bfc": bfc, "bcc": self.compute_bcc(bfc)}
+        state = {"u": u, "w": w, "bfc": bfc,
+                 "bcc": self.compute_bcc(bfc)}
+        if self.pturb is not None:
+            state.update(self.pturb.init_state_entries(u.dtype))
+        return state
 
     def save_state(self, state):
         return {"u1": state["u"], "bfc1": state["bfc"]}
@@ -647,12 +727,18 @@ class MHD:
         bfc = self.fill_ghosts_fc(state["bfc"])
         bcc = self.compute_bcc(bfc)
         w, u, _ = self.cons_to_prim(u, bcc)
-        return {"u": u, "w": w, "bfc": bfc, "bcc": bcc}
+        out = dict(state)
+        out.update({"u": u, "w": w, "bfc": bfc, "bcc": bcc})
+        return out
 
     def stage_update(self, state, saved, gam0, gam1, beta_dt):
         """One RK stage (reference task chain mhd_tasks.cpp:48-81)."""
         u, w, bfc, bcc = state["u"], state["w"], state["bfc"], state["bcc"]
         flx, emf = self.fluxes(w, bcc, bfc)
+        nfofc = None
+        if self.use_fofc or self.fofc_excise_mask is not None:
+            flx, emf, nfofc = self._apply_fofc(
+                u, saved["u1"], w, bcc, bfc, flx, emf, gam0, gam1, beta_dt)
         u = self.rk_update(u, saved["u1"], flx, gam0, gam1, beta_dt)
         if self.is_gr:
             u = self.coord_src_terms(u, w, bcc, beta_dt)
@@ -668,6 +754,8 @@ class MHD:
         bfc = self.fill_ghosts_fc(bfc)
         bcc = self.compute_bcc(bfc)
         w, u, counters = self.cons_to_prim(u, bcc)
+        if nfofc is not None:
+            counters = dict(counters, nfofc=nfofc)
         out = dict(state)
         out.update({"u": u, "w": w, "bfc": bfc, "bcc": bcc})
         return out, counters

@@ -1,0 +1,81 @@
+"""Turbulence driver: energy injection at the prescribed rate, zero net
+momentum, solenoidal forcing.
+
+(reference: src/srcterms/turb_driver.cpp normalization + momentum removal;
+tst inputs: inputs/hydro/turb.athinput)
+"""
+
+import numpy as np
+
+from athenak_tpu.athinput import ParameterInput
+from athenak_tpu.main import run
+from athenak_tpu.indices import IDN, IEN
+
+DECK = """
+<job>
+basename = turb
+
+<mesh>
+nghost = 2
+nx1 = 16
+x1min = -0.5
+x1max = 0.5
+nx2 = 16
+x2min = -0.5
+x2max = 0.5
+nx3 = 16
+x3min = -0.5
+x3max = 0.5
+
+<time>
+evolution = dynamic
+integrator = rk2
+cfl_number = 0.3
+tlim = 0.5
+
+<hydro>
+eos = ideal
+gamma = 1.6666666666666667
+reconstruct = plm
+rsolver = hllc
+
+<turb_driving>
+nlow = 1
+nhigh = 2
+dedt = 0.1
+tcorr = 0.5
+seed = 3
+
+<problem>
+pgen_name = turb
+d0 = 1.0
+p0 = 1.0
+"""
+
+
+def test_turbulence_driving():
+    pin = ParameterInput.from_string(DECK)
+    mesh, phys, driver, state = run(pin)
+    mbi = mesh.mb_indcs
+    act = (slice(None), slice(None),
+           slice(mbi.ks, mbi.ke + 1),
+           slice(mbi.js, mbi.je + 1),
+           slice(mbi.is_, mbi.ie + 1))
+    u = np.asarray(state["u"])[act]
+    w = np.asarray(state["w"])[act]
+    vol = mesh.mesh_size.dx1 * mesh.mesh_size.dx2 * mesh.mesh_size.dx3
+
+    # kinetic energy was injected at the dedt order of magnitude
+    # (the reference normalization targets the KE injection rate; only the
+    # f.v work term enters total E, so exact-rate assertions need steady
+    # state -- here we check the machinery, not the calibration)
+    ke = 0.5 * (w[:, IDN] * (w[:, 1] ** 2 + w[:, 2] ** 2
+                             + w[:, 3] ** 2)).sum() * vol
+    assert 0.05 * 0.1 * mesh.time < ke < 20.0 * 0.1 * mesh.time
+
+    # net momentum stays zero (removal step)
+    for c in (1, 2, 3):
+        assert abs(u[:, c].sum() * vol) < 1e-12
+
+    # velocity field actually has structure (not uniform)
+    assert w[:, 1].std() > 1e-4
