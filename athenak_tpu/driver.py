@@ -98,6 +98,16 @@ class Driver:
             # driver.cpp:401 "before_timeintegrator" task list)
             if getattr(phys, "pturb", None) is not None:
                 state = phys.pturb.apply(state, dt, phys)
+            if getattr(phys, "ppart", None) is not None:
+                state = phys.ppart.push(state, dt)
+            if getattr(phys, "psbox", None) is not None:
+                # orbital advection, once per cycle (reference: OA tasks
+                # in the hydro DAG, src/shearing_box/orbital_advection*)
+                u = phys.psbox.orbital_advect(state["u"], dt)
+                u = phys.bvals.fill_ghosts(u)
+                u = phys.psbox.remap_ghosts(u, state["t"])
+                w, u, _ = phys.cons_to_prim(u)
+                state = dict(state, u=u, w=w)
             saved = phys.save_state(state)
             counters_tot = None
             for s in range(integ.nexp_stages):
@@ -111,6 +121,8 @@ class Driver:
                 else:
                     counters_tot = {k: counters_tot[k] + v
                                     for k, v in counters.items()}
+            if "t" in state:
+                state = dict(state, t=state["t"] + dt)
             dtnew = phys.dt_from_state(state)
             return state, dtnew, counters_tot
 

@@ -227,7 +227,13 @@ class Mesh:
         for name, ax, nax in axes:
             for side, delta in (("m", -1), ("p", +1)):
                 key = f"{name}{side}"
-                periodic = self.mesh_bcs[f"i{name}"] == "periodic"
+                flag = self.mesh_bcs[f"i{name}" if side == "m"
+                                     else f"o{name}"]
+                # shear_periodic gathers from the wraparound donor like
+                # periodic, but stays flagged so the y-remap can find the
+                # boundary blocks (reference: shear-periodic uses its own
+                # comm path, src/shearing_box/shearing_box_cc.cpp)
+                wraps = flag in ("periodic", "shear_periodic")
                 gids = np.empty(nmb, dtype=np.int32)
                 mask = np.zeros(nmb, dtype=bool)
                 for gid, loc in enumerate(locs):
@@ -235,12 +241,13 @@ class Mesh:
                     tgt[ax] += delta
                     if 0 <= tgt[ax] < nax:
                         gids[gid] = self._loc2gid[tuple(tgt)]
-                    elif periodic:
-                        tgt[ax] %= nax
-                        gids[gid] = self._loc2gid[tuple(tgt)]
                     else:
-                        gids[gid] = gid
-                        mask[gid] = True
+                        if wraps:
+                            tgt[ax] %= nax
+                            gids[gid] = self._loc2gid[tuple(tgt)]
+                        else:
+                            gids[gid] = gid
+                        mask[gid] = (flag != "periodic")
                 self.nbr_gid[key] = gids
                 self.phys_bc_mask[key] = mask
 

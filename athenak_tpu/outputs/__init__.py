@@ -391,3 +391,35 @@ def load_restart(fname):
 
 _TYPES["bin"] = BinaryOutput
 _TYPES["rst"] = RestartOutput
+
+
+class TrackedParticleOutput(BaseOutput):
+    """Tracked-particle trajectory dumps (reference: src/outputs/
+    track_prtcl.cpp, 'trk' type): appends id, position, velocity rows for
+    the first ntrack particles."""
+
+    def maybe_write(self, mesh, u, w, force=False, state=None):
+        if state is None or "prtcl_x" not in state:
+            return
+        if force or self.due(mesh):
+            x = np.asarray(state["prtcl_x"])
+            v = np.asarray(state["prtcl_v"])
+            ntrack = min(self.phys.ppart.ntrack, x.shape[0])
+            fname = self.basename + ".trk"
+            new = not os.path.exists(fname)
+            with open(fname, "a") as f:
+                if new:
+                    f.write("# time  id  x1  x2  x3  v1  v2  v3\n")
+                for p in range(ntrack):
+                    f.write(f"{mesh.time:.10e}  {p:d}  "
+                            + "  ".join(f"{q:.10e}" for q in
+                                        list(x[p]) + list(v[p])) + "\n")
+            if self.params.dt > 0.0:
+                if self.params.last_time < -1e299:
+                    self.params.last_time = mesh.time
+                else:
+                    self.params.last_time += self.params.dt
+            self.params.file_number += 1
+
+
+_TYPES["trk"] = TrackedParticleOutput

@@ -147,6 +147,16 @@ class Hydro:
         self.pturb = TurbulenceDriver(pin, mesh) \
             if pin.does_block_exist("turb_driving") else None
 
+        # test particles (reference: src/particles/)
+        from ..particles import Particles
+        self.ppart = Particles(pin, mesh) \
+            if pin.does_block_exist("particles") else None
+
+        # shearing box + orbital advection (reference: src/shearing_box/)
+        from ..shearing_box import ShearingBox
+        self.psbox = ShearingBox(pin, mesh, self.nvar) \
+            if pin.does_block_exist("shearing_box") else None
+
         # optional extra source-term hook: fn(u, w, beta_dt) -> u
         self.srcterms_func = None
 
@@ -372,6 +382,10 @@ class Hydro:
         state = {"u": u, "w": w}
         if self.pturb is not None:
             state.update(self.pturb.init_state_entries(u.dtype))
+        if self.ppart is not None:
+            state.update(self.ppart.init_state_entries(u.dtype))
+        if self.psbox is not None:
+            state["t"] = jnp.asarray(0.0, dtype=u.dtype)
         return state
 
     def save_state(self, state):
@@ -402,9 +416,14 @@ class Hydro:
         if self.srcterms is not None and self.srcterms.any_enabled:
             u = self.srcterms.apply(u, w, beta_dt, flx=flx,
                                     phi=state.get("phi"))
+        if self.psbox is not None:
+            u = self.psbox.src_terms(u, w, beta_dt, self.eos.is_ideal,
+                                     len(self.dirs) == 3)
         if self.srcterms_func is not None:
             u = self.srcterms_func(u, w, beta_dt)
         u = self.bvals.fill_ghosts(u)
+        if self.psbox is not None:
+            u = self.psbox.remap_ghosts(u, state["t"])
         w, u, counters = self.cons_to_prim(u)
         if nfofc is not None:
             counters = dict(counters, nfofc=nfofc)
@@ -422,4 +441,7 @@ class Hydro:
             dt = jnp.minimum(dt, self.pcond.new_dt(ndim, dtype))
         if self.srcterms is not None and self.srcterms.any_enabled:
             dt = jnp.minimum(dt, self.srcterms.new_dt(state["w"]))
+        if self.ppart is not None:
+            dt = jnp.minimum(dt, jnp.asarray(self.ppart.new_dt(),
+                                             dtype=dtype))
         return dt

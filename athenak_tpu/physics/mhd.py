@@ -155,6 +155,16 @@ class MHD:
         from ..turb_driver import TurbulenceDriver
         self.pturb = TurbulenceDriver(pin, mesh) \
             if pin.does_block_exist("turb_driving") else None
+        if pin.does_block_exist("shearing_box"):
+            raise NotImplementedError(
+                "MHD shearing box (EMF-form orbital advection of face "
+                "fields) lands in a later round; hydro shearing box works")
+        self.psbox = None
+
+        # test particles (reference: src/particles/)
+        from ..particles import Particles
+        self.ppart = Particles(pin, mesh) \
+            if pin.does_block_exist("particles") else None
         self.srcterms_func = None
 
     # ------------------------------------------------------------- allocate
@@ -712,6 +722,8 @@ class MHD:
                  "bcc": self.compute_bcc(bfc)}
         if self.pturb is not None:
             state.update(self.pturb.init_state_entries(u.dtype))
+        if self.ppart is not None:
+            state.update(self.ppart.init_state_entries(u.dtype))
         return state
 
     def save_state(self, state):
@@ -773,4 +785,7 @@ class MHD:
                 state["bcc"], ndim, dtype, self.mesh.mb_indcs))
         if self.srcterms is not None and self.srcterms.any_enabled:
             dt = jnp.minimum(dt, self.srcterms.new_dt(state["w"]))
+        if self.ppart is not None:
+            dt = jnp.minimum(dt, jnp.asarray(self.ppart.new_dt(),
+                                             dtype=dtype))
         return dt
