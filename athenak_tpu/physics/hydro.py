@@ -152,6 +152,12 @@ class Hydro:
         self.ppart = Particles(pin, mesh) \
             if pin.does_block_exist("particles") else None
 
+        # self-gravity (reference: src/gravity/ + src/multigrid/; FFT
+        # Poisson on uniform periodic meshes, SURVEY.md section 7 step 8)
+        from ..gravity import SelfGravity
+        self.pgrav = SelfGravity(pin, mesh) \
+            if pin.does_block_exist("gravity") else None
+
         # shearing box + orbital advection (reference: src/shearing_box/)
         from ..shearing_box import ShearingBox
         self.psbox = ShearingBox(pin, mesh, self.nvar) \
@@ -413,9 +419,11 @@ class Hydro:
         u = self.rk_update(u, saved["u1"], flx, gam0, gam1, beta_dt)
         if self.is_gr:
             u = self.coord_src_terms(u, w, beta_dt)
+        phi = None
+        if self.pgrav is not None:
+            phi = self.pgrav.solve(u, self.bvals)
         if self.srcterms is not None and self.srcterms.any_enabled:
-            u = self.srcterms.apply(u, w, beta_dt, flx=flx,
-                                    phi=state.get("phi"))
+            u = self.srcterms.apply(u, w, beta_dt, flx=flx, phi=phi)
         if self.psbox is not None:
             u = self.psbox.src_terms(u, w, beta_dt, self.eos.is_ideal,
                                      len(self.dirs) == 3)

@@ -165,6 +165,12 @@ class MHD:
         from ..particles import Particles
         self.ppart = Particles(pin, mesh) \
             if pin.does_block_exist("particles") else None
+
+        # self-gravity (reference: src/gravity/ + src/multigrid/; FFT
+        # Poisson on uniform periodic meshes, SURVEY.md section 7 step 8)
+        from ..gravity import SelfGravity
+        self.pgrav = SelfGravity(pin, mesh) \
+            if pin.does_block_exist("gravity") else None
         self.srcterms_func = None
 
     # ------------------------------------------------------------- allocate
@@ -754,9 +760,11 @@ class MHD:
         u = self.rk_update(u, saved["u1"], flx, gam0, gam1, beta_dt)
         if self.is_gr:
             u = self.coord_src_terms(u, w, bcc, beta_dt)
+        phi = None
+        if self.pgrav is not None:
+            phi = self.pgrav.solve(u, self.bvals)
         if self.srcterms is not None and self.srcterms.any_enabled:
-            u = self.srcterms.apply(u, w, beta_dt, flx=flx,
-                                    phi=state.get("phi"))
+            u = self.srcterms.apply(u, w, beta_dt, flx=flx, phi=phi)
         if self.srcterms_func is not None:
             u = self.srcterms_func(u, w, beta_dt)
         e1, e2, e3 = self.corner_e(w, bcc, flx, emf, bfc=bfc)

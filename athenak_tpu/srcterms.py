@@ -158,17 +158,17 @@ class SourceTerms:
         ms = self.mesh.mesh_size
         mbi = self.mesh.mb_indcs
         p = phi[:, 0]
-        dirs = [(4, ms.dx1, "x1")]
+        dirs = [(4, ms.dx1, "x1", IM1)]
         if mbi.nx2 > 1:
-            dirs.append((3, ms.dx2, "x2"))
+            dirs.append((3, ms.dx2, "x2", IM2))
         if mbi.nx3 > 1:
-            dirs.append((2, ms.dx3, "x3"))
-        for axis, dx, name in dirs:
+            dirs.append((2, ms.dx3, "x3", IM3))
+        for axis, dx, name, imom in dirs:
             a = axis - 1  # axis in 4D phi/channel arrays
             dpl = -(p - jnp.roll(p, 1, axis=a))       # phi(i) - phi(i-1)
             dpr = -(jnp.roll(p, -1, axis=a) - p)      # phi(i+1) - phi(i)
             hdtodx = 0.5 * beta_dt / dx
-            u = u.at[:, axis - 1].add(hdtodx * w[:, IDN] * (dpl + dpr))
+            u = u.at[:, imom].add(hdtodx * w[:, IDN] * (dpl + dpr))
             if self.eos.is_ideal and flx is not None:
                 f = flx[name][:, IDN]
                 fp = jnp.roll(f, -1, axis=a)
