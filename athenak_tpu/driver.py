@@ -30,6 +30,10 @@ class IntegratorData:
     gam1: List[float]
     beta: List[float]
     delta: List[float] = field(default_factory=lambda: [0.0] * 4)
+    # ImEx extensions (reference: src/driver/driver.cpp:163-277)
+    nimp_stages: int = 0
+    a_twid: Optional[List[List[float]]] = None
+    a_impl: float = 0.0
 
 
 def make_integrator(name: str) -> IntegratorData:
@@ -55,8 +59,36 @@ def make_integrator(name: str) -> IntegratorData:
             [1.193743905974738, 0.099279895495783,
              1.131678018054042, 0.310665766509336],
             [1.0, 0.217683334308543, 1.065841341361089, 0.0])
+    if name == "imex2":
+        # IMEX-SSP2(3,2,2), Pareschi & Russo (2005) Table III
+        # (reference: driver.cpp:163-189); explicit part identical to rk2
+        return IntegratorData(
+            "imex2", 2, 1.0, [0.0, 0.5], [1.0, 0.5], [1.0, 0.5],
+            nimp_stages=3,
+            a_twid=[[-1.0, 0.0, 0.0],
+                    [0.5, 0.0, 0.0],
+                    [0.0, 0.25, 0.25]],
+            a_impl=0.5)
+    if name == "imex3":
+        # IMEX-SSP3(4,3,3), Pareschi & Russo (2005) Table VI
+        # (reference: driver.cpp:232-272); explicit part identical to rk3
+        a = 0.24169426078821
+        b = 0.06042356519705
+        e = 0.12915286960590
+        return IntegratorData(
+            "imex3", 3, 1.0,
+            [0.0, 0.25, 2.0 / 3.0],
+            [1.0, 0.75, 1.0 / 3.0],
+            [1.0, 0.25, 2.0 / 3.0],
+            nimp_stages=4,
+            a_twid=[[-2.0 * a, 0.0, 0.0, 0.0],
+                    [a, 1.0 - 2.0 * a, 0.0, 0.0],
+                    [b, e - (1.0 - a) / 4.0, 0.5 - b - e - 1.25 * a, 0.0],
+                    [(-2.0 / 3.0) * b, (1.0 - 4.0 * e) / 6.0,
+                     (4.0 * (b + e + a) - 1.0) / 6.0, 2.0 * (1.0 - a) / 3.0]],
+            a_impl=a)
     raise ValueError(f"integrator '{name}' not implemented "
-                     "(valid: rk1, rk2, rk3, rk4)")
+                     "(valid: rk1, rk2, rk3, rk4, imex2, imex3)")
 
 
 class Driver:
@@ -91,6 +123,10 @@ class Driver:
         counters.  Exposed for graft/compile checks and sharded execution."""
         integ = self.integrator
         phys = self.phys
+        if hasattr(phys, "imex_cycle"):
+            # two-fluid ImEx physics owns the whole cycle structure
+            # (reference: interleaved DAG, src/ion-neutral/ion-neutral.hpp)
+            return lambda state, dt: phys.imex_cycle(state, dt, integ)
         is_rk4 = integ.name == "rk4"
 
         def cycle(state, dt):

@@ -52,7 +52,16 @@ def build(pin):
     mesh = Mesh(pin)
     bvals = BoundaryValues(mesh)
 
-    if pin.does_block_exist("mhd"):
+    if pin.does_block_exist("ion-neutral"):
+        # two-fluid: <hydro> neutrals + <mhd> ions, ImEx-coupled
+        # (reference: meshblock_pack.cpp AddPhysics ion-neutral branch)
+        from .physics.ion_neutral import IonNeutral
+        if not (pin.does_block_exist("hydro")
+                and pin.does_block_exist("mhd")):
+            raise ValueError(
+                "<ion-neutral> requires both <hydro> and <mhd> blocks")
+        phys = IonNeutral(pin, mesh, bvals)
+    elif pin.does_block_exist("mhd"):
         from .physics.mhd import MHD  # noqa: deferred import (round >=1 MHD)
         phys = MHD(pin, mesh, bvals)
     elif pin.does_block_exist("hydro"):

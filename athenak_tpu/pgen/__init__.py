@@ -23,6 +23,7 @@ _REGISTRY = {
     "diffusion_test": "athenak_tpu.pgen.diffusion_test",
     "gr_bondi": "athenak_tpu.pgen.gr_bondi",
     "turb": "athenak_tpu.pgen.turb",
+    "twofluid": "athenak_tpu.pgen.twofluid",
 }
 
 
