@@ -52,7 +52,11 @@ def build(pin):
     mesh = Mesh(pin)
     bvals = BoundaryValues(mesh)
 
-    if pin.does_block_exist("ion-neutral"):
+    if pin.does_block_exist("z4c"):
+        # vacuum numerical relativity (reference: AddPhysics z4c branch)
+        from .z4c.z4c import Z4c
+        phys = Z4c(pin, mesh, bvals)
+    elif pin.does_block_exist("ion-neutral"):
         # two-fluid: <hydro> neutrals + <mhd> ions, ImEx-coupled
         # (reference: meshblock_pack.cpp AddPhysics ion-neutral branch)
         from .physics.ion_neutral import IonNeutral

@@ -24,6 +24,7 @@ _REGISTRY = {
     "gr_bondi": "athenak_tpu.pgen.gr_bondi",
     "turb": "athenak_tpu.pgen.turb",
     "twofluid": "athenak_tpu.pgen.twofluid",
+    "z4c_linear_wave": "athenak_tpu.pgen.z4c_linear_wave",
 }
 
 

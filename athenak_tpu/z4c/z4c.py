@@ -1,0 +1,523 @@
+"""Z4c evolution system (vacuum) with puncture gauge.
+
+Parity target: the reference Z4c solver
+(reference: src/z4c/z4c.hpp:45-186, z4c_calcrhs.cpp:180-590,
+z4c_gauge.cpp, z4c.cpp:254-310 AlgConstr, z4c_adm.cpp, z4c_newdt.cpp),
+implementing the conformal Z4 formulation of Bernuzzi & Hilditch (2010)
+and Hilditch et al. (2013): 22 evolved fields (chi, conformal metric,
+Khat = K - 2 Theta, traceless A_ij, Gamma^i, Theta, 1+log lapse,
+gamma-driver shift), with Kreiss-Oliger dissipation and algebraic
+constraint projection.
+
+TPU-native design: one pure vectorized RHS over [nmb, 22, n3, n2, n1];
+the tensor loops unroll at trace time into whole-array roll-stencil ops
+that XLA fuses (the reference's 591-line per-point kernel becomes a
+single fused XLA computation).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import fd
+
+# evolved-variable channel indices (reference: z4c.hpp:46-56)
+I_CHI = 0
+I_GXX, I_GXY, I_GXZ, I_GYY, I_GYZ, I_GZZ = 1, 2, 3, 4, 5, 6
+I_KHAT = 7
+I_AXX, I_AXY, I_AXZ, I_AYY, I_AYZ, I_AZZ = 8, 9, 10, 11, 12, 13
+I_GAMX, I_GAMY, I_GAMZ = 14, 15, 16
+I_THETA = 17
+I_ALPHA = 18
+I_BETAX, I_BETAY, I_BETAZ = 19, 20, 21
+NZ4C = 22
+
+_SYM = {(0, 0): 0, (0, 1): 1, (0, 2): 2, (1, 1): 3, (1, 2): 4, (2, 2): 5}
+
+
+def sym_idx(a, b):
+    return _SYM[(a, b) if a <= b else (b, a)]
+
+
+def _sym_pairs():
+    return [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+
+
+def spatial_det(g):
+    """det of a symmetric 3x3 field given as list-of-lists of arrays."""
+    return (g[0][0] * (g[1][1] * g[2][2] - g[1][2] * g[1][2])
+            - g[0][1] * (g[0][1] * g[2][2] - g[0][2] * g[1][2])
+            + g[0][2] * (g[0][1] * g[1][2] - g[0][2] * g[1][1]))
+
+
+def spatial_inv(g, detg):
+    """Inverse of a symmetric 3x3 field (list-of-lists)."""
+    i = 1.0 / detg
+    gu = [[None] * 3 for _ in range(3)]
+    gu[0][0] = (g[1][1] * g[2][2] - g[1][2] * g[1][2]) * i
+    gu[0][1] = (g[0][2] * g[1][2] - g[0][1] * g[2][2]) * i
+    gu[0][2] = (g[0][1] * g[1][2] - g[0][2] * g[1][1]) * i
+    gu[1][1] = (g[0][0] * g[2][2] - g[0][2] * g[0][2]) * i
+    gu[1][2] = (g[0][1] * g[0][2] - g[0][0] * g[1][2]) * i
+    gu[2][2] = (g[0][0] * g[1][1] - g[0][1] * g[0][1]) * i
+    gu[1][0], gu[2][0], gu[2][1] = gu[0][1], gu[0][2], gu[1][2]
+    return gu
+
+
+class Z4cOptions:
+    def __init__(self, pin) -> None:
+        gor = pin.get_or_add_real
+        self.chi_psi_power = gor("z4c", "chi_psi_power", -4.0)
+        self.chi_div_floor = gor("z4c", "chi_div_floor", -1000.0)
+        self.chi_min_floor = gor("z4c", "chi_min_floor", 1e-12)
+        self.diss = gor("z4c", "diss", 0.0)
+        self.eps_floor = gor("z4c", "eps_floor", 1e-12)
+        self.damp_kappa1 = gor("z4c", "damp_kappa1", 0.0)
+        self.damp_kappa2 = gor("z4c", "damp_kappa2", 0.0)
+        self.lapse_harmonicf = gor("z4c", "lapse_harmonicf", 1.0)
+        self.lapse_harmonic = gor("z4c", "lapse_harmonic", 0.0)
+        self.lapse_oplog = gor("z4c", "lapse_oplog", 2.0)
+        self.lapse_advect = gor("z4c", "lapse_advect", 1.0)
+        self.shift_ggamma = gor("z4c", "shift_Gamma", 1.0)
+        self.shift_advect = gor("z4c", "shift_advect", 1.0)
+        self.shift_alpha2ggamma = gor("z4c", "shift_alpha2Gamma", 0.0)
+        self.shift_hh = gor("z4c", "shift_H", 0.0)
+        self.shift_eta = gor("z4c", "shift_eta", 2.0)
+        self.use_z4c = 1.0 if pin.get_or_add_boolean(
+            "z4c", "use_z4c", True) else 0.0
+
+
+class Z4c:
+    """Vacuum Z4c evolution on the MeshBlockPack layout."""
+
+    is_mhd = False
+    nvar = NZ4C
+
+    def __init__(self, pin, mesh, bvals) -> None:
+        self.mesh = mesh
+        self.bvals = bvals
+        self.opt = Z4cOptions(pin)
+        mbi = mesh.mb_indcs
+        self.ng = mbi.ng
+        if self.ng not in (2, 3, 4):
+            raise ValueError("Z4c requires nghost in {2,3,4} "
+                             "(2nd/4th/6th-order FD)")
+        ms = mesh.mesh_size
+        self.idx = (1.0 / ms.dx1, 1.0 / ms.dx2, 1.0 / ms.dx3)
+        # dissipation scale (reference: z4c.cpp:158)
+        self.diss = (self.opt.diss * 2.0 ** (-2.0 * self.ng)
+                     * (-1.0 if self.ng % 2 == 0 else 1.0))
+        self.shape = (mesh.nmb_total, NZ4C,
+                      mbi.ncells3, mbi.ncells2, mbi.ncells1)
+        self.time_evolution = "dynamic"
+        # hooks absent for this physics
+        self.pturb = None
+        self.ppart = None
+        self.psbox = None
+        self.eos = None
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def unpack(u):
+        """Channel views as python structures of 4D arrays."""
+        chi = u[:, I_CHI]
+        g = [[u[:, I_GXX + sym_idx(a, b)] for b in range(3)]
+             for a in range(3)]
+        khat = u[:, I_KHAT]
+        A = [[u[:, I_AXX + sym_idx(a, b)] for b in range(3)]
+             for a in range(3)]
+        gam = [u[:, I_GAMX + a] for a in range(3)]
+        theta = u[:, I_THETA]
+        alpha = u[:, I_ALPHA]
+        beta = [u[:, I_BETAX + a] for a in range(3)]
+        return chi, g, khat, A, gam, theta, alpha, beta
+
+    # ------------------------------------------------------------------
+    def rhs(self, u, time=0.0):
+        """Full Z4c right-hand side (reference: Z4c::CalcRHS,
+        z4c_calcrhs.cpp:180-590)."""
+        opt = self.opt
+        ng = self.ng
+        idx = self.idx
+        chi, g, khat, A, gam, theta, alpha, beta = self.unpack(u)
+
+        def D1(f, d):
+            return fd.d1(f, d, idx, ng)
+
+        def D2(f, da, db):
+            if da == db:
+                return fd.d2(f, da, idx, ng)
+            return fd.d1d1(f, min(da, db), max(da, db), idx, ng)
+
+        def Ladv(f):
+            out = None
+            for d in range(3):
+                t = fd.adv(beta[d], f, d, idx, ng)
+                out = t if out is None else out + t
+            return out
+
+        # first derivatives
+        dalpha = [D1(alpha, d) for d in range(3)]
+        dchi = [D1(chi, d) for d in range(3)]
+        dkhat = [D1(khat, d) for d in range(3)]
+        dtheta = [D1(theta, d) for d in range(3)]
+        dbeta = [[D1(beta[a], d) for a in range(3)] for d in range(3)]
+        dgam = [[D1(gam[a], d) for a in range(3)] for d in range(3)]
+        dg = [[[D1(g[a][b], d) for b in range(3)] for a in range(3)]
+              for d in range(3)]
+
+        # second derivatives
+        ddalpha = [[D2(alpha, a, b) for b in range(3)] for a in range(3)]
+        ddchi = [[D2(chi, a, b) for b in range(3)] for a in range(3)]
+        ddbeta = [[[D2(beta[c], a, b) for c in range(3)]
+                   for b in range(3)] for a in range(3)]
+        ddg = {}
+        for a, b in itertools.combinations_with_replacement(range(3), 2):
+            for c, d in _sym_pairs():
+                ddg[(a, b, c, d)] = D2(g[c][d], a, b)
+
+        def DDg(a, b, c, d):
+            a, b = (a, b) if a <= b else (b, a)
+            c, d = (c, d) if c <= d else (d, c)
+            return ddg[(a, b, c, d)]
+
+        # advective (Lie) pieces
+        Lalpha = Ladv(alpha)
+        Lchi = Ladv(chi)
+        Lkhat = Ladv(khat)
+        Ltheta = Ladv(theta)
+        Lbeta = [Ladv(beta[a]) for a in range(3)]
+        Lgam = [Ladv(gam[a]) for a in range(3)]
+        Lg = [[Ladv(g[a][b]) if a <= b else None for b in range(3)]
+              for a in range(3)]
+        LA = [[Ladv(A[a][b]) if a <= b else None for b in range(3)]
+              for a in range(3)]
+
+        K = khat + 2.0 * theta
+
+        detg = spatial_det(g)
+        gu = spatial_inv(g, detg)
+
+        # Christoffels of the conformal metric
+        Gddd = [[[0.5 * (dg[a][b][c] + dg[b][a][c] - dg[c][a][b])
+                  for b in range(3)] for a in range(3)] for c in range(3)]
+        Gudd = [[[sum(gu[c][d] * Gddd[d][a][b] for d in range(3))
+                  for b in range(3)] for a in range(3)] for c in range(3)]
+        gam_c = [sum(gu[b][c] * Gudd[a][b][c]
+                     for b in range(3) for c in range(3))
+                 for a in range(3)]  # computed Gamma_u
+
+        # conformal Ricci (reference: z4c_calcrhs.cpp:305-328)
+        Rdd = [[None] * 3 for _ in range(3)]
+        for a, b in _sym_pairs():
+            r = sum(0.5 * (g[c][a] * dgam[b][c] + g[c][b] * dgam[a][c]
+                           + gam_c[c] * (Gddd[c][a][b] + Gddd[c][b][a]))
+                    for c in range(3))
+            r = r - sum(0.5 * gu[c][d] * DDg(c, d, a, b)
+                        for c in range(3) for d in range(3))
+            r = r + sum(gu[c][d] * (Gudd[e][c][a] * Gddd[b][e][d]
+                                    + Gudd[e][c][b] * Gddd[a][e][d]
+                                    + Gudd[e][a][d] * Gddd[e][c][b])
+                        for c in range(3) for d in range(3)
+                        for e in range(3))
+            Rdd[a][b] = r
+            Rdd[b][a] = r
+
+        # conformal-factor pieces (reference: z4c_calcrhs.cpp:329-356)
+        chi_g = jnp.maximum(chi, opt.chi_div_floor)
+        oopsi4 = chi_g ** (-4.0 / opt.chi_psi_power)
+        npow = opt.chi_psi_power
+        dphi = [dchi[a] / (chi_g * npow) for a in range(3)]
+        Ddphi = [[None] * 3 for _ in range(3)]
+        for a, b in _sym_pairs():
+            v = (ddchi[a][b] / (chi_g * npow)
+                 - npow * dphi[a] * dphi[b]
+                 - sum(Gudd[c][a][b] * dphi[c] for c in range(3)))
+            Ddphi[a][b] = v
+            Ddphi[b][a] = v
+        trDdphi = sum(gu[c][d] * (Ddphi[c][d] + 2.0 * dphi[c] * dphi[d])
+                      for c in range(3) for d in range(3))
+        Rphi = [[None] * 3 for _ in range(3)]
+        for a, b in _sym_pairs():
+            v = (4.0 * dphi[a] * dphi[b] - 2.0 * Ddphi[a][b]
+                 - 2.0 * g[a][b] * trDdphi)
+            Rphi[a][b] = v
+            Rphi[b][a] = v
+
+        # second covariant derivative of the lapse
+        # (reference: z4c_calcrhs.cpp:370-388)
+        dphidalpha = sum(gu[c][d] * dphi[c] * dalpha[d]
+                         for c in range(3) for d in range(3))
+        Ddalpha_dd = [[None] * 3 for _ in range(3)]
+        for a, b in _sym_pairs():
+            v = (ddalpha[a][b]
+                 - 2.0 * (dphi[a] * dalpha[b] + dphi[b] * dalpha[a])
+                 - sum(Gudd[c][a][b] * dalpha[c] for c in range(3))
+                 + 2.0 * g[a][b] * dphidalpha)
+            Ddalpha_dd[a][b] = v
+            Ddalpha_dd[b][a] = v
+        Ddalpha = sum(oopsi4 * gu[a][b] * Ddalpha_dd[a][b]
+                      for a in range(3) for b in range(3))
+
+        # A contractions (reference: z4c_calcrhs.cpp:392-420)
+        AA_dd = [[None] * 3 for _ in range(3)]
+        for a, b in _sym_pairs():
+            v = sum(gu[c][d] * A[a][c] * A[d][b]
+                    for c in range(3) for d in range(3))
+            AA_dd[a][b] = v
+            AA_dd[b][a] = v
+        AA = sum(gu[a][b] * AA_dd[a][b] for a in range(3) for b in range(3))
+        Auu = [[sum(gu[a][c] * gu[b][d] * A[c][d]
+                    for c in range(3) for d in range(3))
+                for b in range(3)] for a in range(3)]
+        DA_u = []
+        for a in range(3):
+            v = sum(-(3.0 / 2.0) * Auu[a][b] * dchi[b] / chi_g
+                    - (1.0 / 3.0) * gu[a][b] * (2.0 * dkhat[b] + dtheta[b])
+                    for b in range(3))
+            v = v + sum(Gudd[a][b][c] * Auu[b][c]
+                        for b in range(3) for c in range(3))
+            DA_u.append(v)
+
+        # Ricci scalar + Hamiltonian (vacuum)
+        R = sum(oopsi4 * gu[a][b] * (Rdd[a][b] + Rphi[a][b])
+                for a in range(3) for b in range(3))
+        Ht = R + (2.0 / 3.0) * K * K - AA
+
+        # shift contractions (reference: z4c_calcrhs.cpp:438-480)
+        divbeta = sum(dbeta[a][a] for a in range(3))
+        ddbeta_d = [sum((1.0 / 3.0) * ddbeta[a][b][b] for b in range(3))
+                    for a in range(3)]
+
+        Lchi = Lchi + (1.0 / 6.0) * npow * chi_g * divbeta
+        for a in range(3):
+            Lgam[a] = (Lgam[a] + (2.0 / 3.0) * gam_c[a] * divbeta
+                       + sum(gu[a][b] * ddbeta_d[b]
+                             - gam_c[b] * dbeta[b][a] for b in range(3))
+                       + sum(gu[b][c] * ddbeta[b][c][a]
+                             for b in range(3) for c in range(3)))
+        for a, b in _sym_pairs():
+            Lg[a][b] = (Lg[a][b] - (2.0 / 3.0) * g[a][b] * divbeta
+                        + sum(dbeta[a][c] * g[b][c] + dbeta[b][c] * g[a][c]
+                              for c in range(3)))
+            LA[a][b] = (LA[a][b] - (2.0 / 3.0) * A[a][b] * divbeta
+                        + sum(dbeta[b][c] * A[a][c] + dbeta[a][c] * A[b][c]
+                              for c in range(3)))
+
+        # ---------------------------------------------------------- assemble
+        rhs = jnp.zeros_like(u)
+        k1, k2 = opt.damp_kappa1, opt.damp_kappa2
+
+        rhs = rhs.at[:, I_KHAT].set(
+            -Ddalpha + alpha * (AA + (1.0 / 3.0) * K * K) + Lkhat
+            + k1 * (1.0 - k2) * alpha * theta)
+        rhs = rhs.at[:, I_CHI].set(
+            Lchi - (1.0 / 6.0) * npow * chi_g * alpha * K)
+        rhs = rhs.at[:, I_THETA].set(opt.use_z4c * (
+            Ltheta + alpha * (0.5 * Ht - (2.0 + k2) * k1 * theta)))
+
+        for a in range(3):
+            v = (2.0 * alpha * DA_u[a] + Lgam[a]
+                 - 2.0 * alpha * k1 * (gam[a] - gam_c[a])
+                 - sum(2.0 * Auu[a][b] * dalpha[b] for b in range(3)))
+            rhs = rhs.at[:, I_GAMX + a].set(v)
+
+        for a, b in _sym_pairs():
+            rhs = rhs.at[:, I_GXX + sym_idx(a, b)].set(
+                -2.0 * alpha * A[a][b] + Lg[a][b])
+            v = (oopsi4 * (-Ddalpha_dd[a][b]
+                           + alpha * (Rdd[a][b] + Rphi[a][b]))
+                 - (1.0 / 3.0) * g[a][b] * (-Ddalpha + alpha * R)
+                 + alpha * (K * A[a][b] - 2.0 * AA_dd[a][b])
+                 + LA[a][b])
+            rhs = rhs.at[:, I_AXX + sym_idx(a, b)].set(v)
+
+        # gauge (reference: z4c_calcrhs.cpp:536-567)
+        f = opt.lapse_oplog * opt.lapse_harmonicf + opt.lapse_harmonic * alpha
+        rhs = rhs.at[:, I_ALPHA].set(
+            opt.lapse_advect * Lalpha - f * alpha * khat)
+        for a in range(3):
+            v = (opt.shift_ggamma * gam[a] + opt.shift_advect * Lbeta[a]
+                 - opt.shift_eta * beta[a]
+                 + opt.shift_alpha2ggamma * alpha * alpha * gam[a])
+            if opt.shift_hh != 0.0:
+                v = v + sum(opt.shift_hh * alpha * chi_g
+                            * (0.5 * alpha * dchi[b] - dalpha[b]) * gu[a][b]
+                            for b in range(3))
+            rhs = rhs.at[:, I_BETAX + a].set(v)
+
+        # Kreiss-Oliger dissipation on every channel
+        # (reference: z4c_calcrhs.cpp:570-585)
+        if self.diss != 0.0:
+            dd = None
+            for d in range(3):
+                t = fd.ko_diss(u, d, idx, ng)
+                dd = t if dd is None else dd + t
+            rhs = rhs + self.diss * dd
+        return rhs
+
+    # ------------------------------------------------------------------
+    def alg_constr(self, u):
+        """det(conformal g)=1 and tr A=0 projection
+        (reference: Z4c::AlgConstr, z4c.cpp:258-310)."""
+        chi, g, khat, A, gam, theta, alpha, beta = self.unpack(u)
+        detg = spatial_det(g)
+        detg = jnp.where(detg > 0.0, detg, 1.0)
+        oopsi4 = jnp.cbrt(1.0 / detg)
+        gs = [[g[a][b] * oopsi4 for b in range(3)] for a in range(3)]
+        gu = spatial_inv(gs, jnp.ones_like(detg))
+        trA = sum(gu[a][b] * A[a][b] for a in range(3) for b in range(3))
+        for a, b in _sym_pairs():
+            u = u.at[:, I_GXX + sym_idx(a, b)].set(gs[a][b])
+            u = u.at[:, I_AXX + sym_idx(a, b)].set(
+                A[a][b] - (1.0 / 3.0) * gs[a][b] * trA)
+        # chi floor
+        u = u.at[:, I_CHI].max(self.opt.chi_min_floor)
+        return u
+
+    # ------------------------------------------------------------------
+    def adm_constraints(self, u):
+        """Hamiltonian and momentum constraint monitors
+        (reference: z4c_calculate_adm_constraints.cpp).  Returns (H, M2)
+        fields (M2 = norm-squared of the momentum constraint)."""
+        opt = self.opt
+        ng = self.ng
+        idx = self.idx
+        chi, g, khat, A, gam, theta, alpha, beta = self.unpack(u)
+
+        def D1(f, d):
+            return fd.d1(f, d, idx, ng)
+
+        K = khat + 2.0 * theta
+        detg = spatial_det(g)
+        gu = spatial_inv(g, detg)
+        dg = [[[D1(g[a][b], d) for b in range(3)] for a in range(3)]
+              for d in range(3)]
+        dchi = [D1(chi, d) for d in range(3)]
+        dkhat = [D1(khat, d) for d in range(3)]
+        dtheta = [D1(theta, d) for d in range(3)]
+        dgam = [[D1(gam[a], d) for a in range(3)] for d in range(3)]
+        Gddd = [[[0.5 * (dg[a][b][c] + dg[b][a][c] - dg[c][a][b])
+                  for b in range(3)] for a in range(3)] for c in range(3)]
+        Gudd = [[[sum(gu[c][d] * Gddd[d][a][b] for d in range(3))
+                  for b in range(3)] for a in range(3)] for c in range(3)]
+        gam_c = [sum(gu[b][c] * Gudd[a][b][c]
+                     for b in range(3) for c in range(3)) for a in range(3)]
+
+        chi_g = jnp.maximum(chi, opt.chi_min_floor)
+        oopsi4 = chi_g ** (-4.0 / opt.chi_psi_power)
+        npow = opt.chi_psi_power
+        dphi = [dchi[a] / (chi_g * npow) for a in range(3)]
+
+        # Ricci as in rhs
+        ddg = {}
+        for a, b in itertools.combinations_with_replacement(range(3), 2):
+            for c, d in _sym_pairs():
+                if a == b:
+                    ddg[(a, b, c, d)] = fd.d2(g[c][d], a, idx, ng)
+                else:
+                    ddg[(a, b, c, d)] = fd.d1d1(g[c][d], a, b, idx, ng)
+
+        def DDg(a, b, c, d):
+            a, b = (a, b) if a <= b else (b, a)
+            c, d = (c, d) if c <= d else (d, c)
+            return ddg[(a, b, c, d)]
+
+        ddchi = [[fd.d2(chi, a, idx, ng) if a == b
+                  else fd.d1d1(chi, min(a, b), max(a, b), idx, ng)
+                  for b in range(3)] for a in range(3)]
+
+        Rdd = [[None] * 3 for _ in range(3)]
+        for a, b in _sym_pairs():
+            r = sum(0.5 * (g[c][a] * dgam[b][c] + g[c][b] * dgam[a][c]
+                           + gam_c[c] * (Gddd[c][a][b] + Gddd[c][b][a]))
+                    for c in range(3))
+            r = r - sum(0.5 * gu[c][d] * DDg(c, d, a, b)
+                        for c in range(3) for d in range(3))
+            r = r + sum(gu[c][d] * (Gudd[e][c][a] * Gddd[b][e][d]
+                                    + Gudd[e][c][b] * Gddd[a][e][d]
+                                    + Gudd[e][a][d] * Gddd[e][c][b])
+                        for c in range(3) for d in range(3)
+                        for e in range(3))
+            Rdd[a][b] = r
+            Rdd[b][a] = r
+        Ddphi = [[None] * 3 for _ in range(3)]
+        for a, b in _sym_pairs():
+            v = (ddchi[a][b] / (chi_g * npow) - npow * dphi[a] * dphi[b]
+                 - sum(Gudd[c][a][b] * dphi[c] for c in range(3)))
+            Ddphi[a][b] = v
+            Ddphi[b][a] = v
+        trDdphi = sum(gu[c][d] * (Ddphi[c][d] + 2.0 * dphi[c] * dphi[d])
+                      for c in range(3) for d in range(3))
+        Rphi = [[4.0 * dphi[a] * dphi[b] - 2.0 * Ddphi[a][b]
+                 - 2.0 * g[a][b] * trDdphi for b in range(3)]
+                for a in range(3)]
+
+        AA = sum(gu[a][c] * gu[b][d] * A[a][b] * A[c][d]
+                 for a in range(3) for b in range(3)
+                 for c in range(3) for d in range(3))
+        R = sum(oopsi4 * gu[a][b] * (Rdd[a][b] + Rphi[a][b])
+                for a in range(3) for b in range(3))
+        H = R + (2.0 / 3.0) * K * K - AA
+
+        # momentum constraint: M^a = D_b A^{ab} - (3/2) A^{ab} dphi... use
+        # M_d = d_b A^b_d - Gamma terms - (2/3) d_d K + conformal terms
+        dA = [[[fd.d1(A[a][b], d, idx, ng) for b in range(3)]
+               for a in range(3)] for d in range(3)]
+        M = []
+        for a in range(3):
+            v = sum(gu[b][c] * (dA[b][c][a]
+                                - sum(Gudd[e][b][c] * A[e][a]
+                                      + Gudd[e][b][a] * A[c][e]
+                                      for e in range(3)))
+                    for b in range(3) for c in range(3))
+            v = v - (3.0 / 2.0) * sum(
+                gu[b][c] * A[c][a] * dchi[b] / chi_g for b in range(3)
+                for c in range(3))
+            v = v - (2.0 / 3.0) * (dkhat[a] + 2.0 * dtheta[a])
+            M.append(v)
+        M2 = sum(gu[a][b] * M[a] * M[b] for a in range(3) for b in range(3))
+        return H, M2
+
+    # ------------------------------------------------- state-dict interface
+    def make_state(self, u):
+        return {"u": u, "w": u}
+
+    def save_state(self, state):
+        return {"u1": state["u"]}
+
+    def accumulate_rk4(self, saved, state, delta):
+        return {"u1": saved["u1"] + delta * state["u"]}
+
+    def init_ghosts(self, state):
+        u = self.bvals.fill_ghosts(state["u"])
+        u = self.alg_constr(u)
+        return dict(state, u=u, w=u)
+
+    def cons_to_prim(self, u):
+        return u, u, {}
+
+    def stage_update(self, state, saved, gam0, gam1, beta_dt):
+        """One RK stage: RHS -> update -> chi floor -> halo -> algebraic
+        constraints (reference task chain: z4c_tasks.cpp:48-85)."""
+        u = state["u"]
+        rhs = self.rhs(u)
+        u = gam0 * u + gam1 * saved["u1"] + beta_dt * rhs
+        u = self.bvals.fill_ghosts(u)
+        u = self.alg_constr(u)
+        return dict(state, u=u, w=u), {}
+
+    def dt_from_state(self, state):
+        """dt = min cell size (unit light speed, reference:
+        z4c_newdt.cpp:26-60)."""
+        ms = self.mesh.mesh_size
+        mbi = self.mesh.mb_indcs
+        dt = ms.dx1
+        if mbi.nx2 > 1:
+            dt = min(dt, ms.dx2)
+        if mbi.nx3 > 1:
+            dt = min(dt, ms.dx3)
+        return jnp.asarray(dt, dtype=state["u"].dtype)
