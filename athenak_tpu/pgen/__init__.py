@@ -25,6 +25,7 @@ _REGISTRY = {
     "turb": "athenak_tpu.pgen.turb",
     "twofluid": "athenak_tpu.pgen.twofluid",
     "z4c_linear_wave": "athenak_tpu.pgen.z4c_linear_wave",
+    "z4c_one_puncture": "athenak_tpu.pgen.z4c_one_puncture",
 }
 
 

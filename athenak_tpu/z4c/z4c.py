@@ -18,6 +18,7 @@ single fused XLA computation).
 from __future__ import annotations
 
 import itertools
+import math
 
 import jax.numpy as jnp
 import numpy as np
@@ -118,6 +119,42 @@ class Z4c:
         self.ppart = None
         self.psbox = None
         self.eos = None
+
+        # Sommerfeld boundary mask: outermost active layer of blocks whose
+        # mesh face is outflow/diode/vacuum/user (reference:
+        # Z4c::Z4cBoundaryRHS, z4c_Sbc.cpp:127-210)
+        sbc_flags = ("outflow", "diode", "vacuum", "user")
+        mask = np.zeros((mesh.nmb_total, mbi.ncells3, mbi.ncells2,
+                         mbi.ncells1), dtype=bool)
+        any_sbc = False
+        layers = {
+            "x1m": (slice(None), slice(None), slice(mbi.is_, mbi.is_ + 1)),
+            "x1p": (slice(None), slice(None), slice(mbi.ie, mbi.ie + 1)),
+            "x2m": (slice(None), slice(mbi.js, mbi.js + 1), slice(None)),
+            "x2p": (slice(None), slice(mbi.je, mbi.je + 1), slice(None)),
+            "x3m": (slice(mbi.ks, mbi.ks + 1), slice(None), slice(None)),
+            "x3p": (slice(mbi.ke, mbi.ke + 1), slice(None), slice(None)),
+        }
+        face_of = {"x1m": "ix1", "x1p": "ox1", "x2m": "ix2", "x2p": "ox2",
+                   "x3m": "ix3", "x3p": "ox3"}
+        for key, sl in layers.items():
+            if mesh.mesh_bcs[face_of[key]] in sbc_flags:
+                any_sbc = True
+                for gid in np.where(mesh.phys_bc_mask[key])[0]:
+                    mask[(gid,) + sl] = True
+        self.sbc_mask = mask if any_sbc else None
+        if self.sbc_mask is not None:
+            # pseudo-radial unit vector and radius at cell centers
+            nmb = mesh.nmb_total
+            xc = np.empty((nmb, 1, 1, mbi.ncells1))
+            yc = np.empty((nmb, 1, mbi.ncells2, 1))
+            zc = np.empty((nmb, mbi.ncells3, 1, 1))
+            for gid in range(nmb):
+                x1v, x2v, x3v = mesh.cell_centers(gid)
+                xc[gid, 0, 0, :] = x1v
+                yc[gid, 0, :, 0] = x2v
+                zc[gid, :, 0, 0] = x3v
+            self._sbc_xyz = (xc, yc, zc)
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -348,6 +385,33 @@ class Z4c:
                             * (0.5 * alpha * dchi[b] - dalpha[b]) * gu[a][b]
                             for b in range(3))
             rhs = rhs.at[:, I_BETAX + a].set(v)
+
+        # Sommerfeld radiative RHS on the outer active layer
+        # (reference: Z4cSommerfeld, z4c_Sbc.cpp:25-122; derivatives forced
+        # to 2nd order for stability as in the reference)
+        if self.sbc_mask is not None:
+            xc, yc, zc = self._sbc_xyz
+            r = jnp.sqrt(xc * xc + yc * yc + zc * zc)
+            s_u = (xc / r, yc / r, zc / r)
+
+            def somm(ff, speed):
+                out = -speed * ff / r
+                for d in range(3):
+                    out = out - speed * s_u[d] * fd.d1(ff, d, idx, 2)
+                return out
+
+            mask = jnp.asarray(self.sbc_mask)
+            rhs = rhs.at[:, I_KHAT].set(jnp.where(
+                mask, somm(khat, math.sqrt(2.0)), rhs[:, I_KHAT]))
+            rhs = rhs.at[:, I_THETA].set(jnp.where(
+                mask, somm(theta, 1.0), rhs[:, I_THETA]))
+            for a in range(3):
+                rhs = rhs.at[:, I_GAMX + a].set(jnp.where(
+                    mask, somm(gam[a], 1.0), rhs[:, I_GAMX + a]))
+            for a, b in _sym_pairs():
+                ch = I_AXX + sym_idx(a, b)
+                rhs = rhs.at[:, ch].set(jnp.where(
+                    mask, somm(A[a][b], 1.0), rhs[:, ch]))
 
         # Kreiss-Oliger dissipation on every channel
         # (reference: z4c_calcrhs.cpp:570-585)
