@@ -92,14 +92,17 @@ class BoundaryValues:
             return tuple(idx)
 
         # ---- minus side: ghosts [0:ng] from neighbor's last ng active cells
-        donor_m = jnp.take(u, self.nbr[f"{ax}m"], axis=0)[slc(n - 2 * ng, n - ng)]
+        # (slice the donor slab BEFORE the block gather so the gather moves
+        # only ng-thick slabs, not whole arrays)
+        donor_m = jnp.take(u[slc(n - 2 * ng, n - ng)],
+                           self.nbr[f"{ax}m"], axis=0)
         ghost_m = donor_m
         if self.any_phys[f"{ax}m"]:
             ghost_m = self._phys_bc(u, ax, "m", slc, n, ghost_m)
         u = u.at[slc(0, ng)].set(ghost_m)
 
         # ---- plus side: ghosts [n-ng:n] from neighbor's first ng active cells
-        donor_p = jnp.take(u, self.nbr[f"{ax}p"], axis=0)[slc(ng, 2 * ng)]
+        donor_p = jnp.take(u[slc(ng, 2 * ng)], self.nbr[f"{ax}p"], axis=0)
         ghost_p = donor_p
         if self.any_phys[f"{ax}p"]:
             ghost_p = self._phys_bc(u, ax, "p", slc, n, ghost_p)

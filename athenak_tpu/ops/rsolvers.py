@@ -40,15 +40,17 @@ def _unpack(w, eos: EOSData, ivx: int):
 
 
 def _pack_flux(template, eos: EOSData, ivx: int, fd, fmx, fmy, fmz, fe):
+    """Single-stack channel assembly (one fusable concatenate instead of
+    a chain of scatter updates)."""
     ivy, ivz = _vel_idx(ivx)
-    flx = jnp.zeros_like(template)
-    flx = flx.at[..., IDN, :, :, :].set(fd)
-    flx = flx.at[..., ivx, :, :, :].set(fmx)
-    flx = flx.at[..., ivy, :, :, :].set(fmy)
-    flx = flx.at[..., ivz, :, :, :].set(fmz)
+    mom = {ivx: fmx, ivy: fmy, ivz: fmz}
+    chans = [fd, mom[1], mom[2], mom[3]]
     if eos.is_ideal:
-        flx = flx.at[..., IEN, :, :, :].set(fe)
-    return flx
+        chans.append(fe)
+    nvar = template.shape[-4]
+    while len(chans) < nvar:
+        chans.append(jnp.zeros_like(fd))  # scalar slots filled by caller
+    return jnp.stack(chans, axis=-4)
 
 
 # --------------------------------------------------------------------- LLF

@@ -51,15 +51,20 @@ def _unpack(w, b, eos: EOSData, ivx: int):
 
 def _pack(template, eos: EOSData, ivx: int, fd, fmx, fmy, fmz, fe, fby, fbz):
     """Pack fluxes; returns (flx, ey, ez) with the reference EMF signs
-    (reference: llf_mhd_singlestate.hpp:85-86, hlld_mhd.hpp:346-347)."""
+    (reference: llf_mhd_singlestate.hpp:85-86, hlld_mhd.hpp:346-347).
+    Built with a single stack (not per-channel scatter updates) so XLA
+    lowers it as one fusable concatenate."""
+    mom = {ivx: fmx}
     ivy, ivz, _, _ = _vel_idx(ivx)
-    flx = jnp.zeros_like(template)
-    flx = flx.at[..., IDN, :, :, :].set(fd)
-    flx = flx.at[..., ivx, :, :, :].set(fmx)
-    flx = flx.at[..., ivy, :, :, :].set(fmy)
-    flx = flx.at[..., ivz, :, :, :].set(fmz)
+    mom[ivy] = fmy
+    mom[ivz] = fmz
+    chans = [fd, mom[1], mom[2], mom[3]]
     if eos.is_ideal:
-        flx = flx.at[..., IEN, :, :, :].set(fe)
+        chans.append(fe)
+    nvar = template.shape[-4]
+    while len(chans) < nvar:
+        chans.append(jnp.zeros_like(fd))  # scalar slots filled by caller
+    flx = jnp.stack(chans, axis=-4)
     ey = -fby
     ez = fbz
     return flx, ey, ez

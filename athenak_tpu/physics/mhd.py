@@ -469,17 +469,17 @@ class MHD:
 
                 if normal:
                     # ghost faces [0,ng) <- donor faces [nxa, nxa+ng)
-                    donor = jnp.take(arr, nbr_m, axis=0)[slc(nxa, nxa + ng)]
+                    donor = jnp.take(arr[slc(nxa, nxa + ng)], nbr_m, axis=0)
                     arr = arr.at[slc(0, ng)].set(donor)
                     # ghost faces [ng+nxa+1, n) <- donor faces [ng+1, 2ng+1)
-                    donor = jnp.take(arr, nbr_p, axis=0)[
-                        slc(ng + 1, 2 * ng + 1)]
+                    donor = jnp.take(arr[slc(ng + 1, 2 * ng + 1)], nbr_p,
+                                     axis=0)
                     arr = arr.at[slc(ng + nxa + 1, n)].set(donor)
                 else:
-                    donor = jnp.take(arr, nbr_m, axis=0)[
-                        slc(n - 2 * ng, n - ng)]
+                    donor = jnp.take(arr[slc(n - 2 * ng, n - ng)], nbr_m,
+                                     axis=0)
                     arr = arr.at[slc(0, ng)].set(donor)
-                    donor = jnp.take(arr, nbr_p, axis=0)[slc(ng, 2 * ng)]
+                    donor = jnp.take(arr[slc(ng, 2 * ng)], nbr_p, axis=0)
                     arr = arr.at[slc(n - ng, n)].set(donor)
                 bfc = {**bfc, comp: arr}
             bfc = self._phys_bc_fc(bfc, ax)

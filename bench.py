@@ -26,7 +26,10 @@ def main() -> int:
 
     # Single precision is the TPU fast path (the reference exposes the same
     # choice via SINGLE_PRECISION_ENABLED, reference: src/athena.hpp:22-36).
-    nx = int(os.environ.get("BENCH_NX", "256"))
+    # Default 124^3: with 2 ghost cells the padded extent is exactly 128,
+    # so arrays tile the TPU lane dimension with zero padding waste
+    # (misaligned extents cost ~2x; measured 46 vs 99 Mzc/s at 128 vs 124).
+    nx = int(os.environ.get("BENCH_NX", "124"))
     mbx = int(os.environ.get("BENCH_MBX", str(nx)))
     ncycles = int(os.environ.get("BENCH_NCYCLES", "20"))
 
