@@ -101,6 +101,22 @@ class MHD:
 
         self.time_evolution = pin.get_string("time", "evolution") \
             if pin.does_block_exist("time") else "dynamic"
+
+        # Pallas-fused recon+Riemann path (TPU, Newtonian plm+hlld);
+        # "auto" enables it when the configuration supports it
+        use_pallas = pin.get_or_add_string("mhd", "use_pallas", "auto")
+        self.use_pallas = False
+        if use_pallas in ("auto", "true"):
+            import jax as _jax
+            on_tpu = any(d.platform == "tpu"
+                         for d in _jax.devices()) if use_pallas == "auto" \
+                else True
+            self.use_pallas = (on_tpu and self.recon_method == "plm"
+                               and self.rsolver == "hlld"
+                               and self.nscalars == 0
+                               and not (self.is_sr or self.is_gr)
+                               and self.eos.is_ideal)
+
         if self.is_gr:
             from ..coordinates import GRGeometry
             self.geom = GRGeometry(mesh, self.coord.coord_data)
@@ -234,6 +250,15 @@ class MHD:
             "x2": bfc["x2f"][..., :-1, :],
             "x3": bfc["x3f"][..., :-1, :, :],
         }
+        if self.use_pallas:
+            from ..ops.pallas_flux import fused_flux_dir
+            for name, axis, ivx, _dx in self.dirs:
+                f, ey, ez = fused_flux_dir(w, bcc, bface[name], self.eos,
+                                           name, ivx)
+                flx[name] = f
+                emf[ey_name[name]] = ey
+                emf[ez_name[name]] = ez
+            return flx, emf
         for name, axis, ivx, _dx in self.dirs:
             wl, wr = rec(w, axis)
             bl, br = rec(bcc, axis)
