@@ -52,7 +52,13 @@ def build(pin):
     mesh = Mesh(pin)
     bvals = BoundaryValues(mesh)
 
-    if pin.does_block_exist("z4c"):
+    if pin.does_block_exist("radiation") \
+            and not pin.does_block_exist("hydro") \
+            and not pin.does_block_exist("mhd"):
+        # radiation-only transport (reference: AddPhysics radiation branch)
+        from .radiation.radiation import Radiation
+        phys = Radiation(pin, mesh, bvals)
+    elif pin.does_block_exist("z4c"):
         # vacuum numerical relativity (reference: AddPhysics z4c branch)
         from .z4c.z4c import Z4c
         phys = Z4c(pin, mesh, bvals)

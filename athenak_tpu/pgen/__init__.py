@@ -26,6 +26,7 @@ _REGISTRY = {
     "twofluid": "athenak_tpu.pgen.twofluid",
     "z4c_linear_wave": "athenak_tpu.pgen.z4c_linear_wave",
     "z4c_one_puncture": "athenak_tpu.pgen.z4c_one_puncture",
+    "rad_hohlraum": "athenak_tpu.pgen.rad_hohlraum",
 }
 
 
