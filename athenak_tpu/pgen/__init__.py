@@ -27,6 +27,7 @@ _REGISTRY = {
     "z4c_linear_wave": "athenak_tpu.pgen.z4c_linear_wave",
     "z4c_one_puncture": "athenak_tpu.pgen.z4c_one_puncture",
     "rad_hohlraum": "athenak_tpu.pgen.rad_hohlraum",
+    "gr_torus": "athenak_tpu.pgen.gr_torus",
 }
 
 
