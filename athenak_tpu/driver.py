@@ -94,6 +94,11 @@ def make_integrator(name: str) -> IntegratorData:
 class Driver:
     """Main evolution loop over a single physics module (hydro or MHD)."""
 
+    # class-level runtime guards, set by the CLI (-t / -w flags,
+    # reference: main.cpp walltime + utils/watchdog.cpp)
+    wall_limit: Optional[float] = None
+    watchdog = None
+
     def __init__(self, pin, mesh, phys) -> None:
         self.mesh = mesh
         self.phys = phys
@@ -210,6 +215,12 @@ class Driver:
         dtype = state["u"].dtype
         while (mesh.time < self.tlim
                and (self.nlim < 0 or mesh.ncycle < self.nlim)):
+            if self.wall_limit is not None \
+                    and _time.perf_counter() - wall0 > self.wall_limit:
+                print("wall-time limit reached; stopping cleanly")
+                break
+            if self.watchdog is not None:
+                self.watchdog.pet()
             if verbose and mesh.ncycle % self.ndiag == 0:
                 print(f"cycle={mesh.ncycle} time={mesh.time:.6e} "
                       f"dt={mesh.dt:.6e}")

@@ -95,6 +95,8 @@ def run(pin, verbose: bool = False):
 
     mesh, phys, pgen, driver, state = build(pin)
     outputs = make_outputs(pin, mesh, phys)
+    for out in outputs:
+        out.driver = driver
     state = driver.initialize(state)
     state = driver.execute(state, outputs=outputs, verbose=verbose)
     if hasattr(pgen, "final"):
@@ -161,6 +163,8 @@ def main(argv=None) -> int:
                     help="validate input file and quit")
     ap.add_argument("-t", dest="walltime", default=None,
                     help="wall time limit hh:mm:ss")
+    ap.add_argument("-w", dest="watchdog", default=None, type=float,
+                    help="watchdog hang-abort window in seconds")
     ap.add_argument("overrides", nargs="*",
                     help="block/par=value parameter overrides")
     args = ap.parse_args(argv)
@@ -211,7 +215,19 @@ def main(argv=None) -> int:
             print("validation complete")
         return 0
 
+    wd = None
+    if args.watchdog:
+        from .utils import WatchDog
+        wd = WatchDog(args.watchdog)
+    import athenak_tpu.driver as _drv
+    if args.walltime:
+        from .utils import parse_walltime
+        _drv.Driver.wall_limit = parse_walltime(args.walltime)
+    if wd is not None:
+        _drv.Driver.watchdog = wd
     mesh, phys, driver, state = run(pin, verbose=True)
+    if wd is not None:
+        wd.stop()
     print(driver.finalize_report())
     return 0
 

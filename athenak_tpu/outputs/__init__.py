@@ -423,3 +423,36 @@ class TrackedParticleOutput(BaseOutput):
 
 
 _TYPES["trk"] = TrackedParticleOutput
+
+
+class EventLogOutput(BaseOutput):
+    """Event-counter log: numerical-failure statistics per write
+    (reference: src/outputs/eventlog.cpp:35-71 — FOFC activations, EOS
+    floor hits, c2p failures surfaced via the 'log' output type).  The
+    driver attaches itself to outputs in run()."""
+
+    driver = None
+
+    def maybe_write(self, mesh, u, w, force=False, state=None):
+        if self.driver is None:
+            return
+        if force or self.due(mesh):
+            fname = self.basename + ".log"
+            new = not os.path.exists(fname)
+            counters = dict(self.driver.ecounters)
+            with open(fname, "a") as f:
+                if new:
+                    f.write("# time  cycle  "
+                            + "  ".join(sorted(counters)) + "\n")
+                f.write(f"{mesh.time:.10e}  {mesh.ncycle:d}  "
+                        + "  ".join(str(counters[k])
+                                    for k in sorted(counters)) + "\n")
+            if self.params.dt > 0.0:
+                if self.params.last_time < -1e299:
+                    self.params.last_time = mesh.time
+                else:
+                    self.params.last_time += self.params.dt
+            self.params.file_number += 1
+
+
+_TYPES["log"] = EventLogOutput

@@ -28,6 +28,9 @@ _REGISTRY = {
     "z4c_one_puncture": "athenak_tpu.pgen.z4c_one_puncture",
     "rad_hohlraum": "athenak_tpu.pgen.rad_hohlraum",
     "gr_torus": "athenak_tpu.pgen.gr_torus",
+    "kh": "athenak_tpu.pgen.kh",
+    "rt": "athenak_tpu.pgen.rt",
+    "shu_osher": "athenak_tpu.pgen.shu_osher",
 }
 
 
