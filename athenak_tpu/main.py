@@ -222,7 +222,10 @@ def main(argv=None) -> int:
     import athenak_tpu.driver as _drv
     if args.walltime:
         from .utils import parse_walltime
-        _drv.Driver.wall_limit = parse_walltime(args.walltime)
+        try:
+            _drv.Driver.wall_limit = parse_walltime(args.walltime)
+        except ValueError:
+            ap.error(f"-t expects hh:mm:ss, got '{args.walltime}'")
     if wd is not None:
         _drv.Driver.watchdog = wd
     mesh, phys, driver, state = run(pin, verbose=True)

@@ -437,9 +437,11 @@ class EventLogOutput(BaseOutput):
         if self.driver is None:
             return
         if force or self.due(mesh):
+            counters = dict(self.driver.ecounters)
+            if not counters:
+                return  # counters appear after the first cycle
             fname = self.basename + ".log"
             new = not os.path.exists(fname)
-            counters = dict(self.driver.ecounters)
             with open(fname, "a") as f:
                 if new:
                     f.write("# time  cycle  "
