@@ -492,20 +492,21 @@ class MHD:
                     idx[axis] = slice(lo, hi)
                     return tuple(idx)
 
+                # concatenate-rebuild instead of slab .at[].set: see the
+                # layout note in bvals._sweep_axis (strided DUS writes)
                 if normal:
-                    # ghost faces [0,ng) <- donor faces [nxa, nxa+ng)
-                    donor = jnp.take(arr[slc(nxa, nxa + ng)], nbr_m, axis=0)
-                    arr = arr.at[slc(0, ng)].set(donor)
+                    # ghost faces [0,ng) <- donor faces [nxa, nxa+ng);
                     # ghost faces [ng+nxa+1, n) <- donor faces [ng+1, 2ng+1)
-                    donor = jnp.take(arr[slc(ng + 1, 2 * ng + 1)], nbr_p,
-                                     axis=0)
-                    arr = arr.at[slc(ng + nxa + 1, n)].set(donor)
+                    donor_m = jnp.take(arr[slc(nxa, nxa + ng)], nbr_m, axis=0)
+                    donor_p = jnp.take(arr[slc(ng + 1, 2 * ng + 1)], nbr_p,
+                                       axis=0)
+                    mid = arr[slc(ng, ng + nxa + 1)]
                 else:
-                    donor = jnp.take(arr[slc(n - 2 * ng, n - ng)], nbr_m,
-                                     axis=0)
-                    arr = arr.at[slc(0, ng)].set(donor)
-                    donor = jnp.take(arr[slc(ng, 2 * ng)], nbr_p, axis=0)
-                    arr = arr.at[slc(n - ng, n)].set(donor)
+                    donor_m = jnp.take(arr[slc(n - 2 * ng, n - ng)], nbr_m,
+                                       axis=0)
+                    donor_p = jnp.take(arr[slc(ng, 2 * ng)], nbr_p, axis=0)
+                    mid = arr[slc(ng, n - ng)]
+                arr = jnp.concatenate([donor_m, mid, donor_p], axis=axis4)
                 bfc = {**bfc, comp: arr}
             bfc = self._phys_bc_fc(bfc, ax)
         return bfc
