@@ -55,6 +55,7 @@ class BoundaryValues:
         self.nbr = {k: np.asarray(v) for k, v in mesh.nbr_gid.items()}
         self.mask = {k: np.asarray(v) for k, v in mesh.phys_bc_mask.items()}
         self.any_phys = {k: bool(v.any()) for k, v in mesh.phys_bc_mask.items()}
+        self.multilevel = bool(getattr(mesh, "multilevel", False))
         # boundary flag per mesh face ("m" side key ix*, "p" side key ox*)
         self.flag = {
             "x1m": mesh.mesh_bcs["ix1"], "x1p": mesh.mesh_bcs["ox1"],
@@ -74,8 +75,14 @@ class BoundaryValues:
         The normal-velocity channel for reflect/diode BCs is taken from the
         conserved/primitive index convention (IVX/IVY/IVZ == IM1/IM2/IM3).
         """
-        for ax in self.active_axes:
-            u = self._sweep_axis(u, ax)
+        # Mixed-level meshes run the sweeps twice: round 1 establishes
+        # face ghosts everywhere, round 2 re-restricts/re-prolongates with
+        # donors whose own ghosts are now valid, completing edge ghosts
+        # (replaces the reference's explicit 56-neighbor edge/corner
+        # buffers, reference: src/bvals/bvals.hpp:61-101).
+        for _ in range(2 if self.multilevel else 1):
+            for ax in self.active_axes:
+                u = self._sweep_axis(u, ax)
         if self.user_bc_func is not None:
             u = self.user_bc_func(u, self)
         return u
@@ -97,12 +104,16 @@ class BoundaryValues:
         donor_m = jnp.take(u[slc(n - 2 * ng, n - ng)],
                            self.nbr[f"{ax}m"], axis=0)
         ghost_m = donor_m
+        if self.multilevel:
+            ghost_m = self._ml_override(u, ax, "m", slc, n, ghost_m)
         if self.any_phys[f"{ax}m"]:
             ghost_m = self._phys_bc(u, ax, "m", slc, n, ghost_m)
 
         # ---- plus side: ghosts [n-ng:n] from neighbor's first ng active cells
         donor_p = jnp.take(u[slc(ng, 2 * ng)], self.nbr[f"{ax}p"], axis=0)
         ghost_p = donor_p
+        if self.multilevel:
+            ghost_p = self._ml_override(u, ax, "p", slc, n, ghost_p)
         if self.any_phys[f"{ax}p"]:
             ghost_p = self._phys_bc(u, ax, "p", slc, n, ghost_p)
 
@@ -113,6 +124,77 @@ class BoundaryValues:
         # Both ghost slabs read only interior cells, so order is immaterial.
         return jnp.concatenate([ghost_m, u[slc(ng, n - ng)], ghost_p],
                                axis=axis)
+
+    # ------------------------------------------------------------------
+    def _ml_override(self, u, ax: str, side: str, slc, n, ghost):
+        """Replace the same-level ghost candidate with restriction (finer
+        donors) / prolongation (coarser donor) where the face is a level
+        boundary (reference: bvals_cc.cpp pack/unpack with coarse buffers
+        + ProlongCC; here: masked selects over statically gathered slabs)."""
+        from .refinement import prolong_cc, restrict_cc
+
+        t = self.mesh.ml[f"{ax}{side}"]
+        if not (t["any_fine"] or t["any_coarse"]):
+            return ghost
+        mbi = self.mesh.mb_indcs
+        ng, h = self.ng, self.ng // 2
+        nx_of = {"x1": mbi.nx1, "x2": mbi.nx2, "x3": mbi.nx3}
+        nc_of = {"x1": mbi.ncells1, "x2": mbi.ncells2, "x3": mbi.ncells3}
+        tn = t["t_names"]
+        cell_axes = [_AXIS_OF[a] - 5 for a in self.active_axes]
+
+        # ---- finer donors: 2x cell-average restriction, quadrant assembly
+        if t["any_fine"]:
+            slab = u[slc(n - 3 * ng, n - ng)] if side == "m" \
+                else u[slc(ng, 3 * ng)]
+            parts = [restrict_cc(jnp.take(slab, t["fine"][:, q], axis=0),
+                                 cell_axes)
+                     for q in range(t["fine"].shape[1])]
+            # pair-merge along each transverse axis (fastest quadrant bit
+            # first); each restricted slab covers my transverse cells
+            # [h, mid+h) / [mid-h, nc-h), overlapping by 2h donor-ghost
+            # cells that both donors agree on
+            for a2 in tn:
+                t_axis = _AXIS_OF[a2]
+                keep = nx_of[a2] // 2 + h
+                merged = []
+                for b in range(0, len(parts), 2):
+                    lo = jnp.take(parts[b], np.arange(keep), axis=t_axis)
+                    nh = parts[b + 1].shape[t_axis]
+                    hi = jnp.take(parts[b + 1], np.arange(h, nh),
+                                  axis=t_axis)
+                    merged.append(jnp.concatenate([lo, hi], axis=t_axis))
+                parts = merged
+            assembled = parts[0]
+            # write into the transverse-core region [h, nc-h) of the slab
+            region = [slice(None)] * 5
+            for a2 in tn:
+                region[_AXIS_OF[a2]] = slice(h, nc_of[a2] - h)
+            region = tuple(region)
+            fmask = t["fine_mask"].reshape((-1,) + (1,) * 4)
+            ghost = ghost.at[region].set(
+                jnp.where(fmask, assembled, ghost[region]))
+
+        # ---- coarser donor: min-mod linear prolongation over a per-block
+        # parity-selected window of the donor face
+        if t["any_coarse"]:
+            slab = u[slc(n - ng - h - 1, n - ng + 1)] if side == "m" \
+                else u[slc(ng - 1, ng + h + 1)]
+            d = jnp.take(slab, t["coarse"], axis=0)
+            for a2 in tn:
+                t_axis = _AXIS_OF[a2]
+                half = nx_of[a2] // 2
+                ln = half + ng + 2
+                start = ng + t["par"][a2] * half - h - 1  # [nmb]
+                idx = start[:, None] + np.arange(ln)[None, :]
+                shape = [len(start), 1, 1, 1, 1]
+                shape[t_axis] = ln
+                d = jnp.take_along_axis(
+                    d, jnp.asarray(idx.reshape(shape)), axis=t_axis)
+            pro = prolong_cc(d, cell_axes)
+            cmask = t["coarse_mask"].reshape((-1,) + (1,) * 4)
+            ghost = jnp.where(cmask, pro, ghost)
+        return ghost
 
     # ------------------------------------------------------------------
     def _phys_bc(self, u, ax: str, side: str, slc, n, gathered):

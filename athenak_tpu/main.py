@@ -205,12 +205,16 @@ def main(argv=None) -> int:
         mesh = Mesh(pin)
         if args.show_mesh:
             print(f"nmb_total={mesh.nmb_total} "
-                  f"({mesh.nmb_x1}x{mesh.nmb_x2}x{mesh.nmb_x3} blocks)")
+                  f"({mesh.nmb_x1}x{mesh.nmb_x2}x{mesh.nmb_x3} root blocks)")
             for gid in range(mesh.nmb_total):
                 loc = mesh.lloc_eachmb[gid]
-                print(f"  gid={gid} lloc=({loc[0]},{loc[1]},{loc[2]})")
+                lev = int(mesh.mb_lev[gid])
+                print(f"  gid={gid} lloc=({loc[0]},{loc[1]},{loc[2]}) "
+                      f"level={lev}")
         if args.validate:
-            build(pin)
+            from .outputs import make_outputs
+            _, phys2, _, _, _ = build(pin)
+            make_outputs(pin, mesh, phys2)
             pin.check_unused_parameters()
             print("validation complete")
         return 0

@@ -172,7 +172,31 @@ class Mesh:
             if pa != pb:
                 raise ValueError(f"{a}/{b} must both be periodic or neither")
 
-        self._build_blocks()
+        # static mesh refinement (reference: build_tree.cpp:62-229)
+        self.multilevel = False
+        if pin.does_block_exist("mesh_refinement"):
+            ref = pin.get_string("mesh_refinement", "refinement")
+            if ref == "adaptive":
+                raise NotImplementedError(
+                    "adaptive refinement not implemented yet; "
+                    "refinement=static is available")
+            if ref == "static":
+                self.multilevel = True
+            elif ref != "none":
+                raise ValueError(f"mesh_refinement/refinement={ref}")
+
+        if self.multilevel:
+            if ng % 2 != 0:
+                raise ValueError("SMR requires an even nghost")
+            for mb, act in ((mbnx1, True), (mbnx2, nx2 > 1),
+                            (mbnx3, nx3 > 1)):
+                if act and mb % 2 != 0:
+                    raise ValueError("SMR requires even meshblock extents")
+            self._build_blocks_ml()
+        else:
+            self._build_blocks()
+            self.mb_lev = np.zeros(self.nmb_total, dtype=np.int64)
+            self.ml = None
 
         # time/cycle state (host mirrors; device copies live in the State)
         self.time = 0.0
@@ -250,6 +274,53 @@ class Mesh:
                         mask[gid] = (flag != "periodic")
                 self.nbr_gid[key] = gids
                 self.phys_bc_mask[key] = mask
+
+    # ------------------------------------------------------------------
+    def _build_blocks_ml(self) -> None:
+        """Statically refined tree: leaves, per-block (level-dependent)
+        extents, and mixed-level donor tables (reference:
+        build_tree.cpp:62-229 + bvals neighbor enumeration)."""
+        from .refinement import build_ml_tables, build_static_tree
+
+        ms = self.mesh_size
+        active = (True, self.mesh_indcs.nx2 > 1, self.mesh_indcs.nx3 > 1)
+        nrbx = (self.nmb_x1, self.nmb_x2, self.nmb_x3)
+        domain = (ms.x1min, ms.x1max, ms.x2min, ms.x2max,
+                  ms.x3min, ms.x3max)
+        leaves = build_static_tree(self.pin, nrbx, active, domain)
+        self.nmb_total = len(leaves)
+        self.lloc_eachmb = np.array([[l1, l2, l3] for l1, l2, l3, _ in
+                                     leaves], dtype=np.int64)
+        self.mb_lev = np.array([lev for _, _, _, lev in leaves],
+                               dtype=np.int64)
+        self.max_level = int(self.mb_lev.max())
+        self._loc2gid = {(l1, l2, l3): gid
+                         for gid, (l1, l2, l3, _) in enumerate(leaves)}
+
+        two = 2.0 ** self.mb_lev
+        one = np.ones_like(two)
+        w1 = (ms.x1max - ms.x1min) / (nrbx[0] * two)
+        w2 = (ms.x2max - ms.x2min) / (nrbx[1] * (two if active[1] else one))
+        w3 = (ms.x3max - ms.x3min) / (nrbx[2] * (two if active[2] else one))
+        l1 = self.lloc_eachmb[:, 0]
+        l2 = self.lloc_eachmb[:, 1]
+        l3 = self.lloc_eachmb[:, 2]
+        self.mb_size = {
+            "x1min": ms.x1min + l1 * w1, "x1max": ms.x1min + (l1 + 1) * w1,
+            "x2min": ms.x2min + l2 * w2, "x2max": ms.x2min + (l2 + 1) * w2,
+            "x3min": ms.x3min + l3 * w3, "x3max": ms.x3min + (l3 + 1) * w3,
+            "dx1": w1 / self.mb_indcs.nx1,
+            "dx2": w2 / self.mb_indcs.nx2,
+            "dx3": w3 / self.mb_indcs.nx3,
+        }
+
+        wraps = {ax: self.mesh_bcs[f"i{ax}"] in ("periodic", "shear_periodic")
+                 for ax in ("x1", "x2", "x3")}
+        self.ml = build_ml_tables(leaves, nrbx, active, wraps)
+        self.nbr_gid = {k: v["same"] for k, v in self.ml.items()
+                        if isinstance(v, dict)}
+        self.phys_bc_mask = {k: v["phys"] for k, v in self.ml.items()
+                             if isinstance(v, dict)}
 
     # ------------------------------------------------------------------
     def cell_centers(self, gid: int):

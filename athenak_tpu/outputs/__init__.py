@@ -272,8 +272,10 @@ class BinaryOutput(BaseOutput):
                                 mbi.ks, mbi.ke], dtype=np.int32)
                 f.write(idx.tobytes())
                 loc = mesh.lloc_eachmb[gid]
-                level = mesh.mb_level[gid] if hasattr(mesh, "mb_level") \
-                    else 0
+                # root-relative level, matching the reference's
+                # loc.level - root_level (reference: binary.cpp:193)
+                level = int(mesh.mb_lev[gid]) \
+                    if hasattr(mesh, "mb_lev") else 0
                 f.write(np.array([loc[0], loc[1], loc[2], level],
                                  dtype=np.int32).tobytes())
                 geom = np.array(
@@ -389,8 +391,157 @@ def load_restart(fname):
     return params, float(z["time"]), float(z["dt"]), int(z["ncycle"]), state
 
 
+class VtkOutput(BaseOutput):
+    """Legacy VTK (STRUCTURED_POINTS, BINARY, big-endian float) dumps of
+    the full mesh, readable by VisIt/ParaView (reference:
+    src/outputs/vtk_mesh.cpp:56-160: header, CELL_DATA, per-variable
+    SCALARS records with byte-swapped float payloads).  Uniform meshes
+    only, like the reference ("level= 0 assuming uniform mesh")."""
+
+    def __init__(self, pin, mesh, phys, block: str) -> None:
+        super().__init__(pin, mesh, phys, block)
+        if getattr(mesh, "multilevel", False):
+            raise NotImplementedError(
+                "vtk output requires a uniform mesh (use bin on SMR)")
+
+    def write(self, mesh, u, w, bcc=None) -> None:
+        p = self.params
+        kind, labels = BinaryOutput._VARIABLES.get(
+            p.variable, ("w", ["dens", "velx", "vely", "velz", "eint"]))
+        if kind in ("u", "w"):
+            arr = np.asarray(u if kind == "u" else w, dtype=np.float32)
+            nvar_phys = min(arr.shape[1], 5)
+            arr = arr[:, :nvar_phys]
+            labels = labels[:nvar_phys]
+        else:
+            base = np.asarray(u if kind == "u_bcc" else w, dtype=np.float32)
+            arr = np.concatenate(
+                [base[:, :5], np.asarray(bcc, dtype=np.float32)], axis=1)
+
+        mbi = mesh.mb_indcs
+        act = arr[:, :, mbi.ks:mbi.ke + 1, mbi.js:mbi.je + 1,
+                  mbi.is_:mbi.ie + 1]
+        # assemble the global grid from Z-ordered blocks
+        n1 = mesh.nmb_x1 * mbi.nx1
+        n2 = mesh.nmb_x2 * mbi.nx2
+        n3 = mesh.nmb_x3 * mbi.nx3
+        g = np.empty((act.shape[1], n3, n2, n1), dtype=np.float32)
+        for gid in range(mesh.nmb_total):
+            l1, l2, l3 = mesh.lloc_eachmb[gid]
+            g[:, l3 * mbi.nx3:(l3 + 1) * mbi.nx3,
+              l2 * mbi.nx2:(l2 + 1) * mbi.nx2,
+              l1 * mbi.nx1:(l1 + 1) * mbi.nx1] = act[gid]
+
+        ms = mesh.mesh_size
+        nc1 = n1 + 1 if n1 > 1 else n1
+        nc2 = n2 + 1 if n2 > 1 else n2
+        nc3 = n3 + 1 if n3 > 1 else n3
+        fname = f"{self.basename}.{p.variable}.{p.file_number:05d}.vtk"
+        with open(fname, "wb") as f:
+            f.write(b"# vtk DataFile Version 2.0\n")
+            f.write((f"# Athena++ data at time= {mesh.time:.15e}"
+                     f"  level= 0  nranks= 1  cycle={mesh.ncycle}"
+                     f"  variables={p.variable}\n").encode())
+            f.write(b"BINARY\nDATASET STRUCTURED_POINTS\n")
+            f.write(f"DIMENSIONS {nc1} {nc2} {nc3}\n".encode())
+            f.write((f"ORIGIN {ms.x1min:.15e} {ms.x2min:.15e} "
+                     f"{ms.x3min:.15e} \n").encode())
+            f.write((f"SPACING {ms.dx1:.15e} {ms.dx2:.15e} "
+                     f"{ms.dx3:.15e} \n").encode())
+            f.write(f"\nCELL_DATA {n1 * n2 * n3}\n".encode())
+            for v, label in enumerate(labels):
+                f.write(f"\nSCALARS {label} float\n".encode())
+                f.write(b"LOOKUP_TABLE default\n")
+                f.write(g[v].astype(">f4").tobytes())
+
+    def maybe_write(self, mesh, u, w, force: bool = False, state=None):
+        if force or self.due(mesh):
+            bcc = state.get("bcc") if state is not None else None
+            self.write(mesh, u, w, bcc=bcc)
+            if self.params.dt > 0.0:
+                if self.params.last_time < -1e299:
+                    self.params.last_time = mesh.time
+                else:
+                    self.params.last_time += self.params.dt
+            self.params.file_number += 1
+
+
+class WaveformOutput(BaseOutput):
+    """Gravitational-wave diagnostics for Z4c runs: psi4 (l,m) modes on
+    extraction spheres + compact-object (puncture) trackers.
+
+    Reference: src/z4c/z4c_wave_extr.cpp (mode integrals) and
+    src/z4c/compact_object_tracker.cpp (shift-ODE tracker).  Deck params
+    follow the reference <z4c> block: nrad_wave_extraction,
+    extraction_radius_N, extraction_nlev, nco, co_N_x/y/z."""
+
+    def __init__(self, pin, mesh, phys, block: str) -> None:
+        super().__init__(pin, mesh, phys, block)
+        from ..z4c.weyl import CompactObjectTracker, WaveExtractor
+        from ..z4c.z4c import I_BETAX
+        self.mesh = mesh
+        nrad = pin.get_or_add_integer("z4c", "nrad_wave_extraction", 0)
+        radii = [pin.get_real("z4c", f"extraction_radius_{n + 1}")
+                 for n in range(nrad)]
+        nlev = pin.get_or_add_integer("z4c", "extraction_nlev", 16)
+        lmax = pin.get_or_add_integer("z4c", "lmax_wave_extraction", 4)
+        self.extractor = WaveExtractor(radii, lmax=lmax, nlevel=nlev) \
+            if radii else None
+        nco = pin.get_or_add_integer("z4c", "nco", 0)
+        self.trackers = [
+            CompactObjectTracker(
+                [pin.get_or_add_real("z4c", f"co_{n}_x", 0.0),
+                 pin.get_or_add_real("z4c", f"co_{n}_y", 0.0),
+                 pin.get_or_add_real("z4c", f"co_{n}_z", 0.0)], I_BETAX)
+            for n in range(nco)]
+        self._weyl_jit = None
+        self._wrote_header = False
+
+    def maybe_write(self, mesh, u, w, force=False, state=None):
+        # trackers integrate every cycle (reference: tracker task in the
+        # z4c task list), independent of the output cadence
+        if self.trackers and mesh.ncycle > 0:
+            un = np.asarray(u)
+            for trk in self.trackers:
+                trk.update(mesh, un, mesh.dtold)
+        super().maybe_write(mesh, u, w, force=force, state=state)
+
+    def write(self, mesh, u, w) -> None:
+        for n, trk in enumerate(self.trackers):
+            with open(f"{self.basename}.co_{n}.txt", "a") as f:
+                if trk.history:
+                    t, x, y, z = trk.history[-1]
+                else:
+                    t, (x, y, z) = mesh.time, trk.pos
+                f.write(f"{t:.10e} {x:.10e} {y:.10e} {z:.10e}\n")
+        if self.extractor is None:
+            return
+        if self._weyl_jit is None:
+            import jax
+
+            from ..z4c.weyl import weyl_scalars
+            phys = self.phys
+            self._weyl_jit = jax.jit(lambda uu: weyl_scalars(phys, uu))
+        rp, ip = self._weyl_jit(u)
+        rp, ip = np.asarray(rp), np.asarray(ip)
+        keys = sorted(self.extractor.ylm.keys())
+        if not self._wrote_header:
+            with open(f"{self.basename}.waveform.txt", "a") as f:
+                cols = " ".join(f"Re_l{l}_m{m} Im_l{l}_m{m}"
+                                for l, m in keys)
+                f.write(f"# time radius {cols}\n")
+            self._wrote_header = True
+        for rad, modes in self.extractor.modes(mesh, rp, ip):
+            with open(f"{self.basename}.waveform.txt", "a") as f:
+                vals = " ".join(f"{modes[k][0]:.10e} {modes[k][1]:.10e}"
+                                for k in keys)
+                f.write(f"{mesh.time:.10e} {rad:.6e} {vals}\n")
+
+
 _TYPES["bin"] = BinaryOutput
 _TYPES["rst"] = RestartOutput
+_TYPES["vtk"] = VtkOutput
+_TYPES["wave"] = WaveformOutput
 
 
 class TrackedParticleOutput(BaseOutput):

@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Dict, Optional, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..bvals import BoundaryValues
 from ..indices import IDN, IEN, IM1, IM2, IM3, IVX, IVY, IVZ, RECON_NGHOST
@@ -26,6 +27,9 @@ from ..ops import rsolvers
 from ..ops.eos import EOSData, cons_to_prim_hydro, prim_to_cons_hydro
 
 _HUGE = float(jnp.finfo(jnp.float32).max)
+
+# mesh axis -> array axis in [nmb, nvar, n3, n2, n1]
+_ML_AXIS = {"x1": 4, "x2": 3, "x3": 2}
 
 
 class Hydro:
@@ -77,12 +81,20 @@ class Hydro:
         mbi = mesh.mb_indcs
         self.shape = (mesh.nmb_total, self.nvar,
                       mbi.ncells3, mbi.ncells2, mbi.ncells1)
-        # axis -> (array axis, ivx, dx)
-        self.dirs = [("x1", 4, IVX, mesh.mesh_size.dx1)]
+        # axis -> (array axis, ivx, dx); dx is scalar on uniform meshes,
+        # per-block broadcastable [nmb,1,1,1,1] on multilevel meshes
+        self.multilevel = bool(getattr(mesh, "multilevel", False))
+
+        def _dx(name):
+            if self.multilevel:
+                return mesh.mb_size[f"d{name}"].reshape(-1, 1, 1, 1, 1)
+            return getattr(mesh.mesh_size, f"d{name}")
+
+        self.dirs = [("x1", 4, IVX, _dx("x1"))]
         if mbi.nx2 > 1:
-            self.dirs.append(("x2", 3, IVY, mesh.mesh_size.dx2))
+            self.dirs.append(("x2", 3, IVY, _dx("x2")))
         if mbi.nx3 > 1:
-            self.dirs.append(("x3", 2, IVZ, mesh.mesh_size.dx3))
+            self.dirs.append(("x3", 2, IVZ, _dx("x3")))
 
         # evolution type: "dynamic" | "kinematic" | "static"
         self.time_evolution = pin.get_string("time", "evolution") \
@@ -166,6 +178,18 @@ class Hydro:
         # optional extra source-term hook: fn(u, w, beta_dt) -> u
         self.srcterms_func = None
 
+        if self.multilevel:
+            blockers = {"viscosity/conduction": self.pvisc or self.pcond,
+                        "turbulence driving": self.pturb,
+                        "particles": self.ppart,
+                        "self-gravity": self.pgrav,
+                        "shearing box": self.psbox}
+            for what, on in blockers.items():
+                if on is not None and on is not False:
+                    raise NotImplementedError(
+                        f"{what} with static mesh refinement is not "
+                        "supported yet")
+
     # ------------------------------------------------------------- allocate
     def allocate(self, dtype):
         u = jnp.zeros(self.shape, dtype=dtype)
@@ -237,6 +261,73 @@ class Hydro:
             out = self.pvisc.add_viscous_flux(w, out, self.dirs)
         if self.pcond is not None:
             out = self.pcond.add_heat_flux(w, out, self.dirs)
+        return out
+
+    # ------------------------------------------------------ flux correction
+    def _flux_correct(self, flx):
+        """Conservative SMR flux correction: on every coarse face that
+        abuts finer blocks, replace the coarse flux with the transverse
+        cell-average of the fine donors' boundary-face fluxes
+        (reference: src/bvals/flux_correction_cc.cpp).  Restores exact
+        telescoping conservation across refinement boundaries."""
+        mesh = self.mesh
+        mbi = mesh.mb_indcs
+        ng = mbi.ng
+        nx_of = {"x1": mbi.nx1, "x2": mbi.nx2, "x3": mbi.nx3}
+        out = dict(flx)
+        for name, axis, _ivx, _dx in self.dirs:
+            f = out[name]
+            n = f.shape[axis]
+            for side in ("m", "p"):
+                t = mesh.ml[f"{name}{side}"]
+                if not t["any_fine"]:
+                    continue
+                nxa = nx_of[name]
+                my_idx = ng if side == "m" else ng + nxa
+                dn_idx = ng + nxa if side == "m" else ng
+
+                def slc(i, axis=axis):
+                    idx = [slice(None)] * 5
+                    idx[axis] = slice(i, i + 1)
+                    return tuple(idx)
+
+                dn_slab = f[slc(dn_idx)]
+                # restrict transverse-only (the flux lives ON the face)
+                t_axes = [_ML_AXIS[a] for a in t["t_names"]]
+                from ..refinement import restrict_cc
+                parts = [restrict_cc(
+                    jnp.take(dn_slab, t["fine"][:, q], axis=0), t_axes)
+                    for q in range(t["fine"].shape[1])]
+                # quadrant assembly over my transverse INTERIOR: the
+                # restricted donor interior [h, h+nx_t/2) tiles it exactly
+                h = ng // 2
+                for a2 in t["t_names"]:
+                    t_axis = _ML_AXIS[a2]
+                    half = nx_of[a2] // 2
+                    merged = []
+                    for b in range(0, len(parts), 2):
+                        lo = jnp.take(parts[b], np.arange(h, h + half),
+                                      axis=t_axis)
+                        hi = jnp.take(parts[b + 1], np.arange(h, h + half),
+                                      axis=t_axis)
+                        merged.append(jnp.concatenate([lo, hi], axis=t_axis))
+                    parts = merged
+                assembled = parts[0]
+                my_slab = f[slc(my_idx)]
+                region = [slice(None)] * 5
+                for a2 in t["t_names"]:
+                    region[_ML_AXIS[a2]] = slice(ng, ng + nx_of[a2])
+                region = tuple(region)
+                fmask = t["fine_mask"].reshape((-1,) + (1,) * 4)
+                my_slab = my_slab.at[region].set(
+                    jnp.where(fmask, assembled, my_slab[region]))
+                pre = [slice(None)] * 5
+                pre[axis] = slice(0, my_idx)
+                post = [slice(None)] * 5
+                post[axis] = slice(my_idx + 1, n)
+                f = jnp.concatenate(
+                    [f[tuple(pre)], my_slab, f[tuple(post)]], axis=axis)
+            out[name] = f
         return out
 
     # --------------------------------------------------------------- update
@@ -374,11 +465,17 @@ class Hydro:
             dv3 = jnp.abs(vz) + cs
 
         ms = self.mesh.mesh_size
-        dt = jnp.min(ms.dx1 / jnp.maximum(dv1, 1e-300))
+        if self.multilevel:
+            dx1 = self.mesh.mb_size["dx1"].reshape(-1, 1, 1, 1)
+            dx2 = self.mesh.mb_size["dx2"].reshape(-1, 1, 1, 1)
+            dx3 = self.mesh.mb_size["dx3"].reshape(-1, 1, 1, 1)
+        else:
+            dx1, dx2, dx3 = ms.dx1, ms.dx2, ms.dx3
+        dt = jnp.min(dx1 / jnp.maximum(dv1, 1e-300))
         if mbi.nx2 > 1:
-            dt = jnp.minimum(dt, jnp.min(ms.dx2 / jnp.maximum(dv2, 1e-300)))
+            dt = jnp.minimum(dt, jnp.min(dx2 / jnp.maximum(dv2, 1e-300)))
         if mbi.nx3 > 1:
-            dt = jnp.minimum(dt, jnp.min(ms.dx3 / jnp.maximum(dv3, 1e-300)))
+            dt = jnp.minimum(dt, jnp.min(dx3 / jnp.maximum(dv3, 1e-300)))
         return dt
 
     # ------------------------------------------------- state-dict interface
@@ -416,6 +513,8 @@ class Hydro:
         if self.use_fofc or self.fofc_excise_mask is not None:
             flx, nfofc = self._apply_fofc(u, saved["u1"], w, flx,
                                           gam0, gam1, beta_dt)
+        if self.multilevel:
+            flx = self._flux_correct(flx)
         u = self.rk_update(u, saved["u1"], flx, gam0, gam1, beta_dt)
         if self.is_gr:
             u = self.coord_src_terms(u, w, beta_dt)

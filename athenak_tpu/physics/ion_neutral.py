@@ -31,6 +31,9 @@ class IonNeutral:
         self.mesh = mesh
         self.bvals = bvals
         self.drag_coeff = pin.get_real("ion-neutral", "drag_coeff")
+        if getattr(mesh, "multilevel", False):
+            raise NotImplementedError(
+                "ion-neutral with static mesh refinement is not supported yet")
         self.xi = pin.get_or_add_real("ion-neutral", "ionization_coeff", 0.0)
         self.alpha = pin.get_or_add_real(
             "ion-neutral", "recombination_coeff", 0.0)

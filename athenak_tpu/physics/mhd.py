@@ -43,6 +43,9 @@ class MHD:
     def __init__(self, pin, mesh: Mesh, bvals: BoundaryValues) -> None:
         from ..coordinates import Coordinates
         self.mesh = mesh
+        if getattr(mesh, "multilevel", False):
+            raise NotImplementedError(
+                "MHD with static mesh refinement is not supported yet")
         self.bvals = bvals
         self.coord = Coordinates(pin)
         self.eos = EOSData.from_input(pin, "mhd")

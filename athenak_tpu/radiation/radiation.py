@@ -31,6 +31,9 @@ class Radiation:
         self.mesh = mesh
         self.bvals = bvals
         nlevel = pin.get_or_add_integer("radiation", "nlevel", 2)
+        if getattr(mesh, "multilevel", False):
+            raise NotImplementedError(
+                "radiation with static mesh refinement is not supported yet")
         self.grid = GeodesicGrid(nlevel)
         self.nvar = self.grid.nangles
         # opacities (gray, constant; reference supports Rosseland/Planck

@@ -1,0 +1,356 @@
+"""Static mesh refinement: octree leaves, mixed-level neighbor tables,
+and the restriction/prolongation operators.
+
+Parity targets: tree construction from ``<refined_regionN>`` blocks
+(reference: src/mesh/build_tree.cpp:62-229), 2:1 level balance
+(reference: src/mesh/meshblock_tree.cpp refinement flags), the
+piecewise-linear min-mod prolongation operator ProlongCC (reference:
+src/mesh/prolongation.hpp:19-59) and conservative cell-averaging
+restriction RestrictCC (reference: src/mesh/restriction.hpp).
+
+TPU-native design: the tree is built once on host with plain Python/
+numpy; the per-cycle compute path sees only static gather-index tables
+(same-level / coarse / fine donors per face) and fixed-shape reshape-
+mean / interleave kernels.  No per-buffer pack/unpack machinery — each
+axis sweep rebuilds the array with one concatenate, selecting between
+donor candidates with masked ``where``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+# transverse axes (in mesh naming) for each sweep axis; the first entry
+# is the fast quadrant index
+_TRANSVERSE = {"x1": ("x2", "x3"), "x2": ("x1", "x3"), "x3": ("x1", "x2")}
+# mesh-axis -> component index in the (l1, l2, l3) logical location
+_AXIS_ID = {"x1": 0, "x2": 1, "x3": 2}
+
+
+# ---------------------------------------------------------------------------
+# tree construction (host side)
+# ---------------------------------------------------------------------------
+def build_static_tree(pin, nrbx: Tuple[int, int, int],
+                      active: Tuple[bool, bool, bool],
+                      domain: Tuple[float, float, float, float, float, float],
+                      ) -> List[Tuple[int, int, int, int]]:
+    """Build the leaf list for a statically refined mesh.
+
+    Reads every ``<refined_region*>`` input block (level = levels finer
+    than root, region bounds in physical coordinates), refines all root
+    blocks intersecting each region to its level, then enforces 2:1
+    balance across face/edge/corner neighbors (reference:
+    build_tree.cpp:95-229).  Returns leaves as (l1, l2, l3, level)
+    tuples with level relative to root, in Z-order.
+    """
+    x1min, x1max, x2min, x2max, x3min, x3max = domain
+    ndim = 1 + int(active[1]) + int(active[2])
+
+    # leaf set: dict (lev, l1, l2, l3) -> True
+    leaves = {}
+    for l3 in range(nrbx[2]):
+        for l2 in range(nrbx[1]):
+            for l1 in range(nrbx[0]):
+                leaves[(0, l1, l2, l3)] = True
+
+    def block_bounds(lev, l1, l2, l3):
+        n1 = nrbx[0] << lev
+        n2 = nrbx[1] << lev if active[1] else nrbx[1]
+        n3 = nrbx[2] << lev if active[2] else nrbx[2]
+        return (x1min + (x1max - x1min) * l1 / n1,
+                x1min + (x1max - x1min) * (l1 + 1) / n1,
+                x2min + (x2max - x2min) * l2 / n2,
+                x2min + (x2max - x2min) * (l2 + 1) / n2,
+                x3min + (x3max - x3min) * l3 / n3,
+                x3min + (x3max - x3min) * (l3 + 1) / n3)
+
+    def split(key):
+        lev, l1, l2, l3 = key
+        del leaves[key]
+        for o3 in range(2 if active[2] else 1):
+            for o2 in range(2 if active[1] else 1):
+                for o1 in range(2):
+                    leaves[(lev + 1, 2 * l1 + o1,
+                            (2 * l2 + o2) if active[1] else l2,
+                            (2 * l3 + o3) if active[2] else l3)] = True
+
+    # ---- refine regions
+    regions = []
+    for block in list(pin.blocks.keys()):
+        if not block.startswith("refined_region"):
+            continue
+        lev = pin.get_integer(block, "level")
+        if lev < 1:
+            raise ValueError(f"<{block}> level must be >= 1")
+        reg = (pin.get_real(block, "x1min"), pin.get_real(block, "x1max"),
+               pin.get_or_add_real(block, "x2min", x2min),
+               pin.get_or_add_real(block, "x2max", x2max),
+               pin.get_or_add_real(block, "x3min", x3min),
+               pin.get_or_add_real(block, "x3max", x3max))
+        regions.append((lev, reg))
+    if not regions:
+        raise ValueError("refinement=static requires at least one "
+                         "<refined_regionN> block")
+
+    for target, reg in regions:
+        changed = True
+        while changed:
+            changed = False
+            for key in list(leaves.keys()):
+                lev = key[0]
+                if lev >= target:
+                    continue
+                b = block_bounds(*key)
+                inter = (max(b[0], reg[0]) < min(b[1], reg[1]))
+                if active[1]:
+                    inter &= (max(b[2], reg[2]) < min(b[3], reg[3]))
+                if active[2]:
+                    inter &= (max(b[4], reg[4]) < min(b[5], reg[5]))
+                if inter:
+                    split(key)
+                    changed = True
+
+    # ---- 2:1 balance over face+edge+corner neighbors
+    max_lev = max(k[0] for k in leaves)
+
+    def covering(lev, l1, l2, l3):
+        """The leaf covering cell (l1,l2,l3) of level lev, or None."""
+        for up in range(lev, -1, -1):
+            s = lev - up
+            key = (up, l1 >> s,
+                   (l2 >> s) if active[1] else l2,
+                   (l3 >> s) if active[2] else l3)
+            if key in leaves:
+                return key
+        return None
+
+    def extent(lev):
+        return (nrbx[0] << lev,
+                (nrbx[1] << lev) if active[1] else nrbx[1],
+                (nrbx[2] << lev) if active[2] else nrbx[2])
+
+    changed = True
+    while changed:
+        changed = False
+        for key in list(leaves.keys()):
+            if key not in leaves:
+                continue
+            lev, l1, l2, l3 = key
+            if lev <= 1:
+                continue  # neighbors of level-<=1 leaves can always comply
+            n1, n2, n3 = extent(lev)
+            for d3 in ((-1, 0, 1) if active[2] else (0,)):
+                for d2 in ((-1, 0, 1) if active[1] else (0,)):
+                    for d1 in (-1, 0, 1):
+                        if d1 == 0 and d2 == 0 and d3 == 0:
+                            continue
+                        t1, t2, t3 = l1 + d1, l2 + d2, l3 + d3
+                        # periodic wrap always applied for balance checks:
+                        # non-periodic out-of-domain cells have no leaf
+                        if not (0 <= t1 < n1):
+                            t1 %= n1
+                            if not _wraps(pin, "x1"):
+                                continue
+                        if not (0 <= t2 < n2):
+                            t2 %= n2
+                            if not _wraps(pin, "x2"):
+                                continue
+                        if not (0 <= t3 < n3):
+                            t3 %= n3
+                            if not _wraps(pin, "x3"):
+                                continue
+                        cov = covering(lev, t1, t2, t3)
+                        if cov is not None and cov[0] < lev - 1:
+                            split(cov)
+                            changed = True
+
+    # ---- Z-order (Morton at the finest level = tree-traversal order)
+    max_lev = max(k[0] for k in leaves)
+    nb = max(extent(max_lev))
+    nbits = max(1, (nb - 1).bit_length())
+
+    def zkey(key):
+        lev, l1, l2, l3 = key
+        s = max_lev - lev
+        u1 = l1 << s
+        u2 = (l2 << s) if active[1] else l2
+        u3 = (l3 << s) if active[2] else l3
+        out = 0
+        for i in range(nbits):
+            out |= ((u1 >> i) & 1) << (3 * i)
+            out |= ((u2 >> i) & 1) << (3 * i + 1)
+            out |= ((u3 >> i) & 1) << (3 * i + 2)
+        return out
+
+    order = sorted(leaves.keys(), key=zkey)
+    return [(l1, l2, l3, lev) for (lev, l1, l2, l3) in order]
+
+
+def _wraps(pin, ax: str) -> bool:
+    flag = pin.get_or_add_string("mesh", f"i{ax}_bc", "periodic")
+    return flag in ("periodic", "shear_periodic")
+
+
+# ---------------------------------------------------------------------------
+# neighbor tables (host side)
+# ---------------------------------------------------------------------------
+def build_ml_tables(leaves, nrbx, active, wraps) -> Dict[str, Dict]:
+    """Per-(axis, side) donor tables for the mixed-level halo exchange.
+
+    For each block: a same-level donor gid (self when none / physical
+    boundary — the uniform fast-path table), a coarse donor gid +
+    transverse parities (this block's position within the coarse
+    neighbor's face), and 2^(n_transverse) fine donor gids.
+    """
+    nmb = len(leaves)
+    loc2gid = {}
+    for gid, (l1, l2, l3, lev) in enumerate(leaves):
+        loc2gid[(lev, l1, l2, l3)] = gid
+
+    def extent(lev):
+        return (nrbx[0] << lev,
+                (nrbx[1] << lev) if active[1] else nrbx[1],
+                (nrbx[2] << lev) if active[2] else nrbx[2])
+
+    axes = [("x1", 0)]
+    if active[1]:
+        axes.append(("x2", 1))
+    if active[2]:
+        axes.append(("x3", 2))
+
+    tables: Dict[str, Dict] = {}
+    any_multi = any(lev > 0 for (_, _, _, lev) in leaves)
+    for name, ax in axes:
+        t_names = [t for t in _TRANSVERSE[name]
+                   if active[_AXIS_ID[t]]]
+        nq = 1 << len(t_names)
+        for side, delta in (("m", -1), ("p", +1)):
+            key = f"{name}{side}"
+            same = np.empty(nmb, dtype=np.int32)
+            phys = np.zeros(nmb, dtype=bool)
+            coarse = np.zeros(nmb, dtype=np.int32)
+            co_mask = np.zeros(nmb, dtype=bool)
+            fine = np.zeros((nmb, nq), dtype=np.int32)
+            fi_mask = np.zeros(nmb, dtype=bool)
+            par = {t: np.zeros(nmb, dtype=np.int64) for t in t_names}
+
+            for gid, (l1, l2, l3, lev) in enumerate(leaves):
+                n = extent(lev)
+                tgt = [l1, l2, l3]
+                tgt[ax] += delta
+                if not (0 <= tgt[ax] < n[ax]):
+                    if wraps[name]:
+                        tgt[ax] %= n[ax]
+                    else:
+                        same[gid] = gid
+                        phys[gid] = True
+                        continue
+                k_same = (lev, tgt[0], tgt[1], tgt[2])
+                if k_same in loc2gid:
+                    same[gid] = loc2gid[k_same]
+                    continue
+                # coarser neighbor?
+                k_co = (lev - 1, tgt[0] >> 1,
+                        (tgt[1] >> 1) if active[1] else tgt[1],
+                        (tgt[2] >> 1) if active[2] else tgt[2])
+                if lev > 0 and k_co in loc2gid:
+                    same[gid] = gid  # masked out
+                    coarse[gid] = loc2gid[k_co]
+                    co_mask[gid] = True
+                    my = (l1, l2, l3)
+                    for t in t_names:
+                        par[t][gid] = my[_AXIS_ID[t]] & 1
+                    continue
+                # finer neighbors: children of tgt at lev+1 touching my face
+                same[gid] = gid
+                fi_mask[gid] = True
+                base = [tgt[0] << 1,
+                        (tgt[1] << 1) if active[1] else tgt[1],
+                        (tgt[2] << 1) if active[2] else tgt[2]]
+                # near half along the normal axis
+                base[ax] += (1 if side == "m" else 0)
+                for q in range(nq):
+                    child = list(base)
+                    for bt, t in enumerate(t_names):
+                        child[_AXIS_ID[t]] += (q >> bt) & 1
+                    k_fi = (lev + 1, child[0], child[1], child[2])
+                    if k_fi not in loc2gid:
+                        raise RuntimeError(
+                            f"tree not 2:1 balanced at {key} of gid {gid}")
+                    fine[gid, q] = loc2gid[k_fi]
+
+            tables[key] = {
+                "same": same, "phys": phys,
+                "coarse": coarse, "coarse_mask": co_mask,
+                "fine": fine, "fine_mask": fi_mask,
+                "par": par, "t_names": t_names,
+                "any_coarse": bool(co_mask.any()),
+                "any_fine": bool(fi_mask.any()),
+            }
+    tables["multilevel"] = any_multi
+    return tables
+
+
+# ---------------------------------------------------------------------------
+# restriction / prolongation array operators (traced, shape-static)
+# ---------------------------------------------------------------------------
+def restrict_cc(x, cell_axes):
+    """Conservative 2x cell-average restriction along ``cell_axes``
+    (negative array-axis indices; reference: restriction.hpp RestrictCC)."""
+    import jax.numpy as jnp
+    for ax in cell_axes:
+        a = ax % x.ndim
+        sh = x.shape
+        new = sh[:a] + (sh[a] // 2, 2) + sh[a + 1:]
+        x = x.reshape(new).mean(axis=a + 1)
+    return x
+
+
+def _minmod_slope(c, a):
+    import jax.numpy as jnp
+    n = c.shape[a]
+    lo = jnp.take(c, np.arange(0, n - 2), axis=a)
+    mi = jnp.take(c, np.arange(1, n - 1), axis=a)
+    hi = jnp.take(c, np.arange(2, n), axis=a)
+    dl = mi - lo
+    dr = hi - mi
+    # full min-mod slope (magnitude min(|dl|,|dr|) when signs agree);
+    # the fine offsets are +/- slope/4, matching reference ProlongCC's
+    # dvar = 0.125*(SIGN(dl)+SIGN(dr))*min(|dl|,|dr|) applied as c +/- dvar
+    return 0.5 * (jnp.sign(dl) + jnp.sign(dr)) \
+        * jnp.minimum(jnp.abs(dl), jnp.abs(dr))
+
+
+def _interleave(lo, hi, a):
+    import jax.numpy as jnp
+    st = jnp.stack((lo, hi), axis=a + 1)
+    sh = lo.shape
+    return st.reshape(sh[:a] + (2 * sh[a],) + sh[a + 1:])
+
+
+def prolong_cc(c, cell_axes):
+    """Piecewise-linear min-mod prolongation (reference ProlongCC).
+
+    ``c`` carries one guard cell on each end of every axis in
+    ``cell_axes``; the result doubles the trimmed interior of those axes.
+    """
+    import jax.numpy as jnp
+    axes = [ax % c.ndim for ax in cell_axes]
+    slopes = {}
+    for a in axes:
+        s = _minmod_slope(c, a)
+        # trim the other axes' guard cells from this slope array
+        for b in axes:
+            if b != a:
+                s = jnp.take(s, np.arange(1, s.shape[b] - 1), axis=b)
+        slopes[a] = s
+    for a in axes:
+        c = jnp.take(c, np.arange(1, c.shape[a] - 1), axis=a)
+    for a in axes:
+        s = slopes.pop(a)
+        c = _interleave(c - 0.25 * s, c + 0.25 * s, a)
+        for b in list(slopes.keys()):
+            slopes[b] = _interleave(slopes[b], slopes[b], a)
+    return c

@@ -123,3 +123,43 @@ def read_tab(filename: str) -> Dict[str, np.ndarray]:
         cols = f.readline().lstrip("#").split()
     data = np.atleast_2d(np.loadtxt(filename))
     return {name: data[:, i] for i, name in enumerate(cols)}
+
+
+def read_vtk(filename: str):
+    """Read a legacy VTK STRUCTURED_POINTS file written by VtkOutput
+    (reference reader: vis/python/athena_read.py vtk()).
+
+    Returns (meta, dict of variable -> [n3, n2, n1] float array).
+    """
+    meta = {}
+    data = {}
+    with open(filename, "rb") as f:
+        assert f.readline().startswith(b"# vtk DataFile")
+        meta["title"] = f.readline().decode().strip()
+        assert f.readline().strip() == b"BINARY"
+        assert f.readline().strip() == b"DATASET STRUCTURED_POINTS"
+        dims = f.readline().split()[1:]
+        nc1, nc2, nc3 = (int(d) for d in dims)
+        meta["origin"] = [float(v) for v in f.readline().split()[1:4]]
+        meta["spacing"] = [float(v) for v in f.readline().split()[1:4]]
+        n1 = nc1 - 1 if nc1 > 1 else 1
+        n2 = nc2 - 1 if nc2 > 1 else 1
+        n3 = nc3 - 1 if nc3 > 1 else 1
+        line = f.readline()
+        while not line.strip():
+            line = f.readline()
+        assert line.startswith(b"CELL_DATA")
+        meta["ncells"] = int(line.split()[1])
+        while True:
+            line = f.readline()
+            if not line:
+                break
+            if not line.strip():
+                continue
+            assert line.startswith(b"SCALARS"), line
+            name = line.split()[1].decode()
+            f.readline()  # LOOKUP_TABLE default
+            raw = f.read(4 * n1 * n2 * n3)
+            data[name] = np.frombuffer(raw, dtype=">f4").reshape(
+                n3, n2, n1).astype(np.float64)
+    return meta, data

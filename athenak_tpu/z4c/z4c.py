@@ -101,6 +101,9 @@ class Z4c:
         self.mesh = mesh
         self.bvals = bvals
         self.opt = Z4cOptions(pin)
+        if getattr(mesh, "multilevel", False):
+            raise NotImplementedError(
+                "Z4c with static mesh refinement is not supported yet")
         mbi = mesh.mb_indcs
         self.ng = mbi.ng
         if self.ng not in (2, 3, 4):
@@ -155,6 +158,26 @@ class Z4c:
                 yc[gid, 0, :, 0] = x2v
                 zc[gid, :, 0, 0] = x3v
             self._sbc_xyz = (xc, yc, zc)
+
+    # ------------------------------------------------------------------
+    def coords_bcast(self):
+        """Per-block cell-center coordinates as broadcastable numpy arrays
+        ([nmb,1,1,n1], [nmb,1,n2,1], [nmb,n3,1,1]); built lazily, stays
+        host-side so jit embeds them as constants."""
+        if getattr(self, "_coords_bcast", None) is None:
+            mesh = self.mesh
+            mbi = mesh.mb_indcs
+            nmb = mesh.nmb_total
+            xc = np.empty((nmb, 1, 1, mbi.ncells1))
+            yc = np.empty((nmb, 1, mbi.ncells2, 1))
+            zc = np.empty((nmb, mbi.ncells3, 1, 1))
+            for gid in range(nmb):
+                x1v, x2v, x3v = mesh.cell_centers(gid)
+                xc[gid, 0, 0, :] = x1v
+                yc[gid, 0, :, 0] = x2v
+                zc[gid, :, 0, 0] = x3v
+            self._coords_bcast = (xc, yc, zc)
+        return self._coords_bcast
 
     # ------------------------------------------------------------------
     @staticmethod

@@ -156,3 +156,30 @@ def test_hst_reader(tmp_path):
     assert len(h["time"]) >= 3
     # mass conservation in the periodic box
     np.testing.assert_allclose(h["mass"], h["mass"][0], rtol=1e-10)
+
+
+def test_vtk_output_roundtrip(tmp_path):
+    """VTK dumps agree with the bin dumps of the same cycle and carry a
+    correct STRUCTURED_POINTS header (reference: vtk_mesh.cpp:93-137)."""
+    deck = DECK.replace(
+        "<output3>\nfile_type = rst\ndt = 0.1",
+        "<output3>\nfile_type = vtk\nvariable = mhd_w_bcc\ndt = 0.1")
+    mesh, phys, driver, state = _run_in(tmp_path, deck)
+    from athenak_tpu.vis.readers import read_vtk
+    vfiles = sorted(tmp_path.glob("outtest.mhd_w_bcc.*.vtk"))
+    bfiles = sorted(tmp_path.glob("outtest.mhd_w_bcc.*.bin"))
+    assert len(vfiles) >= 2
+    meta, data = read_vtk(str(vfiles[-1]))
+    assert meta["origin"] == [-0.5, -0.5, -0.5]
+    assert np.isclose(meta["spacing"][0], 1.0 / 32)
+    assert set(data) == {"dens", "velx", "vely", "velz", "eint",
+                         "bcc1", "bcc2", "bcc3"}
+    assert data["dens"].shape == (1, 16, 32)
+    # same payload as the bin dump, to f32 precision
+    b = read_binary(str(bfiles[-1]))
+    for v in data:
+        gb = np.zeros_like(data[v])
+        for mb, loc in zip(b["mb_data"][v], b["mb_logical"]):
+            l1, l2 = loc[0], loc[1]
+            gb[:, l2 * 16:(l2 + 1) * 16, l1 * 16:(l1 + 1) * 16] = mb
+        assert np.allclose(data[v], gb, rtol=1e-6, atol=1e-6), v
