@@ -136,6 +136,14 @@ class BoundaryValues:
         t = self.mesh.ml[f"{ax}{side}"]
         if not (t["any_fine"] or t["any_coarse"]):
             return ghost
+        # mixed-level blocks have no same-level donor: their gathered
+        # candidate is self-garbage.  Start from the CURRENT ghost content
+        # instead, so slab parts outside the restriction/prolongation write
+        # regions (corner rings) retain what earlier sweeps copied there.
+        mlm = (t["fine_mask"] | t["coarse_mask"]).reshape((-1,) + (1,) * 4)
+        cur = u[slc(0, self.ng)] if side == "m" \
+            else u[slc(n - self.ng, n)]
+        ghost = jnp.where(mlm, cur, ghost)
         mbi = self.mesh.mb_indcs
         ng, h = self.ng, self.ng // 2
         nx_of = {"x1": mbi.nx1, "x2": mbi.nx2, "x3": mbi.nx3}
@@ -185,12 +193,15 @@ class BoundaryValues:
                 t_axis = _AXIS_OF[a2]
                 half = nx_of[a2] // 2
                 ln = half + ng + 2
-                start = ng + t["par"][a2] * half - h - 1  # [nmb]
-                idx = start[:, None] + np.arange(ln)[None, :]
-                shape = [len(start), 1, 1, 1, 1]
-                shape[t_axis] = ln
-                d = jnp.take_along_axis(
-                    d, jnp.asarray(idx.reshape(shape)), axis=t_axis)
+                # two static parity windows + per-block select (XLA/TPU
+                # prefers static slices over take_along_axis gathers)
+                s0 = ng - h - 1
+                d0 = jnp.take(d, np.arange(s0, s0 + ln), axis=t_axis)
+                d1 = jnp.take(d, np.arange(s0 + half, s0 + half + ln),
+                              axis=t_axis)
+                sel = t["par"][a2].astype(bool).reshape(
+                    (-1,) + (1,) * 4)
+                d = jnp.where(sel, d1, d0)
             pro = prolong_cc(d, cell_axes)
             cmask = t["coarse_mask"].reshape((-1,) + (1,) * 4)
             ghost = jnp.where(cmask, pro, ghost)

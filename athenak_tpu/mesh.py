@@ -317,10 +317,10 @@ class Mesh:
         wraps = {ax: self.mesh_bcs[f"i{ax}"] in ("periodic", "shear_periodic")
                  for ax in ("x1", "x2", "x3")}
         self.ml = build_ml_tables(leaves, nrbx, active, wraps)
-        self.nbr_gid = {k: v["same"] for k, v in self.ml.items()
-                        if isinstance(v, dict)}
-        self.phys_bc_mask = {k: v["phys"] for k, v in self.ml.items()
-                             if isinstance(v, dict)}
+        face_keys = [k for k, v in self.ml.items()
+                     if isinstance(v, dict) and "same" in v]
+        self.nbr_gid = {k: self.ml[k]["same"] for k in face_keys}
+        self.phys_bc_mask = {k: self.ml[k]["phys"] for k in face_keys}
 
     # ------------------------------------------------------------------
     def cell_centers(self, gid: int):

@@ -26,8 +26,11 @@ from . import rsolvers_mhd
 
 def _roll_l(q, s):
     """q shifted so result[..., i] = q[..., i+s] along the lane axis
-    (pltpu.roll requires a non-negative shift)."""
-    return pltpu.roll(q, (-s) % q.shape[-1], axis=q.ndim - 1)
+    (pltpu.roll requires a non-negative shift; the explicit int32 keeps
+    Mosaic happy when jax_enable_x64 would otherwise trace the shift as
+    i64, which tpu.dynamic_rotate rejects)."""
+    import numpy as _np
+    return pltpu.roll(q, _np.int32((-s) % q.shape[-1]), axis=q.ndim - 1)
 
 
 def _plm_lanes(q):

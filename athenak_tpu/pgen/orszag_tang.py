@@ -35,9 +35,10 @@ def init(pin, mesh, phys):
     bfc = {k: np.zeros(s) for k, s in phys.fc_shapes.items()}
     act = (slice(mbi.ks, mbi.ke + 1), slice(mbi.js, mbi.je + 1),
            slice(mbi.is_, mbi.is_ + mbi.nx1))
-    dx1, dx2 = mesh.mesh_size.dx1, mesh.mesh_size.dx2
-
     for gid in range(nmb):
+        # per-block spacings (level-dependent under SMR)
+        dx1 = mesh.mb_size["dx1"][gid]
+        dx2 = mesh.mb_size["dx2"][gid]
         x1v, x2v, x3v = mesh.cell_centers(gid)
         x1f, x2f, x3f = mesh.face_edges(gid)
         X2, X1 = np.meshgrid(x2v[act[1]], x1v[act[2]], indexing="ij")

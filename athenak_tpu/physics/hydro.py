@@ -183,7 +183,9 @@ class Hydro:
                         "turbulence driving": self.pturb,
                         "particles": self.ppart,
                         "self-gravity": self.pgrav,
-                        "shearing box": self.psbox}
+                        "shearing box": self.psbox,
+                        "relativistic hydro":
+                            self.is_sr or self.is_gr or None}
             for what, on in blockers.items():
                 if on is not None and on is not False:
                     raise NotImplementedError(
@@ -265,70 +267,10 @@ class Hydro:
 
     # ------------------------------------------------------ flux correction
     def _flux_correct(self, flx):
-        """Conservative SMR flux correction: on every coarse face that
-        abuts finer blocks, replace the coarse flux with the transverse
-        cell-average of the fine donors' boundary-face fluxes
-        (reference: src/bvals/flux_correction_cc.cpp).  Restores exact
-        telescoping conservation across refinement boundaries."""
-        mesh = self.mesh
-        mbi = mesh.mb_indcs
-        ng = mbi.ng
-        nx_of = {"x1": mbi.nx1, "x2": mbi.nx2, "x3": mbi.nx3}
-        out = dict(flx)
-        for name, axis, _ivx, _dx in self.dirs:
-            f = out[name]
-            n = f.shape[axis]
-            for side in ("m", "p"):
-                t = mesh.ml[f"{name}{side}"]
-                if not t["any_fine"]:
-                    continue
-                nxa = nx_of[name]
-                my_idx = ng if side == "m" else ng + nxa
-                dn_idx = ng + nxa if side == "m" else ng
-
-                def slc(i, axis=axis):
-                    idx = [slice(None)] * 5
-                    idx[axis] = slice(i, i + 1)
-                    return tuple(idx)
-
-                dn_slab = f[slc(dn_idx)]
-                # restrict transverse-only (the flux lives ON the face)
-                t_axes = [_ML_AXIS[a] for a in t["t_names"]]
-                from ..refinement import restrict_cc
-                parts = [restrict_cc(
-                    jnp.take(dn_slab, t["fine"][:, q], axis=0), t_axes)
-                    for q in range(t["fine"].shape[1])]
-                # quadrant assembly over my transverse INTERIOR: the
-                # restricted donor interior [h, h+nx_t/2) tiles it exactly
-                h = ng // 2
-                for a2 in t["t_names"]:
-                    t_axis = _ML_AXIS[a2]
-                    half = nx_of[a2] // 2
-                    merged = []
-                    for b in range(0, len(parts), 2):
-                        lo = jnp.take(parts[b], np.arange(h, h + half),
-                                      axis=t_axis)
-                        hi = jnp.take(parts[b + 1], np.arange(h, h + half),
-                                      axis=t_axis)
-                        merged.append(jnp.concatenate([lo, hi], axis=t_axis))
-                    parts = merged
-                assembled = parts[0]
-                my_slab = f[slc(my_idx)]
-                region = [slice(None)] * 5
-                for a2 in t["t_names"]:
-                    region[_ML_AXIS[a2]] = slice(ng, ng + nx_of[a2])
-                region = tuple(region)
-                fmask = t["fine_mask"].reshape((-1,) + (1,) * 4)
-                my_slab = my_slab.at[region].set(
-                    jnp.where(fmask, assembled, my_slab[region]))
-                pre = [slice(None)] * 5
-                pre[axis] = slice(0, my_idx)
-                post = [slice(None)] * 5
-                post[axis] = slice(my_idx + 1, n)
-                f = jnp.concatenate(
-                    [f[tuple(pre)], my_slab, f[tuple(post)]], axis=axis)
-            out[name] = f
-        return out
+        """Conservative SMR flux correction (reference:
+        src/bvals/flux_correction_cc.cpp); shared with MHD."""
+        from ..refinement import flux_correct_cc
+        return flux_correct_cc(flx, self.mesh, [d[0] for d in self.dirs])
 
     # --------------------------------------------------------------- update
     def rk_update(self, u0, u1, flx, gam0: float, gam1: float, beta_dt):

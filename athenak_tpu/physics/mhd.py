@@ -43,9 +43,7 @@ class MHD:
     def __init__(self, pin, mesh: Mesh, bvals: BoundaryValues) -> None:
         from ..coordinates import Coordinates
         self.mesh = mesh
-        if getattr(mesh, "multilevel", False):
-            raise NotImplementedError(
-                "MHD with static mesh refinement is not supported yet")
+        self.multilevel = bool(getattr(mesh, "multilevel", False))
         self.bvals = bvals
         self.coord = Coordinates(pin)
         self.eos = EOSData.from_input(pin, "mhd")
@@ -96,11 +94,20 @@ class MHD:
             "x3f": (mesh.nmb_total, n3 + 1, n2, n1),
         }
 
-        self.dirs = [("x1", 4, IVX, mesh.mesh_size.dx1)]
+        # dx is scalar on uniform meshes, per-block broadcastable on SMR
+        def _dx(name, nd):
+            if self.multilevel:
+                return mesh.mb_size[f"d{name}"].reshape(
+                    (-1,) + (1,) * (nd - 1))
+            return getattr(mesh.mesh_size, f"d{name}")
+
+        self.dirs = [("x1", 4, IVX, _dx("x1", 5))]
         if mbi.nx2 > 1:
-            self.dirs.append(("x2", 3, IVY, mesh.mesh_size.dx2))
+            self.dirs.append(("x2", 3, IVY, _dx("x2", 5)))
         if mbi.nx3 > 1:
-            self.dirs.append(("x3", 2, IVZ, mesh.mesh_size.dx3))
+            self.dirs.append(("x3", 2, IVZ, _dx("x3", 5)))
+        # 4D (no-var-axis) per-block dx for the CT curl and new_dt
+        self._dx4 = {n: _dx(n, 4) for n in ("x1", "x2", "x3")}
 
         self.time_evolution = pin.get_string("time", "evolution") \
             if pin.does_block_exist("time") else "dynamic"
@@ -114,11 +121,14 @@ class MHD:
             on_tpu = any(d.platform == "tpu"
                          for d in _jax.devices()) if use_pallas == "auto" \
                 else True
+            # f32 only: the TPU x64-rewriting pass cannot handle f64
+            # payloads inside Pallas custom calls
             self.use_pallas = (on_tpu and self.recon_method == "plm"
                                and self.rsolver == "hlld"
                                and self.nscalars == 0
                                and not (self.is_sr or self.is_gr)
-                               and self.eos.is_ideal)
+                               and self.eos.is_ideal
+                               and not _jax.config.jax_enable_x64)
 
         if self.is_gr:
             from ..coordinates import GRGeometry
@@ -191,6 +201,25 @@ class MHD:
         self.pgrav = SelfGravity(pin, mesh) \
             if pin.does_block_exist("gravity") else None
         self.srcterms_func = None
+
+        if self.multilevel:
+            blockers = {
+                "viscosity/resistivity/conduction":
+                    self.pvisc or self.presist or self.pcond,
+                "turbulence driving": self.pturb,
+                "particles": self.ppart,
+                "self-gravity": self.pgrav,
+                "relativistic MHD": self.is_sr or self.is_gr or None,
+            }
+            for what, on in blockers.items():
+                if on is not None and on is not False:
+                    raise NotImplementedError(
+                        f"{what} with static mesh refinement is not "
+                        "supported yet")
+            if mesh.mb_indcs.nx1 < 2 * mesh.mb_indcs.ng or \
+                    (mesh.mb_indcs.nx2 > 1
+                     and mesh.mb_indcs.nx2 < 2 * mesh.mb_indcs.ng):
+                raise ValueError("SMR requires meshblocks >= 2*nghost")
 
     # ------------------------------------------------------------- allocate
     def allocate(self, dtype):
@@ -435,28 +464,28 @@ class MHD:
         # data and refilled by the exchange.
         b1 = gam0 * bfc["x1f"] + gam1 * bfc_old["x1f"]
         if multi_d:
-            de3 = (_sh(e3, 1, JA) - e3) / ms.dx2
+            de3 = (_sh(e3, 1, JA) - e3) / self._dx4["x2"]
             b1 = b1 - beta_dt * self._to_face(de3, axis=3)
             if three_d:
-                de2 = (_sh(e2, 1, KA) - e2) / ms.dx3
+                de2 = (_sh(e2, 1, KA) - e2) / self._dx4["x3"]
                 b1 = b1 + beta_dt * self._to_face(de2, axis=3)
         new["x1f"] = b1
 
         # --- B2 faces (+1 on x2 axis)
         b2 = gam0 * bfc["x2f"] + gam1 * bfc_old["x2f"]
-        de3 = (_sh(e3, 1, IA) - e3) / ms.dx1
+        de3 = (_sh(e3, 1, IA) - e3) / self._dx4["x1"]
         b2 = b2 + beta_dt * self._to_face(de3, axis=2)
         if three_d:
-            de1 = (_sh(e1, 1, KA) - e1) / ms.dx3
+            de1 = (_sh(e1, 1, KA) - e1) / self._dx4["x3"]
             b2 = b2 - beta_dt * self._to_face(de1, axis=2)
         new["x2f"] = b2
 
         # --- B3 faces (+1 on x3 axis)
         b3 = gam0 * bfc["x3f"] + gam1 * bfc_old["x3f"]
-        de2 = (_sh(e2, 1, IA) - e2) / ms.dx1
+        de2 = (_sh(e2, 1, IA) - e2) / self._dx4["x1"]
         b3 = b3 - beta_dt * self._to_face(de2, axis=1)
         if multi_d:
-            de1 = (_sh(e1, 1, JA) - e1) / ms.dx2
+            de1 = (_sh(e1, 1, JA) - e1) / self._dx4["x2"]
             b3 = b3 + beta_dt * self._to_face(de1, axis=1)
         new["x3f"] = b3
         return new
@@ -468,6 +497,376 @@ class MHD:
         data, refilled by the face-field exchange)."""
         first = jnp.take(cell_arr, _np.array([0]), axis=axis)
         return jnp.concatenate([cell_arr, first], axis=axis)
+
+    # --------------------------------------------- mixed-level face fields
+    def _ml_fc_override(self, arr, ax: str, comp: str, src_arr=None):
+        """SMR overrides for one face-field component in one axis sweep:
+        area-average restriction from finer donors (including the shared
+        face, which the fine side owns) and linear prolongation from a
+        coarser donor (transverse min-mod on aligned planes, averaging on
+        internal planes; reference: src/bvals/bvals_fc.cpp restriction +
+        prolongation.hpp ProlongFCShared*/ProlongFCInternal).
+
+        Donor slabs are gathered from ``src_arr`` (the pre-sweep array, so
+        donor ghost cells hold the previous sweep's values like the CC
+        exchange) and written into ``arr``."""
+        from ..refinement import prolong_cc, restrict_cc
+        if src_arr is None:
+            src_arr = arr
+
+        mesh = self.mesh
+        mbi = mesh.mb_indcs
+        ng, h = mbi.ng, mbi.ng // 2
+        axis4 = _AXIS_OF[ax] - 1
+        caxis4 = _AXIS_OF[comp[:2]] - 1  # component's face-normal axis
+        normal = (caxis4 == axis4)
+        nx_of = {"x1": mbi.nx1, "x2": mbi.nx2, "x3": mbi.nx3}
+        nxa = nx_of[ax]
+        n4 = arr.shape[axis4]
+        active4 = {_AXIS_OF[a] - 1 for a in self.bvals.active_axes}
+
+        def take(a, idx, axis):
+            return jnp.take(a, _np.asarray(idx), axis=axis)
+
+        for side in ("m", "p"):
+            t = mesh.ml[f"{ax}{side}"]
+            tn = t["t_names"]
+            if not (t["any_fine"] or t["any_coarse"]):
+                continue
+            # mixed-level blocks: reset ghost regions to the pre-sweep
+            # values so corner rings outside the override write regions
+            # keep what earlier sweeps copied (the same-level gather is
+            # self-garbage for these blocks)
+            mlm4 = (t["fine_mask"] | t["coarse_mask"]).reshape(
+                (-1,) + (1,) * 3)
+            if normal:
+                gslc = [slice(None)] * 4
+                gslc[axis4] = slice(0, ng) if side == "m" \
+                    else slice(ng + nxa + 1, n4)
+            else:
+                gslc = [slice(None)] * 4
+                gslc[axis4] = slice(0, ng) if side == "m" \
+                    else slice(n4 - ng, n4)
+            gslc = tuple(gslc)
+            arr = arr.at[gslc].set(
+                jnp.where(mlm4, src_arr[gslc], arr[gslc]))
+
+            # ---------------- restriction from finer donors ----------------
+            if t["any_fine"]:
+                if normal:
+                    # plane set includes the shared face (fine-authoritative)
+                    if side == "m":
+                        planes = _np.arange(0, ng + 1)
+                        dn_planes = nxa - ng + 2 * planes
+                    else:
+                        planes = _np.arange(ng + nxa, n4)
+                        dn_planes = ng + 2 * (planes - ng - nxa)
+                    slab = take(src_arr, dn_planes, axis4)
+                    parts = []
+                    for q in range(t["fine"].shape[1]):
+                        d = jnp.take(slab, t["fine"][:, q], axis=0)
+                        d = restrict_cc(d, [_AXIS_OF[a] - 5 for a in tn])
+                        parts.append(d)
+                    for a2 in tn:
+                        ta = _AXIS_OF[a2] - 1
+                        keep = nx_of[a2] // 2 + h
+                        merged = []
+                        for b in range(0, len(parts), 2):
+                            lo = take(parts[b], _np.arange(keep), ta)
+                            nh = parts[b + 1].shape[ta]
+                            hi = take(parts[b + 1], _np.arange(h, nh), ta)
+                            merged.append(
+                                jnp.concatenate([lo, hi], axis=ta))
+                        parts = merged
+                    assembled = parts[0]
+                    # write the transverse INTERIOR only: the ghost-column
+                    # parts of the shared plane must stay what the sweeps
+                    # copied from the face's other owner, or same-level
+                    # neighbors near a refinement corner would reconstruct
+                    # from different bcc and break flux telescoping
+                    region = [slice(None)] * 4
+                    region[axis4] = planes
+                    for a2 in tn:
+                        ta = _AXIS_OF[a2] - 1
+                        nxt = nx_of[a2]
+                        assembled = take(
+                            assembled, _np.arange(ng - h, ng - h + nxt), ta)
+                        region[ta] = slice(ng, ng + nxt)
+                    region = tuple(region)
+                    fmask = t["fine_mask"].reshape((-1,) + (1,) * 3)
+                    arr = arr.at[region].set(
+                        jnp.where(fmask, assembled, arr[region]))
+                else:
+                    # transverse component: ghost cells along the sweep axis
+                    if side == "m":
+                        cells = slice(0, ng)
+                        dnc = _np.arange(n4 - 3 * ng, n4 - ng)
+                    else:
+                        cells = slice(n4 - ng, n4)
+                        dnc = _np.arange(ng, 3 * ng)
+                    slab = take(src_arr, dnc, axis4)
+                    parts = []
+                    for q in range(t["fine"].shape[1]):
+                        d = jnp.take(slab, t["fine"][:, q], axis=0)
+                        # pair-average along the sweep axis (cells)
+                        d = restrict_cc(d, [axis4 - 4])
+                        parts.append(d)
+                    # merge along each transverse axis of the sweep
+                    for a2 in tn:
+                        ta = _AXIS_OF[a2] - 1
+                        nxt = nx_of[a2]
+                        merged = []
+                        if ta == caxis4:
+                            # face axis: stride-2 plane select over
+                            # [ng-2h, ng+nxt+2h]
+                            faces = _np.arange(ng - 2 * h,
+                                              ng + nxt + 2 * h + 1, 2)
+                            parts = [take(p, faces, ta) for p in parts]
+                            keep = nxt // 2 + h
+                            for b in range(0, len(parts), 2):
+                                lo = take(parts[b], _np.arange(keep), ta)
+                                nh = parts[b + 1].shape[ta]
+                                hi = take(parts[b + 1],
+                                          _np.arange(h, nh), ta)
+                                merged.append(
+                                    jnp.concatenate([lo, hi], axis=ta))
+                        else:
+                            parts = [restrict_cc(p, [ta - 4])
+                                     for p in parts]
+                            keep = nxt // 2 + h
+                            for b in range(0, len(parts), 2):
+                                lo = take(parts[b], _np.arange(keep), ta)
+                                nh = parts[b + 1].shape[ta]
+                                hi = take(parts[b + 1],
+                                          _np.arange(h, nh), ta)
+                                merged.append(
+                                    jnp.concatenate([lo, hi], axis=ta))
+                        parts = merged
+                    assembled = parts[0]
+                    region = [slice(None)] * 4
+                    region[axis4] = cells
+                    for a2 in tn:
+                        ta = _AXIS_OF[a2] - 1
+                        region[ta] = slice(h, arr.shape[ta] - h)
+                    region = tuple(region)
+                    fmask = t["fine_mask"].reshape((-1,) + (1,) * 3)
+                    arr = arr.at[region].set(
+                        jnp.where(fmask, assembled, arr[region]))
+
+            # ---------------- prolongation from a coarser donor ------------
+            if t["any_coarse"]:
+                cmask = t["coarse_mask"].reshape((-1,) + (1,) * 3)
+
+                def window(d, a2, guard):
+                    """Parity window along cell axis a2: two static slices
+                    + per-block select (TPU-friendlier than a gather)."""
+                    ta = _AXIS_OF[a2] - 1
+                    half = nx_of[a2] // 2
+                    ln = half + ng + 2 * guard
+                    s0 = ng - h - guard
+                    d0 = jnp.take(d, _np.arange(s0, s0 + ln), axis=ta)
+                    d1 = jnp.take(d, _np.arange(s0 + half, s0 + half + ln),
+                                  axis=ta)
+                    sel = t["par"][a2].astype(bool).reshape(
+                        (-1,) + (1,) * 3)
+                    return jnp.where(sel, d1, d0)
+
+                if normal:
+                    if side == "m":
+                        planes = _np.arange(0, ng)
+                        win = _np.arange(ng + nxa - h, ng + nxa + 1)
+                        off = lambda f: ng - f         # noqa: E731
+                        pidx = lambda m: h - m         # noqa: E731
+                    else:
+                        planes = _np.arange(ng + nxa + 1, n4)
+                        win = _np.arange(ng, ng + h + 1)
+                        off = lambda f: f - ng - nxa   # noqa: E731
+                        pidx = lambda m: m             # noqa: E731
+                    d = take(src_arr, win, axis4)
+                    d = jnp.take(d, t["coarse"], axis=0)
+                    for a2 in tn:
+                        d = window(d, a2, 1)
+                    pro = prolong_cc(d, [_AXIS_OF[a2] - 5 for a2 in tn])
+
+                    def plane(m):
+                        return take(pro, [pidx(m)], axis4)
+
+                    outs = []
+                    for f in planes:
+                        o = off(int(f))
+                        if o % 2 == 0:
+                            outs.append(plane(o // 2))
+                        else:
+                            outs.append(0.5 * (plane((o - 1) // 2)
+                                               + plane((o + 1) // 2)))
+                    assembled = jnp.concatenate(outs, axis=axis4)
+                    region = [slice(None)] * 4
+                    region[axis4] = planes
+                    region = tuple(region)
+                    arr = arr.at[region].set(
+                        jnp.where(cmask, assembled, arr[region]))
+                else:
+                    if side == "m":
+                        cells = slice(0, ng)
+                        dnc = _np.arange(n4 - ng - h - 1, n4 - ng + 1)
+                    else:
+                        cells = slice(n4 - ng, n4)
+                        dnc = _np.arange(ng - 1, ng + h + 1)
+                    d = take(src_arr, dnc, axis4)
+                    d = jnp.take(d, t["coarse"], axis=0)
+                    cell_axes = [axis4 - 4]
+                    for a2 in tn:
+                        ta = _AXIS_OF[a2] - 1
+                        if ta == caxis4:
+                            # aligned-plane window along the face axis
+                            half = nx_of[a2] // 2
+                            ln = half + ng + 1
+                            s0 = ng - h
+                            d0 = jnp.take(d, _np.arange(s0, s0 + ln),
+                                          axis=ta)
+                            d1 = jnp.take(
+                                d, _np.arange(s0 + half, s0 + half + ln),
+                                axis=ta)
+                            sel = t["par"][a2].astype(bool).reshape(
+                                (-1,) + (1,) * 3)
+                            d = jnp.where(sel, d1, d0)
+                        else:
+                            d = window(d, a2, 1)
+                            cell_axes.append(ta - 4)
+                    pro = prolong_cc(d, cell_axes)
+                    if caxis4 in active4:
+                        # interleave aligned planes with internal averages
+                        w = pro.shape[caxis4]
+                        aligned = take(pro, _np.arange(w - 1), caxis4)
+                        nxt_p = take(pro, _np.arange(1, w), caxis4)
+                        internal = 0.5 * (aligned + nxt_p)
+                        st = jnp.stack((aligned, internal), axis=caxis4 + 1)
+                        sh = aligned.shape
+                        inter = st.reshape(sh[:caxis4]
+                                           + (2 * (w - 1),)
+                                           + sh[caxis4 + 1:])
+                        last = take(pro, [w - 1], caxis4)
+                        pro = jnp.concatenate([inter, last], axis=caxis4)
+                    region = [slice(None)] * 4
+                    region[axis4] = cells
+                    region = tuple(region)
+                    arr = arr.at[region].set(
+                        jnp.where(cmask, pro, arr[region]))
+        return arr
+
+    def _emf_correct(self, e1, e2, e3):
+        """SMR EMF correction: on every level-boundary plane, overwrite the
+        coarse block's edge EMFs with the line-average of the fine donors'
+        edge EMFs, so the CT updates of the shared faces agree and div(B)
+        stays at round-off on both levels (reference:
+        src/bvals/flux_correction_fc.cpp)."""
+        mesh = self.mesh
+        mbi = mesh.mb_indcs
+        ng = mbi.ng
+        nx_of = {"x1": mbi.nx1, "x2": mbi.nx2, "x3": mbi.nx3}
+        es = {"x1": e1, "x2": e2, "x3": e3}
+        active = set(self.bvals.active_axes)
+        for d in self.bvals.active_axes:
+            axis_d = _AXIS_OF[d] - 1
+            nxa = nx_of[d]
+            for side in ("m", "p"):
+                t = mesh.ml[f"{d}{side}"]
+                if not t["any_fine"]:
+                    continue
+                my_idx = ng if side == "m" else ng + nxa
+                dn_idx = ng + nxa if side == "m" else ng
+                fmask = t["fine_mask"].reshape((-1,) + (1,) * 3)
+                for c in ("x1", "x2", "x3"):
+                    if c == d:
+                        continue
+                    axis_c = _AXIS_OF[c] - 1
+                    e = es[c]
+                    plane = jnp.take(e, _np.asarray([dn_idx]), axis=axis_d)
+                    parts = [jnp.take(plane, t["fine"][:, q], axis=0)
+                             for q in range(t["fine"].shape[1])]
+                    region = [slice(None)] * 4
+                    region[axis_d] = slice(my_idx, my_idx + 1)
+                    for a2 in t["t_names"]:
+                        ta = _AXIS_OF[a2] - 1
+                        nxt = nx_of[a2]
+                        merged = []
+                        if a2 == c:
+                            # along the edge direction: line-average pairs
+                            # over the donor interior
+                            parts = [
+                                jnp.take(p, _np.arange(ng, ng + nxt),
+                                         axis=ta).reshape(
+                                    p.shape[:ta] + (nxt // 2, 2)
+                                    + p.shape[ta + 1:]).mean(axis=ta + 1)
+                                for p in parts]
+                            for b in range(0, len(parts), 2):
+                                merged.append(jnp.concatenate(
+                                    [parts[b], parts[b + 1]], axis=ta))
+                            region[ta] = slice(ng, ng + nxt)
+                        else:
+                            # corner-aligned: select even donor corners
+                            sel = _np.arange(ng, ng + nxt + 1, 2)
+                            parts = [jnp.take(p, sel, axis=ta)
+                                     for p in parts]
+                            for b in range(0, len(parts), 2):
+                                lo = jnp.take(parts[b],
+                                              _np.arange(nxt // 2), axis=ta)
+                                merged.append(jnp.concatenate(
+                                    [lo, parts[b + 1]], axis=ta))
+                            region[ta] = slice(ng, ng + nxt + 1)
+                        parts = merged
+                    assembled = parts[0]
+                    region = tuple(region)
+                    es[c] = e.at[region].set(
+                        jnp.where(fmask, assembled, e[region]))
+
+        # ---- edge-diagonal corners: a coarse block touching finer blocks
+        # only DIAGONALLY still shares the corner edge with them; give it
+        # the same restricted fine EMF so the edge is single-valued mesh-
+        # wide (reference: the edge buffers of flux_correction_fc.cpp)
+        ax_name = {0: "x1", 1: "x2", 2: "x3"}
+        pairs = [(d1, d2) for i, d1 in enumerate(("x1", "x2", "x3"))
+                 for d2 in ("x1", "x2", "x3")[i + 1:]
+                 if d1 in active and d2 in active]
+        for d1, d2 in pairs:
+            for s1 in ("m", "p"):
+                for s2 in ("m", "p"):
+                    t = mesh.ml.get(f"e_{d1}{s1}{d2}{s2}")
+                    if t is None or not t["any"]:
+                        continue
+                    c = ax_name[t["edge_axis"]]
+                    e = es[c]
+                    a1 = _AXIS_OF[d1] - 1
+                    a2 = _AXIS_OF[d2] - 1
+                    ac = _AXIS_OF[c] - 1
+                    my1 = ng if s1 == "m" else ng + nx_of[d1]
+                    my2 = ng if s2 == "m" else ng + nx_of[d2]
+                    dn1 = ng + nx_of[d1] if s1 == "m" else ng
+                    dn2 = ng + nx_of[d2] if s2 == "m" else ng
+                    region = [slice(None)] * 4
+                    region[a1] = slice(my1, my1 + 1)
+                    region[a2] = slice(my2, my2 + 1)
+                    line = jnp.take(e, _np.asarray([dn1]), axis=a1)
+                    line = jnp.take(line, _np.asarray([dn2]), axis=a2)
+                    parts = [jnp.take(line, t["fine"][:, q], axis=0)
+                             for q in range(t["fine"].shape[1])]
+                    if c in active:
+                        nxc = nx_of[c]
+                        parts = [
+                            jnp.take(p, _np.arange(ng, ng + nxc),
+                                     axis=ac).reshape(
+                                p.shape[:ac] + (nxc // 2, 2)
+                                + p.shape[ac + 1:]).mean(axis=ac + 1)
+                            for p in parts]
+                        assembled = jnp.concatenate(parts, axis=ac)
+                        region[ac] = slice(ng, ng + nxc)
+                    else:
+                        assembled = parts[0]
+                    region = tuple(region)
+                    mask = t["mask"].reshape((-1,) + (1,) * 3)
+                    es[c] = e.at[region].set(
+                        jnp.where(mask, assembled, e[region]))
+        return es["x1"], es["x2"], es["x3"]
 
     # ------------------------------------------------------- face-field halo
     def fill_ghosts_fc(self, bfc):
@@ -481,37 +880,46 @@ class MHD:
         mbi = self.mesh.mb_indcs
         ng = mbi.ng
 
-        for ax in bv.active_axes:
-            axis4 = _AXIS_OF[ax] - 1  # face arrays have no var axis
-            nbr_m = bv.nbr[f"{ax}m"]
-            nbr_p = bv.nbr[f"{ax}p"]
-            nxa = {"x1": mbi.nx1, "x2": mbi.nx2, "x3": mbi.nx3}[ax]
-            for comp, arr in bfc.items():
-                normal = (comp == f"{ax}f")
-                n = arr.shape[axis4]
+        # mixed-level meshes sweep twice, like the CC exchange
+        for _ in range(2 if self.multilevel else 1):
+            for ax in bv.active_axes:
+                axis4 = _AXIS_OF[ax] - 1  # face arrays have no var axis
+                nbr_m = bv.nbr[f"{ax}m"]
+                nbr_p = bv.nbr[f"{ax}p"]
+                nxa = {"x1": mbi.nx1, "x2": mbi.nx2, "x3": mbi.nx3}[ax]
+                for comp, arr in bfc.items():
+                    normal = (comp == f"{ax}f")
+                    n = arr.shape[axis4]
 
-                def slc(lo, hi, axis=axis4):
-                    idx = [slice(None)] * 4
-                    idx[axis] = slice(lo, hi)
-                    return tuple(idx)
+                    def slc(lo, hi, axis=axis4):
+                        idx = [slice(None)] * 4
+                        idx[axis] = slice(lo, hi)
+                        return tuple(idx)
 
-                # concatenate-rebuild instead of slab .at[].set: see the
-                # layout note in bvals._sweep_axis (strided DUS writes)
-                if normal:
-                    # ghost faces [0,ng) <- donor faces [nxa, nxa+ng);
-                    # ghost faces [ng+nxa+1, n) <- donor faces [ng+1, 2ng+1)
-                    donor_m = jnp.take(arr[slc(nxa, nxa + ng)], nbr_m, axis=0)
-                    donor_p = jnp.take(arr[slc(ng + 1, 2 * ng + 1)], nbr_p,
-                                       axis=0)
-                    mid = arr[slc(ng, ng + nxa + 1)]
-                else:
-                    donor_m = jnp.take(arr[slc(n - 2 * ng, n - ng)], nbr_m,
-                                       axis=0)
-                    donor_p = jnp.take(arr[slc(ng, 2 * ng)], nbr_p, axis=0)
-                    mid = arr[slc(ng, n - ng)]
-                arr = jnp.concatenate([donor_m, mid, donor_p], axis=axis4)
-                bfc = {**bfc, comp: arr}
-            bfc = self._phys_bc_fc(bfc, ax)
+                    # concatenate-rebuild instead of slab .at[].set: see the
+                    # layout note in bvals._sweep_axis (strided DUS writes)
+                    if normal:
+                        # ghost faces [0,ng) <- donor faces [nxa, nxa+ng);
+                        # ghost faces [ng+nxa+1,n) <- donor [ng+1, 2ng+1)
+                        donor_m = jnp.take(arr[slc(nxa, nxa + ng)], nbr_m,
+                                           axis=0)
+                        donor_p = jnp.take(arr[slc(ng + 1, 2 * ng + 1)],
+                                           nbr_p, axis=0)
+                        mid = arr[slc(ng, ng + nxa + 1)]
+                    else:
+                        donor_m = jnp.take(arr[slc(n - 2 * ng, n - ng)],
+                                           nbr_m, axis=0)
+                        donor_p = jnp.take(arr[slc(ng, 2 * ng)], nbr_p,
+                                           axis=0)
+                        mid = arr[slc(ng, n - ng)]
+                    new_arr = jnp.concatenate([donor_m, mid, donor_p],
+                                              axis=axis4)
+                    if self.multilevel:
+                        new_arr = self._ml_fc_override(new_arr, ax, comp,
+                                                       src_arr=arr)
+                    arr = new_arr
+                    bfc = {**bfc, comp: arr}
+                bfc = self._phys_bc_fc(bfc, ax)
         return bfc
 
     def _phys_bc_fc(self, bfc, ax: str):
@@ -743,12 +1151,11 @@ class MHD:
             dv2 = jnp.abs(wa[:, IVY]) + cf2
             dv3 = jnp.abs(wa[:, IVZ]) + cf3
 
-        ms = self.mesh.mesh_size
-        dt = jnp.min(ms.dx1 / dv1)
+        dt = jnp.min(self._dx4["x1"] / dv1)
         if mbi.nx2 > 1:
-            dt = jnp.minimum(dt, jnp.min(ms.dx2 / dv2))
+            dt = jnp.minimum(dt, jnp.min(self._dx4["x2"] / dv2))
         if mbi.nx3 > 1:
-            dt = jnp.minimum(dt, jnp.min(ms.dx3 / dv3))
+            dt = jnp.minimum(dt, jnp.min(self._dx4["x3"] / dv3))
         return dt
 
     # ------------------------------------------------- state-dict interface
@@ -786,6 +1193,9 @@ class MHD:
         if self.use_fofc or self.fofc_excise_mask is not None:
             flx, emf, nfofc = self._apply_fofc(
                 u, saved["u1"], w, bcc, bfc, flx, emf, gam0, gam1, beta_dt)
+        if self.multilevel:
+            from ..refinement import flux_correct_cc
+            flx = flux_correct_cc(flx, self.mesh, [d[0] for d in self.dirs])
         u = self.rk_update(u, saved["u1"], flx, gam0, gam1, beta_dt)
         if self.is_gr:
             u = self.coord_src_terms(u, w, bcc, beta_dt)
@@ -797,6 +1207,8 @@ class MHD:
         if self.srcterms_func is not None:
             u = self.srcterms_func(u, w, beta_dt)
         e1, e2, e3 = self.corner_e(w, bcc, flx, emf, bfc=bfc)
+        if self.multilevel:
+            e1, e2, e3 = self._emf_correct(e1, e2, e3)
         bfc = self.ct_update(bfc, saved["bfc1"], e1, e2, e3,
                              gam0, gam1, beta_dt)
         u = self.bvals.fill_ghosts(u)

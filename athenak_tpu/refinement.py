@@ -289,8 +289,140 @@ def build_ml_tables(leaves, nrbx, active, wraps) -> Dict[str, Dict]:
                 "any_coarse": bool(co_mask.any()),
                 "any_fine": bool(fi_mask.any()),
             }
+    # ---- edge-diagonal fine donors (for single-valued corner EMFs):
+    # for each axis pair (d1, d2) and corner (s1, s2), the finer leaves
+    # covering the diagonal neighbor cell; the remaining axis is the edge
+    # direction (2 donors stacked along it in 3D, 1 in 2D/edge-inactive)
+    pairs = [(a1, a2) for i, (a1, x1) in enumerate(axes)
+             for (a2, x2) in axes[i + 1:]]
+    for d1, d2 in pairs:
+        a1, a2 = _AXIS_ID[d1], _AXIS_ID[d2]
+        ec = ({0, 1, 2} - {a1, a2}).pop()  # edge-direction axis id
+        ec_active = active[ec]
+        nq = 2 if ec_active else 1
+        for s1, e1 in (("m", -1), ("p", +1)):
+            for s2, e2 in (("m", -1), ("p", +1)):
+                key = f"e_{d1}{s1}{d2}{s2}"
+                fine = np.zeros((nmb, nq), dtype=np.int32)
+                mask = np.zeros(nmb, dtype=bool)
+                for gid, (l1, l2, l3) in enumerate(
+                        [(a, b, c) for a, b, c, _ in leaves]):
+                    lev = leaves[gid][3]
+                    n = extent(lev)
+                    tgt = [l1, l2, l3]
+                    tgt[a1] += e1
+                    tgt[a2] += e2
+                    ok = True
+                    for ax_id, nm in ((a1, d1), (a2, d2)):
+                        if not (0 <= tgt[ax_id] < n[ax_id]):
+                            if wraps[nm]:
+                                tgt[ax_id] %= n[ax_id]
+                            else:
+                                ok = False
+                    if not ok:
+                        continue
+                    if (lev, tgt[0], tgt[1], tgt[2]) in loc2gid:
+                        continue  # same level: nothing to correct
+                    # finer children touching my corner edge?
+                    base = [t << 1 if active[i] else t
+                            for i, t in enumerate(tgt)]
+                    # the donor's NEAR half touches my corner: its minus
+                    # children when it sits on my plus side, and vice versa
+                    base[a1] += (0 if e1 > 0 else 1)
+                    base[a2] += (0 if e2 > 0 else 1)
+                    found = True
+                    for q in range(nq):
+                        child = list(base)
+                        if ec_active:
+                            child[ec] += q
+                        k_fi = (lev + 1, child[0], child[1], child[2])
+                        if k_fi not in loc2gid:
+                            found = False
+                            break
+                        fine[gid, q] = loc2gid[k_fi]
+                    if found:
+                        mask[gid] = True
+                tables[key] = {"fine": fine, "mask": mask,
+                               "edge_axis": ec,
+                               "any": bool(mask.any())}
     tables["multilevel"] = any_multi
     return tables
+
+
+# ---------------------------------------------------------------------------
+# conservative flux correction (traced, shape-static)
+# ---------------------------------------------------------------------------
+# mesh axis -> array axis in [nmb, nvar, n3, n2, n1]
+_CC_AXIS = {"x1": 4, "x2": 3, "x3": 2}
+
+
+def flux_correct_cc(flx, mesh, dir_names):
+    """SMR flux correction: on every coarse face abutting finer blocks,
+    replace the coarse flux with the transverse cell-average of the fine
+    donors' boundary-face fluxes (reference:
+    src/bvals/flux_correction_cc.cpp).  Restores exact telescoping
+    conservation across refinement boundaries.  ``flx[name][..., i]``
+    holds the flux at the left face of cell i."""
+    import jax.numpy as jnp
+
+    mbi = mesh.mb_indcs
+    ng, h = mbi.ng, mbi.ng // 2
+    nx_of = {"x1": mbi.nx1, "x2": mbi.nx2, "x3": mbi.nx3}
+    out = dict(flx)
+    for name in dir_names:
+        f = out[name]
+        nd = f.ndim
+        axis = _CC_AXIS[name] - (5 - nd)
+        n = f.shape[axis]
+        for side in ("m", "p"):
+            t = mesh.ml[f"{name}{side}"]
+            if not t["any_fine"]:
+                continue
+            nxa = nx_of[name]
+            my_idx = ng if side == "m" else ng + nxa
+            dn_idx = ng + nxa if side == "m" else ng
+
+            def slc(i, axis=axis, nd=nd):
+                idx = [slice(None)] * nd
+                idx[axis] = slice(i, i + 1)
+                return tuple(idx)
+
+            dn_slab = f[slc(dn_idx)]
+            # restrict transverse-only (the flux lives ON the face)
+            t_axes = [_CC_AXIS[a] - 5 for a in t["t_names"]]
+            parts = [restrict_cc(jnp.take(dn_slab, t["fine"][:, q], axis=0),
+                                 t_axes)
+                     for q in range(t["fine"].shape[1])]
+            # quadrant assembly over my transverse INTERIOR: the restricted
+            # donor interior [h, h+nx_t/2) tiles it exactly
+            for a2 in t["t_names"]:
+                t_axis = _CC_AXIS[a2] - (5 - nd)
+                half = nx_of[a2] // 2
+                merged = []
+                for b in range(0, len(parts), 2):
+                    lo = jnp.take(parts[b], np.arange(h, h + half),
+                                  axis=t_axis)
+                    hi = jnp.take(parts[b + 1], np.arange(h, h + half),
+                                  axis=t_axis)
+                    merged.append(jnp.concatenate([lo, hi], axis=t_axis))
+                parts = merged
+            assembled = parts[0]
+            my_slab = f[slc(my_idx)]
+            region = [slice(None)] * nd
+            for a2 in t["t_names"]:
+                region[_CC_AXIS[a2] - (5 - nd)] = slice(ng, ng + nx_of[a2])
+            region = tuple(region)
+            fmask = t["fine_mask"].reshape((-1,) + (1,) * (nd - 1))
+            my_slab = my_slab.at[region].set(
+                jnp.where(fmask, assembled, my_slab[region]))
+            pre = [slice(None)] * nd
+            pre[axis] = slice(0, my_idx)
+            post = [slice(None)] * nd
+            post[axis] = slice(my_idx + 1, n)
+            f = jnp.concatenate(
+                [f[tuple(pre)], my_slab, f[tuple(post)]], axis=axis)
+        out[name] = f
+    return out
 
 
 # ---------------------------------------------------------------------------
