@@ -183,9 +183,7 @@ class Hydro:
                         "turbulence driving": self.pturb,
                         "particles": self.ppart,
                         "self-gravity": self.pgrav,
-                        "shearing box": self.psbox,
-                        "relativistic hydro":
-                            self.is_sr or self.is_gr or None}
+                        "shearing box": self.psbox}
             for what, on in blockers.items():
                 if on is not None and on is not False:
                     raise NotImplementedError(

@@ -209,7 +209,6 @@ class MHD:
                 "turbulence driving": self.pturb,
                 "particles": self.ppart,
                 "self-gravity": self.pgrav,
-                "relativistic MHD": self.is_sr or self.is_gr or None,
             }
             for what, on in blockers.items():
                 if on is not None and on is not False:

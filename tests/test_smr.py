@@ -210,3 +210,84 @@ def test_advection_through_refined_patch():
     assert abs(tot1[0] - tot0[0]) < 1e-12 * abs(tot0[0])
     assert err < 0.05
     assert not np.isnan(d1).any()
+
+
+def test_gr_bondi_smr_stationary():
+    """GR hydro on SMR: the Bondi solution stays stationary with a
+    refined patch around the hole (reference flagship SMR use case,
+    reference: inputs/grmhd/gr_fm_torus_sane_8_4.athinput)."""
+    deck = """
+<job>
+basename = gr_bondi_smr
+
+<mesh>
+nghost = 2
+nx1 = 32
+x1min = -10.0
+x1max = 10.0
+ix1_bc = user
+ox1_bc = user
+nx2 = 32
+x2min = -10.0
+x2max = 10.0
+ix2_bc = user
+ox2_bc = user
+nx3 = 32
+x3min = -10.0
+x3max = 10.0
+ix3_bc = user
+ox3_bc = user
+
+<meshblock>
+nx1 = 16
+nx2 = 16
+nx3 = 16
+
+<mesh_refinement>
+refinement = static
+
+<refined_region1>
+level = 1
+x1min = -5.0
+x1max = 5.0
+x2min = -5.0
+x2max = 5.0
+x3min = -5.0
+x3max = 5.0
+
+<coord>
+general_rel = true
+a = 0.0
+excise = true
+dexcise = 1.0e-8
+pexcise = 0.333e-12
+
+<time>
+evolution = dynamic
+integrator = rk2
+cfl_number = 0.3
+tlim = 1.0
+
+<hydro>
+eos = ideal
+reconstruct = plm
+rsolver = hlle
+gamma = 1.3333333333333
+
+<problem>
+pgen_name = gr_bondi
+k_adi = 1.0
+r_crit = 8.0
+"""
+    import os
+    from athenak_tpu.main import run
+    pin = ParameterInput.from_string(deck)
+    mesh, phys, driver, state = run(pin)
+    assert mesh.multilevel and mesh.nmb_total > 8
+    fname = "gr_bondi_smr-errs.dat"
+    assert os.path.exists(fname)
+    data = np.loadtxt(fname)
+    os.remove(fname)
+    rms_l1 = float(np.atleast_2d(data)[-1, 4])
+    assert rms_l1 < 5.0e-3, f"Bondi(SMR) deviated: RMS-L1 = {rms_l1}"
+    assert np.isfinite(np.asarray(state["w"])).all()
