@@ -69,6 +69,25 @@ class BoundaryValues:
         self.user_bc_func = None
 
     # ------------------------------------------------------------------
+    def _exchange(self, slab, key: str):
+        """Move donor slabs to their receivers along the block axis.
+
+        Default: whole-axis gather (single device / NamedSharding).  Inside
+        a ``use_comm(ShardComm(...))`` region (parallel/shard_comm.py) this
+        becomes the explicit per-peer ppermute exchange — the rank-packed
+        MPI analogue (reference: src/bvals/bvals_cc.cpp:42-255)."""
+        from .comm import current_comm
+        c = current_comm()
+        if c is None:
+            return jnp.take(slab, self.nbr[key], axis=0)
+        return c.exchange(slab, key)
+
+    def _local_mask(self, key: str):
+        from .comm import current_comm
+        c = current_comm()
+        return self.mask[key] if c is None else c.local_mask(key)
+
+    # ------------------------------------------------------------------
     def fill_ghosts(self, u):
         """Fill all ghost zones of a cell-centered array [nmb, nvar, n3, n2, n1].
 
@@ -101,8 +120,7 @@ class BoundaryValues:
         # ---- minus side: ghosts [0:ng] from neighbor's last ng active cells
         # (slice the donor slab BEFORE the block gather so the gather moves
         # only ng-thick slabs, not whole arrays)
-        donor_m = jnp.take(u[slc(n - 2 * ng, n - ng)],
-                           self.nbr[f"{ax}m"], axis=0)
+        donor_m = self._exchange(u[slc(n - 2 * ng, n - ng)], f"{ax}m")
         ghost_m = donor_m
         if self.multilevel:
             ghost_m = self._ml_override(u, ax, "m", slc, n, ghost_m)
@@ -110,7 +128,7 @@ class BoundaryValues:
             ghost_m = self._phys_bc(u, ax, "m", slc, n, ghost_m)
 
         # ---- plus side: ghosts [n-ng:n] from neighbor's first ng active cells
-        donor_p = jnp.take(u[slc(ng, 2 * ng)], self.nbr[f"{ax}p"], axis=0)
+        donor_p = self._exchange(u[slc(ng, 2 * ng)], f"{ax}p")
         ghost_p = donor_p
         if self.multilevel:
             ghost_p = self._ml_override(u, ax, "p", slc, n, ghost_p)
@@ -221,7 +239,7 @@ class BoundaryValues:
         key = f"{ax}{side}"
         flag = self.flag[key]
         nvel = _NORMAL_VEL[ax]
-        mask = self.mask[key]
+        mask = self._local_mask(key)
         maskb = mask.reshape((-1,) + (1,) * 4)
 
         if side == "m":

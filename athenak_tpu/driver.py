@@ -121,6 +121,10 @@ class Driver:
         # optional jax.sharding.Mesh: shards the block axis over devices
         # (the TPU-native analogue of MPI rank decomposition)
         self.dmesh = None
+        # block-pool padding applied for the explicit shard_map cycle
+        # (non-divisible nmb; reference allows any nmb >= nranks,
+        # src/mesh/load_balance.cpp:55-63)
+        self._npad = 0
 
     # ------------------------------------------------------------------
     def make_cycle_fn(self) -> Callable:
@@ -169,17 +173,33 @@ class Driver:
 
         return cycle
 
-    def _build_cycle(self) -> Callable:
+    def _build_cycle(self, state=None) -> Callable:
+        if self.dmesh is not None and state is not None:
+            from .parallel.shard_comm import (build_shard_cycle,
+                                              supports_shard_cycle)
+            if supports_shard_cycle(self, state):
+                fn, _ = build_shard_cycle(self, self.dmesh, state)
+                return jax.jit(fn, donate_argnums=(0,))
         return jax.jit(self.make_cycle_fn(), donate_argnums=(0,))
+
+    def make_shard_cycle_fn(self, state):
+        """The explicit shard_map cycle (ppermute halo exchange), un-jitted.
+        Raises if the configuration is not covered; see
+        parallel/shard_comm.supports_shard_cycle."""
+        from .parallel.shard_comm import (build_shard_cycle,
+                                          supports_shard_cycle)
+        if self.dmesh is None:
+            raise ValueError("make_shard_cycle_fn requires driver.dmesh")
+        if not supports_shard_cycle(self, state):
+            raise ValueError("configuration not covered by the shard_map "
+                             "cycle; use make_cycle_fn (gather path)")
+        fn, _ = build_shard_cycle(self, self.dmesh, state)
+        return fn
 
     # ------------------------------------------------------------------
     def initialize(self, state):
         """Ghost-zone init + first dt (reference: Driver::Initialize,
         src/driver/driver.cpp:314-372)."""
-        if self.dmesh is not None:
-            from .parallel import check_divisible, shard_state
-            check_divisible(self.mesh.nmb_total, self.dmesh)
-            state = shard_state(state, self.dmesh)
         state = jax.jit(self.phys.init_ghosts)(state)
         if self.time_evolution != "static" \
                 and not getattr(self, "res_flag", False):
@@ -188,7 +208,24 @@ class Driver:
             if self.mesh.time < self.tlim and \
                     self.mesh.time + self.mesh.dt > self.tlim:
                 self.mesh.dt = self.tlim - self.mesh.time
+        if self.dmesh is not None:
+            from .parallel import shard_state
+            from .parallel.shard_comm import (pad_state, padded_nmb,
+                                              supports_shard_cycle)
+            if supports_shard_cycle(self, state):
+                nmb = self.mesh.nmb_total
+                nmb_pad = padded_nmb(nmb, self.dmesh.devices.size)
+                self._npad = nmb_pad - nmb
+                state = pad_state(state, nmb, nmb_pad)
+            state = shard_state(state, self.dmesh)
         return state
+
+    def _unpadded(self, state):
+        """View with block-pool padding stripped (for outputs/returns)."""
+        if self._npad == 0:
+            return state
+        from .parallel.shard_comm import unpad_state
+        return unpad_state(state, self.mesh.nmb_total)
 
     # ------------------------------------------------------------------
     def execute(self, state, outputs=None, verbose: bool = False):
@@ -197,7 +234,7 @@ class Driver:
         if self.time_evolution == "static":
             return state
         if self._cycle_fn is None:
-            self._cycle_fn = self._build_cycle()
+            self._cycle_fn = self._build_cycle(state)
 
         mesh = self.mesh
         outputs = outputs or []
@@ -208,9 +245,10 @@ class Driver:
         # initial-condition outputs (skipped on restart, reference:
         # Driver::Initialize res_flag, driver.cpp:341)
         if not getattr(self, "res_flag", False):
+            sv = self._unpadded(state)
             for out in outputs:
-                out.maybe_write(mesh, state["u"], state["w"], force=True,
-                                state=state)
+                out.maybe_write(mesh, sv["u"], sv["w"], force=True,
+                                state=sv)
 
         dtype = state["u"].dtype
         while (mesh.time < self.tlim
@@ -244,14 +282,17 @@ class Driver:
                 dt = self.tlim - mesh.time
             mesh.dt = dt
 
-            for out in outputs:
-                out.maybe_write(mesh, state["u"], state["w"], state=state)
+            if outputs:
+                sv = self._unpadded(state)
+                for out in outputs:
+                    out.maybe_write(mesh, sv["u"], sv["w"], state=sv)
 
         self.wall_seconds = _time.perf_counter() - wall0
         self.zone_cycles = zones * mesh.ncycle
         self.zcps = self.zone_cycles / max(self.wall_seconds, 1e-12)
 
         # final outputs
+        state = self._unpadded(state)
         for out in outputs:
             out.maybe_write(mesh, state["u"], state["w"], force=True,
                             state=state)

@@ -247,6 +247,12 @@ class Mesh:
         # (mask arrays below say which blocks those are).
         self.nbr_gid: Dict[str, np.ndarray] = {}
         self.phys_bc_mask: Dict[str, np.ndarray] = {}
+        # always-wrapped (torus) neighbor maps: a bijection on gids per
+        # (axis, side), used by the explicit shard_map halo exchange where
+        # a permutation (not a gather) is required.  On non-periodic faces
+        # the wrapped donor's data is garbage but the physical-BC pass
+        # overwrites those ghosts, exactly as with the self-pointer.
+        self.nbr_gid_wrap: Dict[str, np.ndarray] = {}
         axes = (("x1", 0, n1), ("x2", 1, n2), ("x3", 2, n3))
         for name, ax, nax in axes:
             for side, delta in (("m", -1), ("p", +1)):
@@ -259,10 +265,14 @@ class Mesh:
                 # comm path, src/shearing_box/shearing_box_cc.cpp)
                 wraps = flag in ("periodic", "shear_periodic")
                 gids = np.empty(nmb, dtype=np.int32)
+                wgids = np.empty(nmb, dtype=np.int32)
                 mask = np.zeros(nmb, dtype=bool)
                 for gid, loc in enumerate(locs):
                     tgt = list(loc)
                     tgt[ax] += delta
+                    wtgt = list(loc)
+                    wtgt[ax] = (loc[ax] + delta) % nax
+                    wgids[gid] = self._loc2gid[tuple(wtgt)]
                     if 0 <= tgt[ax] < nax:
                         gids[gid] = self._loc2gid[tuple(tgt)]
                     else:
@@ -273,6 +283,7 @@ class Mesh:
                             gids[gid] = gid
                         mask[gid] = (flag != "periodic")
                 self.nbr_gid[key] = gids
+                self.nbr_gid_wrap[key] = wgids
                 self.phys_bc_mask[key] = mask
 
     # ------------------------------------------------------------------

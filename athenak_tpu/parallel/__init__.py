@@ -4,15 +4,23 @@ Replaces the reference's MPI rank decomposition (reference:
 src/mesh/load_balance.cpp:38-90, src/bvals/bvals_cc.cpp:42-289) with the
 TPU-native equivalent: every state array has leading axis ``nmb`` (the
 MeshBlockPack batch axis), and we shard that axis over a 1-D
-``jax.sharding.Mesh``.  Because blocks are Z-ordered (mesh.py), a contiguous
+``jax.sharding.Mesh``.  Blocks are Z-ordered (mesh.py), so a contiguous
 shard is spatially compact — the same locality property the reference's
-cost-list partitioner exploits — so the halo-exchange gathers lower to
-mostly nearest-neighbor ICI collectives.
+cost-list partitioner exploits.
 
-The per-cycle compute path needs *no* changes: the ``jnp.take(u, nbr, 0)``
-gathers inside BoundaryValues become XLA collective-permutes under jit with
-sharded operands, and the dt min-reduce becomes a global ``min`` collective
-(the reference's MPI_Allreduce(MPI_MIN), reference: src/mesh/mesh.cpp:636).
+Two execution paths:
+
+  * **Explicit shard_map cycle** (``shard_comm.py``, the production
+    multi-chip path): the whole cycle runs under ``jax.shard_map``; halo
+    exchange ships only the ng-thick neighbor slabs that cross shard
+    boundaries via per-peer ``lax.ppermute`` rounds (the rank-packed MPI
+    analogue); dt is a ``lax.pmin``; non-divisible block counts run via
+    block-pool padding.  A test asserts the compiled HLO contains
+    collective-permutes and no all-gathers (tests/test_shard_comm.py).
+  * **NamedSharding gather fallback** for configurations the shard_map
+    cycle does not cover yet (SMR/AMR, GR, global-FFT gravity, particles):
+    the ``jnp.take(u, nbr, 0)`` gathers are partitioned by XLA SPMD —
+    correct everywhere, but with all-gather-class communication volume.
 """
 
 from __future__ import annotations

@@ -883,8 +883,6 @@ class MHD:
         for _ in range(2 if self.multilevel else 1):
             for ax in bv.active_axes:
                 axis4 = _AXIS_OF[ax] - 1  # face arrays have no var axis
-                nbr_m = bv.nbr[f"{ax}m"]
-                nbr_p = bv.nbr[f"{ax}p"]
                 nxa = {"x1": mbi.nx1, "x2": mbi.nx2, "x3": mbi.nx3}[ax]
                 for comp, arr in bfc.items():
                     normal = (comp == f"{ax}f")
@@ -900,16 +898,16 @@ class MHD:
                     if normal:
                         # ghost faces [0,ng) <- donor faces [nxa, nxa+ng);
                         # ghost faces [ng+nxa+1,n) <- donor [ng+1, 2ng+1)
-                        donor_m = jnp.take(arr[slc(nxa, nxa + ng)], nbr_m,
-                                           axis=0)
-                        donor_p = jnp.take(arr[slc(ng + 1, 2 * ng + 1)],
-                                           nbr_p, axis=0)
+                        donor_m = bv._exchange(arr[slc(nxa, nxa + ng)],
+                                               f"{ax}m")
+                        donor_p = bv._exchange(arr[slc(ng + 1, 2 * ng + 1)],
+                                               f"{ax}p")
                         mid = arr[slc(ng, ng + nxa + 1)]
                     else:
-                        donor_m = jnp.take(arr[slc(n - 2 * ng, n - ng)],
-                                           nbr_m, axis=0)
-                        donor_p = jnp.take(arr[slc(ng, 2 * ng)], nbr_p,
-                                           axis=0)
+                        donor_m = bv._exchange(arr[slc(n - 2 * ng, n - ng)],
+                                               f"{ax}m")
+                        donor_p = bv._exchange(arr[slc(ng, 2 * ng)],
+                                               f"{ax}p")
                         mid = arr[slc(ng, n - ng)]
                     new_arr = jnp.concatenate([donor_m, mid, donor_p],
                                               axis=axis4)
@@ -933,7 +931,7 @@ class MHD:
             flag = bv.flag[key]
             if flag in ("periodic", "shear_periodic", "user"):
                 continue
-            mask = bv.mask[key].reshape((-1,) + (1,) * 3)
+            mask = bv._local_mask(key).reshape((-1,) + (1,) * 3)
             for comp, arr in bfc.items():
                 axis4 = _AXIS_OF[ax] - 1
                 normal = (comp == f"{ax}f")
