@@ -173,14 +173,63 @@ class Driver:
 
         return cycle
 
-    def _build_cycle(self, state=None) -> Callable:
+    def _raw_cycle(self, state=None) -> Callable:
         if self.dmesh is not None and state is not None:
             from .parallel.shard_comm import (build_shard_cycle,
                                               supports_shard_cycle)
             if supports_shard_cycle(self, state):
                 fn, _ = build_shard_cycle(self, self.dmesh, state)
-                return jax.jit(fn, donate_argnums=(0,))
-        return jax.jit(self.make_cycle_fn(), donate_argnums=(0,))
+                return fn
+        return self.make_cycle_fn()
+
+    def _build_cycle(self, state=None) -> Callable:
+        return jax.jit(self._raw_cycle(state), donate_argnums=(0,))
+
+    # ------------------------------------------------------------------
+    def _build_batch_cycle(self, state, k: int) -> Callable:
+        """K cycles fused in one dispatch with the dt chain ON DEVICE.
+
+        Replaces the per-cycle host sync (``float(dtnew)``) that
+        serializes dispatch (the reference has no such sync: its dt
+        Allreduce overlaps the next cycle's task list).  The dt logic —
+        2x growth limit, CFL, exact-tlim landing, nlim stop — runs in the
+        scan step; cycles past tlim/nlim get dt=0 and are exact no-ops,
+        so a batch never over-integrates.  One (time, ncycle) fetch per
+        k cycles.
+        """
+        cycle = self._raw_cycle(state)
+        tlim = self.tlim
+        cfl = self.cfl_no
+
+        def step(carry, _):
+            state, t, dt, ncyc, nlim_eff = carry
+            active = t < tlim
+            if self.nlim >= 0:
+                active = active & (ncyc < nlim_eff)
+            dt_eff = jnp.where(active, dt, jnp.zeros_like(dt))
+            state, dtnew, counters = cycle(state, dt_eff)
+            t = t + dt_eff
+            dtn = jnp.minimum(2.0 * dt, cfl * dtnew)
+            dtn = jnp.where((t < tlim) & (t + dtn > tlim), tlim - t, dtn)
+            dt = jnp.where(active, dtn, dt)
+            ncyc = ncyc + active.astype(jnp.int32)
+            if counters is not None:
+                counters = {key: v * active.astype(v.dtype)
+                            for key, v in counters.items()}
+            return (state, t, dt, ncyc, nlim_eff), counters
+
+        def batch(state, t, dt, ncyc, nlim_eff):
+            carry, counters = jax.lax.scan(
+                step, (state, t, dt, ncyc, nlim_eff), None, length=k)
+            state, t, dt, ncyc, _ = carry
+            if counters is not None:
+                counters = {key: jnp.sum(v) for key, v in counters.items()}
+            return state, t, dt, ncyc, counters
+
+        # donate only the state: the scalar outputs of batch N stay
+        # readable while batch N+1 runs, enabling one-batch lookahead in
+        # execute() (the ~30ms tunnel fetch overlaps device compute)
+        return jax.jit(batch, donate_argnums=(0,))
 
     def make_shard_cycle_fn(self, state):
         """The explicit shard_map cycle (ppermute halo exchange), un-jitted.
@@ -220,6 +269,19 @@ class Driver:
             state = shard_state(state, self.dmesh)
         return state
 
+    def _absorb_batch(self, scalars, nc0: int) -> None:
+        """Fetch one batch's (t, dt, ncyc, counters) into host bookkeeping
+        (the only host sync per k cycles in batched execution)."""
+        t_dev, dt_dev, ncyc_dev, counters = scalars
+        mesh = self.mesh
+        ncyc = int(ncyc_dev)
+        mesh.time = float(t_dev)
+        mesh.dt = float(dt_dev)
+        self.nmb_updated += mesh.nmb_total * (nc0 + ncyc - mesh.ncycle)
+        mesh.ncycle = nc0 + ncyc
+        for key, v in (counters or {}).items():
+            self.ecounters[key] = self.ecounters.get(key, 0) + int(v)
+
     def _unpadded(self, state):
         """View with block-pool padding stripped (for outputs/returns)."""
         if self._npad == 0:
@@ -251,7 +313,43 @@ class Driver:
                                 state=sv)
 
         dtype = state["u"].dtype
-        while (mesh.time < self.tlim
+        # Batched dispatch: with no outputs/diagnostics due mid-run, run k
+        # cycles per dispatch with the dt chain on device (one host sync
+        # per batch instead of per cycle).
+        use_batch = (not outputs) and not verbose \
+            and getattr(self.phys, "pturb", None) is None \
+            and getattr(self.phys, "ppart", None) is None
+        if use_batch:
+            k = 16
+            batch_fn = self._build_batch_cycle(state, k)
+            t_dev = jnp.asarray(mesh.time, dtype=dtype)
+            dt_dev = jnp.asarray(mesh.dt, dtype=dtype)
+            nc0 = mesh.ncycle
+            nlim_eff = jnp.asarray(
+                (self.nlim - nc0) if self.nlim >= 0 else 2**31 - 1,
+                dtype=jnp.int32)
+            ncyc_dev = jnp.zeros((), jnp.int32)
+            # One-batch lookahead: inspect batch N's scalars while batch
+            # N+1 runs on device.  Cycles past tlim/nlim are exact no-ops
+            # (dt=0), so the overshoot batch cannot over-integrate.
+            prev = None            # (t, dt, ncyc, counters) of last batch
+            while (mesh.time < self.tlim
+                   and (self.nlim < 0 or mesh.ncycle < self.nlim)):
+                if self.wall_limit is not None \
+                        and _time.perf_counter() - wall0 > self.wall_limit:
+                    print("wall-time limit reached; stopping cleanly")
+                    break
+                if self.watchdog is not None:
+                    self.watchdog.pet()
+                state, t_dev, dt_dev, ncyc_dev, counters = batch_fn(
+                    state, t_dev, dt_dev, ncyc_dev, nlim_eff)
+                if prev is not None:
+                    self._absorb_batch(prev, nc0)
+                prev = (t_dev, dt_dev, ncyc_dev, counters)
+            if prev is not None:
+                self._absorb_batch(prev, nc0)
+
+        while not use_batch and (mesh.time < self.tlim
                and (self.nlim < 0 or mesh.ncycle < self.nlim)):
             if self.wall_limit is not None \
                     and _time.perf_counter() - wall0 > self.wall_limit:

@@ -1,0 +1,289 @@
+"""Fully-fused MHD stage kernels: recon + HLLD + RK accumulation.
+
+Replaces the split pipeline (per-direction flux arrays -> rk_update) with
+three Pallas kernels that accumulate the flux divergence directly into the
+RK update, so full 5-channel flux arrays never round-trip HBM — only the
+mass flux (corner-EMF upwinding selector) and the two face EMFs per
+direction are materialized (reference: the split kernels this replaces,
+src/mhd/mhd_fluxes.cpp:78-250, src/mhd/hydro_update.cpp analog
+mhd_update.cpp).
+
+TPU-native layout choices (see pallas_guide.md):
+  * x1 kernel: stencil along the LANE axis (pltpu.roll on the minor dim).
+  * x2 kernel: stencil along the SUBLANE axis — no transposes.
+  * x3 kernel: sliding plane windows via pl.Element block dims (overlap 4
+    planes), stencil expressed as static plane slices — no transposes.
+  * The RK accumulator is input_output_aliased through kernels 2 and 3,
+    so each kernel pays one read + one write of the 5-channel state.
+
+Scope (gated by MHD.use_fused_stage): Newtonian ideal-gas PLM+HLLD, f32,
+3-D, uniform mesh, no scalars/FOFC/srcterms — the headline benchmark
+configuration.  Other configurations use the general paths.
+"""
+
+from __future__ import annotations
+
+import numpy as _np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..indices import IDN
+from .eos import EOSData
+from . import rsolvers_mhd
+
+TK = 4            # planes per grid step (x1/x2 tiles and x3 windows)
+TK12 = 2          # planes per grid step for the x1/x2 roll kernels
+_MAX_TILE = 2 * 128 * 128   # cap on TK*n2*n1 elements per tile (VMEM stack)
+
+
+def _roll(q, s: int, axis: int):
+    """q shifted so result[..., i] = q[..., i+s] along `axis` (circular).
+    Non-negative int32 shift keeps Mosaic's dynamic_rotate happy."""
+    return pltpu.roll(q, _np.int32((-s) % q.shape[axis]), axis=axis)
+
+
+def _plm(q, axis: int):
+    """PLM face states along `axis` via circular rolls (ghost cells make
+    the wraparound harmless, exactly like the jnp path in ops/recon.py)."""
+    qm1 = _roll(q, -1, axis)
+    qp1 = _roll(q, +1, axis)
+    dql = q - qm1
+    dqr = qp1 - q
+    dq2 = dql * dqr
+    dqm = jnp.where(dq2 <= 0.0, jnp.zeros_like(q), dq2 / (dql + dqr))
+    return _roll(q + dqm, -1, axis), q - dqm
+
+
+def _floors(q, eos: EOSData, dfloor, efloor):
+    if eos.is_ideal:
+        return jnp.concatenate(
+            [jnp.maximum(q[:1], dfloor), q[1:4],
+             jnp.maximum(q[4:5], efloor)], axis=0)
+    return jnp.concatenate([jnp.maximum(q[:1], dfloor), q[1:]], axis=0)
+
+
+def _mk_roll_kernel(eos: EOSData, ivx: int, axis_off: int,
+                    dfloor, efloor):
+    """x2 (axis_off=-2, sublanes) stage kernel: PLM+HLLD along the axis
+    and -betadx * d(flux) accumulated into the aliased RK register."""
+
+    def kernel(bd_ref, w_ref, bcc_ref, bx_ref, acc_ref,
+               out_ref, fd_ref, ey_ref, ez_ref):
+        betadx = bd_ref[0, 0]
+        w = w_ref[0]          # [5, TK, n2, L]
+        b = bcc_ref[0]        # [3, TK, n2, L]
+        bx = bx_ref[0]        # [TK, n2, L]
+        axis = w.ndim + axis_off
+
+        wl, wr = _plm(w, axis)
+        bl, br = _plm(b, axis)
+        wl = _floors(wl, eos, dfloor, efloor)
+        wr = _floors(wr, eos, dfloor, efloor)
+        f, ey, ez = rsolvers_mhd.hlld(wl, wr, bl, br, bx, eos, ivx)
+        df = _roll(f, 1, axis) - f
+        out_ref[0] = acc_ref[0] - betadx * df
+        fd_ref[0] = f[IDN]
+        ey_ref[0] = ey
+        ez_ref[0] = ez
+
+    return kernel
+
+
+def _mk_x3_kernel(eos: EOSData, dfloor, efloor):
+    """x3 stage kernel over sliding plane windows.
+
+    Window holds cell planes [k0, k0+TK+4); computes faces
+    [k0+2, k0+TK+3) and updates cells [k0+2, k0+TK+2)."""
+
+    def kernel(bd_ref, w_ref, bcc_ref, bx_ref, acc_ref,
+               out_ref, fd_ref, ey_ref, ez_ref):
+        betadx = bd_ref[0, 0]
+        w = w_ref[0]          # [5, TK+4, TJ, n1]
+        b = bcc_ref[0]
+        bx = bx_ref[0]        # [TK+1, TJ, n1]
+
+        def plm_planes(q):
+            dql = q[:, 1:TK + 3] - q[:, 0:TK + 2]   # cells 1..TK+2
+            dqr = q[:, 2:TK + 4] - q[:, 1:TK + 3]
+            dq2 = dql * dqr
+            dqm = jnp.where(dq2 <= 0.0, jnp.zeros_like(dql),
+                            dq2 / (dql + dqr))
+            # faces rel 2..TK+2 inclusive (TK+1 faces)
+            wl = q[:, 1:TK + 2] + dqm[:, 0:TK + 1]
+            wr = q[:, 2:TK + 3] - dqm[:, 1:TK + 2]
+            return wl, wr
+
+        wl, wr = plm_planes(w)
+        bl, br = plm_planes(b)
+        wl = _floors(wl, eos, dfloor, efloor)
+        wr = _floors(wr, eos, dfloor, efloor)
+        from ..indices import IVZ
+        f, ey, ez = rsolvers_mhd.hlld(wl, wr, bl, br, bx, eos, IVZ)
+        # update cells rel 2..TK+1 with faces rel offsets 0..TK
+        out_ref[0] = acc_ref[0] - betadx * (f[:, 1:TK + 1] - f[:, 0:TK])
+        fd_ref[0] = f[IDN]
+        ey_ref[0] = ey
+        ez_ref[0] = ez
+
+    return kernel
+
+
+def supports_fused_stage(phys, mesh) -> bool:
+    mbi = mesh.mb_indcs
+    return (len(phys.dirs) == 3
+            and phys.recon_method == "plm" and phys.rsolver == "hlld"
+            and phys.nscalars == 0 and phys.eos.is_ideal
+            and not (phys.is_sr or phys.is_gr)
+            and not phys.multilevel
+            and not phys.use_fofc and phys.fofc_excise_mask is None
+            and phys.srcterms is None and phys.pgrav is None
+            and phys.pvisc is None and phys.presist is None
+            and phys.pcond is None
+            and (mbi.ncells3 - 4) % TK == 0
+            and mbi.ncells3 % TK12 == 0
+            and mbi.ng == 2)
+
+
+def fused_stage3d(w, bcc, bfc, u0, u1, eos: EOSData,
+                  gam0: float, gam1: float, beta_dt, dxs):
+    """Fused recon+solve+RK accumulation for all three directions.
+
+    Returns (u_new_pre_src, fden dict, emf dict).  ``u1`` must arrive
+    pre-scaled by gam1 (caller does gam1*u1 once — or we fold it here).
+    """
+    nmb, nv, n3, n2, n1 = w.shape
+    dt = w.dtype
+    dfloor = eos.dfloor
+    efloor = eos.pfloor / (eos.gamma - 1.0) if eos.is_ideal else 0.0
+
+    def smem_spec():
+        return pl.BlockSpec((1, 1), lambda *a: (0, 0),
+                            memory_space=pltpu.SMEM)
+
+    # keep the Mosaic stack (block buffers + HLLD live temporaries) under
+    # the 16MB scoped-vmem limit: shrink the plane count per step until
+    # the tile volume is bounded.  Volumes use LANE-PADDED extents (the
+    # physical VMEM footprint tiles to (8,128) for f32).
+    n1p = -(-n1 // 128) * 128
+    n2p = -(-n2 // 8) * 8
+    tk12 = TK12
+    while tk12 > 1 and tk12 * n2p * n1p > _MAX_TILE:
+        tk12 //= 2
+
+    def blk(ch, tk=None):
+        tk = tk12 if tk is None else tk
+        if ch is None:
+            return pl.BlockSpec((1, tk, n2, n1),
+                                lambda m, k: (m, k, 0, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((1, ch, tk, n2, n1),
+                            lambda m, k: (m, 0, k, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    grid = (nmb, n3 // tk12)
+    out_sds = (
+        jax.ShapeDtypeStruct(w.shape, dt),                 # acc
+        jax.ShapeDtypeStruct((nmb, n3, n2, n1), dt),       # fden
+        jax.ShapeDtypeStruct((nmb, n3, n2, n1), dt),       # ey
+        jax.ShapeDtypeStruct((nmb, n3, n2, n1), dt),       # ez
+    )
+
+    # ---- x1 (lanes): initializes the accumulator from u0/u1
+    bd1 = jnp.asarray(beta_dt / dxs["x1"], dt).reshape(1, 1)
+    in1 = [smem_spec(), blk(nv), blk(3), blk(None)]
+    ops1 = [bd1, w, bcc, bfc["x1f"][..., :-1]]
+
+    def mk_k1(read_u0: bool):
+        def k1(*refs):
+            if read_u0:
+                bd_ref, w_ref, bcc_ref, bx_ref, u0_ref, u1_ref, \
+                    out_ref, fd_ref, ey_ref, ez_ref = refs
+            else:
+                bd_ref, w_ref, bcc_ref, bx_ref, u1_ref, \
+                    out_ref, fd_ref, ey_ref, ez_ref = refs
+            betadx = bd_ref[0, 0]
+            ww = w_ref[0]
+            bb = bcc_ref[0]
+            bx = bx_ref[0]
+            axis = ww.ndim - 1
+            wl, wr = _plm(ww, axis)
+            bl, br = _plm(bb, axis)
+            wl = _floors(wl, eos, dfloor, efloor)
+            wr = _floors(wr, eos, dfloor, efloor)
+            f, ey, ez = rsolvers_mhd.hlld(wl, wr, bl, br, bx, eos, 1)
+            df = _roll(f, 1, axis) - f
+            reg = gam1 * u1_ref[0] if not read_u0 \
+                else gam0 * u0_ref[0] + gam1 * u1_ref[0]
+            out_ref[0] = reg - betadx * df
+            fd_ref[0] = f[IDN]
+            ey_ref[0] = ey
+            ez_ref[0] = ez
+        return k1
+
+    if gam0 == 0.0:
+        acc, fd1, ey1, ez1 = pl.pallas_call(
+            mk_k1(False), grid=grid,
+            in_specs=in1 + [blk(nv)],
+            out_specs=(blk(nv), blk(None), blk(None), blk(None)),
+            out_shape=out_sds,
+        )(*ops1, u1)
+    else:
+        acc, fd1, ey1, ez1 = pl.pallas_call(
+            mk_k1(True), grid=grid,
+            in_specs=in1 + [blk(nv), blk(nv)],
+            out_specs=(blk(nv), blk(None), blk(None), blk(None)),
+            out_shape=out_sds,
+        )(*ops1, u0, u1)
+
+    # ---- x2 (sublanes): accumulator aliased through
+    bd2 = jnp.asarray(beta_dt / dxs["x2"], dt).reshape(1, 1)
+    k2 = _mk_roll_kernel(eos, 2, -2, dfloor, efloor)
+    acc, fd2, ey2, ez2 = pl.pallas_call(
+        k2, grid=grid,
+        in_specs=[smem_spec(), blk(nv), blk(3), blk(None), blk(nv)],
+        out_specs=(blk(nv), blk(None), blk(None), blk(None)),
+        out_shape=out_sds,
+        input_output_aliases={4: 0},
+    )(bd2, w, bcc, bfc["x2f"][..., :-1, :], acc)
+
+    # ---- x3 (plane windows)
+    TJ = n2
+    while TJ > 8 and (TK + 1) * (-(-TJ // 8) * 8) * n1p > 20480 \
+            and TJ % 2 == 0:
+        TJ //= 2
+    bd3 = jnp.asarray(beta_dt / dxs["x3"], dt).reshape(1, 1)
+    k3 = _mk_x3_kernel(eos, dfloor, efloor)
+
+    def e_blk(ch, tk, koff):
+        if ch is None:
+            return pl.BlockSpec(
+                (pl.Element(1), pl.Element(tk), pl.Element(TJ),
+                 pl.Element(n1)),
+                lambda m, k, j: (m, k * TK + koff, j * TJ, 0),
+                memory_space=pltpu.VMEM)
+        return pl.BlockSpec(
+            (pl.Element(1), pl.Element(ch), pl.Element(tk),
+             pl.Element(TJ), pl.Element(n1)),
+            lambda m, k, j: (m, 0, k * TK + koff, j * TJ, 0),
+            memory_space=pltpu.VMEM)
+
+    grid3 = (nmb, (n3 - 4) // TK, n2 // TJ)
+    acc, fd3, ey3, ez3 = pl.pallas_call(
+        k3, grid=grid3,
+        in_specs=[smem_spec(),
+                  e_blk(nv, TK + 4, 0), e_blk(3, TK + 4, 0),
+                  e_blk(None, TK + 1, 2), e_blk(nv, TK, 2)],
+        out_specs=(e_blk(nv, TK, 2), e_blk(None, TK + 1, 2),
+                   e_blk(None, TK + 1, 2), e_blk(None, TK + 1, 2)),
+        out_shape=out_sds,
+        input_output_aliases={4: 0},
+    )(bd3, w, bcc, bfc["x3f"][:, :-1], acc)
+
+    fden = {"x1": fd1, "x2": fd2, "x3": fd3}
+    emf = {"e3x1": ey1, "e2x1": ez1,
+           "e1x2": ey2, "e3x2": ez2,
+           "e2x3": ey3, "e1x3": ez3}
+    return acc, fden, emf

@@ -202,6 +202,13 @@ class MHD:
             if pin.does_block_exist("gravity") else None
         self.srcterms_func = None
 
+        # fully-fused stage path (ops/pallas_stage.py): gated on the exact
+        # configuration the kernels cover; falls back to the per-direction
+        # pallas/jnp paths otherwise
+        from ..ops.pallas_stage import supports_fused_stage
+        self.use_fused_stage = (self.use_pallas
+                                and supports_fused_stage(self, mesh))
+
         if self.multilevel:
             blockers = {
                 "viscosity/resistivity/conduction":
@@ -334,11 +341,12 @@ class MHD:
         return gam0 * u0 + gam1 * u1 - beta_dt * divf
 
     # ------------------------------------------------------------- corner E
-    def corner_e(self, w, bcc, flx, emf, bfc=None):
+    def corner_e(self, w, bcc, fden, emf, bfc=None):
         """Edge-centered EMFs via Gardiner-Stone (2005/07) upwinding
         (reference: src/mhd/mhd_corner_e.cpp).  Returns cell-indexed edge
         arrays e1/e2/e3: entry (k,j,i) is the edge at the lower corner of
-        cell (k,j,i)."""
+        cell (k,j,i).  ``fden`` holds the mass-flux upwinding selectors
+        per direction ({"x1": ..} arrays [nmb,n3,n2,n1])."""
         one_d = len(self.dirs) == 1
         two_d = len(self.dirs) == 2
         # axes of the 4D [nmb, n3, n2, n1] EMF/flux-channel arrays
@@ -388,8 +396,8 @@ class MHD:
             e3cc_gr = b1 * u2 - b2 * u1
         # cell-centered EMFs, E = -v x B (Newtonian/SR 3-velocity form)
         e3cc = e3cc_gr if self.is_gr else vy * bx - vx * by
-        fx1 = flx["x1"][:, IDN]  # mass flux upwinding selector
-        fx2 = flx["x2"][:, IDN]
+        fx1 = fden["x1"]  # mass flux upwinding selector
+        fx2 = fden["x2"]
 
         def gs07(e_cc, e_a, e_b, f_a, f_b, axa, axb):
             """Corner value of an EMF component lying along the remaining
@@ -427,7 +435,7 @@ class MHD:
         # 3D
         e1cc = e1cc_gr if self.is_gr else vz * by - vy * bz
         e2cc = e2cc_gr if self.is_gr else vx * bz - vz * bx
-        fx3 = flx["x3"][:, IDN]
+        fx3 = fden["x3"]
         # E1 lies along x1; faces: e1x2 (x2-faces), e1x3 (x3-faces);
         # corner in (x2, x3) plane
         e1 = gs07(e1cc, emf["e1x2"], emf["e1x3"], fx2, fx3, JA, KA)
@@ -1185,6 +1193,26 @@ class MHD:
     def stage_update(self, state, saved, gam0, gam1, beta_dt):
         """One RK stage (reference task chain mhd_tasks.cpp:48-81)."""
         u, w, bfc, bcc = state["u"], state["w"], state["bfc"], state["bcc"]
+        if self.use_fused_stage:
+            # fully-fused recon+HLLD+RK path (ops/pallas_stage.py): the
+            # 5-channel flux arrays never round-trip HBM
+            from ..ops.pallas_stage import fused_stage3d
+            dxs = {n: dx for n, _a, _i, dx in self.dirs}
+            u, fden, emf = fused_stage3d(
+                w, bcc, bfc, u, saved["u1"], self.eos,
+                gam0, gam1, beta_dt, dxs)
+            if self.srcterms_func is not None:
+                u = self.srcterms_func(u, w, beta_dt)
+            e1, e2, e3 = self.corner_e(w, bcc, fden, emf, bfc=bfc)
+            bfc = self.ct_update(bfc, saved["bfc1"], e1, e2, e3,
+                                 gam0, gam1, beta_dt)
+            u = self.bvals.fill_ghosts(u)
+            bfc = self.fill_ghosts_fc(bfc)
+            bcc = self.compute_bcc(bfc)
+            w, u, counters = self.cons_to_prim(u, bcc)
+            out = dict(state)
+            out.update({"u": u, "w": w, "bfc": bfc, "bcc": bcc})
+            return out, counters
         flx, emf = self.fluxes(w, bcc, bfc)
         nfofc = None
         if self.use_fofc or self.fofc_excise_mask is not None:
@@ -1203,7 +1231,8 @@ class MHD:
             u = self.srcterms.apply(u, w, beta_dt, flx=flx, phi=phi)
         if self.srcterms_func is not None:
             u = self.srcterms_func(u, w, beta_dt)
-        e1, e2, e3 = self.corner_e(w, bcc, flx, emf, bfc=bfc)
+        e1, e2, e3 = self.corner_e(
+            w, bcc, {n: flx[n][:, IDN] for n in flx}, emf, bfc=bfc)
         if self.multilevel:
             e1, e2, e3 = self._emf_correct(e1, e2, e3)
         bfc = self.ct_update(bfc, saved["bfc1"], e1, e2, e3,

@@ -5,7 +5,13 @@ line printed at the end of every run (reference:
 src/driver/driver.cpp:505-525) — on the headline 3D MHD blast workload
 (BASELINE.md north star: >= 1e9 zone-cycles/s/chip).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Honest timing: cycles run as one on-device lax.scan per window and the
+clock stops on a *value fetch* (jax.block_until_ready returns early on
+the tunneled axon backend, so fetch-based sync is the only reliable
+barrier).  Reports the hero single-block number plus a multi-block
+configuration (8 x 62^3) that exercises the block-gather halo path.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 from __future__ import annotations
@@ -16,25 +22,7 @@ import sys
 import time
 
 
-def main() -> int:
-    import jax
-    import jax.numpy as jnp
-
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from athenak_tpu.athinput import ParameterInput
-    from athenak_tpu.main import build
-
-    # Single precision is the TPU fast path (the reference exposes the same
-    # choice via SINGLE_PRECISION_ENABLED, reference: src/athena.hpp:22-36).
-    # Default 124^3: with 2 ghost cells the padded extent is exactly 128,
-    # so arrays tile the TPU lane dimension with zero padding waste
-    # (misaligned extents cost ~2x; measured 46 vs 99 Mzc/s at 128 vs 124).
-    nx = int(os.environ.get("BENCH_NX", "124"))
-    mbx = int(os.environ.get("BENCH_MBX", str(nx)))
-    ncycles = int(os.environ.get("BENCH_NCYCLES", "40"))
-    npasses = int(os.environ.get("BENCH_NPASSES", "2"))
-
-    deck = f"""
+DECK = """
 <job>
 basename = bench_blast
 precision = single
@@ -75,35 +63,76 @@ outer_radius = 0.25
 prat = 100.0
 b_amb = 0.1
 """
-    pin = ParameterInput.from_string(deck)
+
+
+def run_config(nx: int, mbx: int, ncycles: int, npasses: int) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from athenak_tpu.athinput import ParameterInput
+    from athenak_tpu.main import build
+
+    pin = ParameterInput.from_string(DECK.format(nx=nx, mbx=mbx))
     mesh, phys, pgen, driver, state = build(pin)
     state = driver.initialize(state)
-
-    cycle = jax.jit(driver.make_cycle_fn(), donate_argnums=(0,))
     dt = jnp.asarray(driver.mesh.dt, dtype=state["u"].dtype)
 
-    # warm-up / compile
-    state, dtnew, _ = cycle(state, dt)
-    jax.block_until_ready(state)
+    cycle = driver.make_cycle_fn()
 
-    # best of npasses timed windows (the tunneled device shows occasional
-    # transient slowdowns; the best window reflects the sustained rate)
+    def window(state, dt):
+        def step(c, _):
+            s, d = c
+            s, dtn, _ = cycle(s, d)
+            return (s, d), dtn
+        (s, _), dts = jax.lax.scan(step, (state, dt), None, length=ncycles)
+        return s, jnp.sum(dts)
+
+    wf = jax.jit(window, donate_argnums=(0,))
+    state, chk = wf(state, dt)
+    _ = float(chk)  # compile + warm; fetch is the only honest barrier
+
     best = float("inf")
     for _ in range(npasses):
         t0 = time.perf_counter()
-        for _ in range(ncycles):
-            state, dtnew, _ = cycle(state, dt)
-        jax.block_until_ready(state)
+        state, chk = wf(state, dt)
+        _ = float(chk)
         best = min(best, time.perf_counter() - t0)
 
     zones = nx ** 3
-    zcps = zones * ncycles / best
-    print(json.dumps({
+    return zones * ncycles / best
+
+
+def main() -> int:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    # Default 124^3: with 2 ghost cells the padded extent is exactly 128,
+    # so arrays tile the TPU lane dimension with zero padding waste.
+    nx = int(os.environ.get("BENCH_NX", "124"))
+    mbx = int(os.environ.get("BENCH_MBX", str(nx)))
+    ncycles = int(os.environ.get("BENCH_NCYCLES", "40"))
+    npasses = int(os.environ.get("BENCH_NPASSES", "2"))
+
+    zcps = run_config(nx, mbx, ncycles, npasses)
+
+    # multi-block secondary metric: 8 blocks of 60^3 (ghost-padded 64 —
+    # lane-aligned), exercising the block-axis halo gathers real
+    # SMR/torus decks hit
+    mb_zcps = None
+    if os.environ.get("BENCH_MULTIBLOCK", "1") != "0":
+        try:
+            mb_zcps = run_config(120, 60, max(ncycles // 2, 5), 1)
+        except Exception:
+            mb_zcps = None
+
+    out = {
         "metric": "zone_cycles_per_second_3d_mhd_blast",
         "value": zcps,
         "unit": "zone-cycles/s",
         "vs_baseline": zcps / 1.0e9,
-    }))
+    }
+    if mb_zcps is not None:
+        out["multi_block_8x60_value"] = mb_zcps
+    print(json.dumps(out))
     return 0
 
 
