@@ -16,6 +16,10 @@ from ..indices import IDN, IEN, IVX, IVY, IVZ
 def init(pin, mesh, phys):
     shock_dir = pin.get_integer("problem", "shock_dir")
     xshock = pin.get_real("problem", "xshock")
+    # dynamical-GR runs store pressure (not internal energy) in the IEN
+    # primitive slot and use the primitive-solver EOS framework
+    # (reference: shock_tube.cpp dyngr branch)
+    is_dyngr = hasattr(phys, "ps")
 
     wl = [pin.get_real("problem", "dl"),
           pin.get_real("problem", "ul"),
@@ -25,7 +29,10 @@ def init(pin, mesh, phys):
           pin.get_real("problem", "ur"),
           pin.get_real("problem", "vr"),
           pin.get_real("problem", "wr")]
-    if phys.eos.is_ideal:
+    if is_dyngr:
+        wl.append(pin.get_real("problem", "pl"))
+        wr.append(pin.get_real("problem", "pr"))
+    elif phys.eos.is_ideal:
         gm1 = phys.eos.gamma - 1.0
         wl.append(pin.get_real("problem", "pl") / gm1)
         wr.append(pin.get_real("problem", "pr") / gm1)
@@ -94,6 +101,21 @@ def init(pin, mesh, phys):
                                        bzl, bzr)
         bfc = {k: jnp.asarray(v, dtype=dtype) for k, v in bfc.items()}
         bcc = phys.compute_bcc(bfc)
+        if is_dyngr:
+            # fixed Minkowski ADM background (<mhd>+<adm> mode;
+            # reference: inputs/dyn_grmhd/sod.athinput coord/minkowski)
+            shp = (mesh.nmb_total, mbi.ncells3, mbi.ncells2, mbi.ncells1)
+            one = np.ones(shp)
+            zero = np.zeros(shp)
+            phys.set_fixed_adm(
+                [one, zero, zero, one, zero, one], one,
+                [zero, zero, zero])
+            adm = phys.adm_of({})
+            n = wj[:, IDN] / phys.ps.mb
+            T = phys.policy.temperature_from_p(
+                jnp.maximum(n, phys.ps.n_atm), wj[:, IEN])
+            u = phys.prim_to_cons_state(wj, T, bcc, adm)
+            return phys.make_state(u, wj, bfc, T=T)
         u = phys.prim_to_cons(wj, bcc)
         return phys.make_state(u, wj, bfc)
     u = phys.prim_to_cons(wj)

@@ -196,9 +196,10 @@ class Z4c:
         return chi, g, khat, A, gam, theta, alpha, beta
 
     # ------------------------------------------------------------------
-    def rhs(self, u, time=0.0):
+    def rhs(self, u, time=0.0, tmunu=None):
         """Full Z4c right-hand side (reference: Z4c::CalcRHS,
-        z4c_calcrhs.cpp:180-590)."""
+        z4c_calcrhs.cpp:180-590).  ``tmunu`` adds the matter source
+        terms for dynamical GRMHD (reference: z4c/tmunu.hpp)."""
         opt = self.opt
         ng = self.ng
         idx = self.idx
@@ -409,6 +410,31 @@ class Z4c:
                             for b in range(3))
             rhs = rhs.at[:, I_BETAX + a].set(v)
 
+        # ------------------------------------------------- matter coupling
+        # stress-energy source terms (reference: z4c_calcrhs.cpp:364,
+        # 490-532; tmunu = {"E", "S_d"[3], "S_dd"[6]} undensitized)
+        if tmunu is not None:
+            fourpi = 4.0 * math.pi
+            E_m = tmunu["E"]
+            S_d_m = tmunu["S_d"]
+            S_dd_m = tmunu["S_dd"]
+            S_m = oopsi4 * sum(
+                gu[a][b] * S_dd_m[sym_idx(a, b)]
+                for a in range(3) for b in range(3))
+            rhs = rhs.at[:, I_KHAT].add(
+                fourpi * alpha * (S_m + E_m))
+            rhs = rhs.at[:, I_THETA].add(
+                -2.0 * fourpi * alpha * E_m * opt.use_z4c)
+            for a in range(3):
+                rhs = rhs.at[:, I_GAMX + a].add(
+                    -4.0 * fourpi * alpha
+                    * sum(gu[a][b] * S_d_m[b] for b in range(3)))
+            for a, b in _sym_pairs():
+                rhs = rhs.at[:, I_AXX + sym_idx(a, b)].add(
+                    -2.0 * fourpi * alpha
+                    * (oopsi4 * S_dd_m[sym_idx(a, b)]
+                       - (1.0 / 3.0) * S_m * g[a][b]))
+
         # Sommerfeld radiative RHS on the outer active layer
         # (reference: Z4cSommerfeld, z4c_Sbc.cpp:25-122; derivatives forced
         # to 2nd order for stability as in the reference)
@@ -587,11 +613,11 @@ class Z4c:
     def cons_to_prim(self, u):
         return u, u, {}
 
-    def stage_update(self, state, saved, gam0, gam1, beta_dt):
+    def stage_update(self, state, saved, gam0, gam1, beta_dt, tmunu=None):
         """One RK stage: RHS -> update -> chi floor -> halo -> algebraic
         constraints (reference task chain: z4c_tasks.cpp:48-85)."""
         u = state["u"]
-        rhs = self.rhs(u)
+        rhs = self.rhs(u, tmunu=tmunu)
         u = gam0 * u + gam1 * saved["u1"] + beta_dt * rhs
         u = self.bvals.fill_ghosts(u)
         u = self.alg_constr(u)
