@@ -102,8 +102,136 @@ class BoundaryValues:
         for _ in range(2 if self.multilevel else 1):
             for ax in self.active_axes:
                 u = self._sweep_axis(u, ax)
+        if self.multilevel:
+            u = self._fill_corners(u)
         if self.user_bc_func is not None:
             u = self.user_bc_func(u, self)
+        return u
+
+    # ------------------------------------------------------------------
+    def _fill_corners(self, u):
+        """Direct diagonal-donor fill of the edge/corner ghost patches.
+
+        The axis sweeps fill corners transitively via same-level copies,
+        but at mixed-level junctions the restriction/prolongation write
+        regions leave corner holes (restriction covers only the donor
+        array's footprint; prolongation is guarded off strips whose
+        diagonal is same-or-finer).  This pass copies/restricts the
+        ng-deep corner patches straight from the diagonal donors — the
+        reference's explicit edge/corner buffers
+        (reference: src/bvals/bvals.hpp:61-101 neighbor enumeration)."""
+        from .refinement import restrict_cc
+
+        mesh = self.mesh
+        mbi = mesh.mb_indcs
+        ng, h = self.ng, self.ng // 2
+        nx_of = {"x1": mbi.nx1, "x2": mbi.nx2, "x3": mbi.nx3}
+        act = self.active_axes
+        three_d = len(act) == 3
+
+        def side_slices(ax, s, n):
+            """(my ghost slice, same-donor slice, fine-donor slice)."""
+            if s == "m":
+                return (slice(0, ng), slice(n - 2 * ng, n - ng),
+                        slice(n - ng - 2 * ng, n - ng))
+            return (slice(n - ng, n), slice(ng, 2 * ng),
+                    slice(ng, 3 * ng))
+
+        pairs = [(d1, d2) for i, d1 in enumerate(act)
+                 for d2 in act[i + 1:]]
+        for d1, d2 in pairs:
+            a1, a2 = _AXIS_OF[d1], _AXIS_OF[d2]
+            n1, n2 = u.shape[a1], u.shape[a2]
+            # edge direction (3D) / absent (2D)
+            rest = [a for a in act if a not in (d1, d2)]
+            for s1 in ("m", "p"):
+                for s2 in ("m", "p"):
+                    t = mesh.ml.get(f"e_{d1}{s1}{d2}{s2}")
+                    if t is None or not (t.get("any_same")
+                                         or t.get("any")):
+                        continue
+                    my1, dn1, fn1 = side_slices(d1, s1, n1)
+                    my2, dn2, fn2 = side_slices(d2, s2, n2)
+                    if t.get("any_same"):
+                        region = [slice(None)] * 5
+                        region[a1], region[a2] = my1, my2
+                        region = tuple(region)
+                        drg = [slice(None)] * 5
+                        drg[a1], drg[a2] = dn1, dn2
+                        donor = jnp.take(u[tuple(drg)], t["same_gid"],
+                                         axis=0)
+                        mb = t["same_mask"].reshape((-1,) + (1,) * 4)
+                        u = u.at[region].set(
+                            jnp.where(mb, donor, u[region]))
+                    if t.get("any"):
+                        drg = [slice(None)] * 5
+                        drg[a1], drg[a2] = fn1, fn2
+                        caxes = [a1 - 5, a2 - 5]
+                        if rest:
+                            caxes.append(_AXIS_OF[rest[0]] - 5)
+                        parts = [restrict_cc(
+                            jnp.take(u[tuple(drg)], t["fine"][:, q],
+                                     axis=0), caxes)
+                            for q in range(t["fine"].shape[1])]
+                        region = [slice(None)] * 5
+                        region[a1], region[a2] = my1, my2
+                        if rest:
+                            # assemble the two edge-axis donors over the
+                            # transverse core (vertex cubes via v_ pass)
+                            ar = _AXIS_OF[rest[0]]
+                            nxt = nx_of[rest[0]]
+                            keep = nxt // 2 + h
+                            lo = jnp.take(parts[0], np.arange(keep),
+                                          axis=ar)
+                            nh = parts[1].shape[ar]
+                            hi = jnp.take(parts[1], np.arange(h, nh),
+                                          axis=ar)
+                            assembled = jnp.concatenate([lo, hi],
+                                                        axis=ar)
+                            region[ar] = slice(h, u.shape[ar] - h)
+                        else:
+                            assembled = parts[0]
+                        region = tuple(region)
+                        mb = t["mask"].reshape((-1,) + (1,) * 4)
+                        u = u.at[region].set(
+                            jnp.where(mb, assembled, u[region]))
+        if three_d:
+            for s1 in ("m", "p"):
+                for s2 in ("m", "p"):
+                    for s3 in ("m", "p"):
+                        t = mesh.ml.get(f"v_{s1}{s2}{s3}")
+                        if t is None or not (t["any_same"]
+                                             or t["any_fine"]):
+                            continue
+                        a1, a2, a3 = (_AXIS_OF["x1"], _AXIS_OF["x2"],
+                                      _AXIS_OF["x3"])
+                        my1, dn1, fn1 = side_slices("x1", s1,
+                                                    u.shape[a1])
+                        my2, dn2, fn2 = side_slices("x2", s2,
+                                                    u.shape[a2])
+                        my3, dn3, fn3 = side_slices("x3", s3,
+                                                    u.shape[a3])
+                        region = [slice(None)] * 5
+                        region[a1], region[a2], region[a3] = my1, my2, my3
+                        region = tuple(region)
+                        if t["any_same"]:
+                            drg = [slice(None)] * 5
+                            drg[a1], drg[a2], drg[a3] = dn1, dn2, dn3
+                            donor = jnp.take(u[tuple(drg)],
+                                             t["same_gid"], axis=0)
+                            mb = t["same_mask"].reshape((-1,) + (1,) * 4)
+                            u = u.at[region].set(
+                                jnp.where(mb, donor, u[region]))
+                        if t["any_fine"]:
+                            drg = [slice(None)] * 5
+                            drg[a1], drg[a2], drg[a3] = fn1, fn2, fn3
+                            donor = restrict_cc(
+                                jnp.take(u[tuple(drg)], t["fine_gid"],
+                                         axis=0),
+                                [a1 - 5, a2 - 5, a3 - 5])
+                            mb = t["fine_mask"].reshape((-1,) + (1,) * 4)
+                            u = u.at[region].set(
+                                jnp.where(mb, donor, u[region]))
         return u
 
     # ------------------------------------------------------------------
@@ -221,8 +349,23 @@ class BoundaryValues:
                     (-1,) + (1,) * 4)
                 d = jnp.where(sel, d1, d0)
             pro = prolong_cc(d, cell_axes)
-            cmask = t["coarse_mask"].reshape((-1,) + (1,) * 4)
-            ghost = jnp.where(cmask, pro, ghost)
+            wmask = t["coarse_mask"].reshape((-1,) + (1,) * 4)
+            # guard the transverse corner strips: where the diagonal
+            # neighbor is same-level or finer, the sweeps already placed
+            # the correct (copied/restricted) values there — the prolonged
+            # candidate would de-synchronize the corner EMF stencils of
+            # adjacent fine blocks (concave trees; see refinement.pkeep)
+            for a2 in tn:
+                t_axis = _AXIS_OF[a2]
+                ncc = nc_of[a2]
+                shp = [1] * 5
+                shp[t_axis] = ncc
+                pos = np.arange(ncc).reshape(shp)
+                km = t["pkeep"][a2]["m"].reshape((-1,) + (1,) * 4)
+                kp = t["pkeep"][a2]["p"].reshape((-1,) + (1,) * 4)
+                wmask = wmask & ((pos >= ng) | km) \
+                    & ((pos < ncc - ng) | kp)
+            ghost = jnp.where(wmask, pro, ghost)
         return ghost
 
     # ------------------------------------------------------------------

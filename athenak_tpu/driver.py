@@ -69,6 +69,21 @@ def make_integrator(name: str) -> IntegratorData:
                     [0.5, 0.0, 0.0],
                     [0.0, 0.25, 0.25]],
             a_impl=0.5)
+    if name == "imex2+":
+        # IMEX(4,3,2), Krapp et al. (2024) eq. 30 (reference:
+        # driver.cpp:190-231); three explicit + four implicit stages
+        g = 1.707106781186547  # 1 + 1/sqrt(2)
+        return IntegratorData(
+            "imex2+", 3, 1.0,
+            [0.0, (2.0 * g - 1.0) / (2.0 * g * g), 1.0],
+            [1.0, 1.0 - (2.0 * g - 1.0) / (2.0 * g * g), 0.0],
+            [g, 1.0 / (2.0 * g), 0.0],
+            nimp_stages=4,
+            a_twid=[[0.0, 0.0, 0.0, 0.0],
+                    [0.0, 0.0, 0.0, 0.0],
+                    [0.0, 0.0, (1.0 - 2.0 * g * g) / (2.0 * g), 0.0],
+                    [0.0, 0.0, 0.0, 0.0]],
+            a_impl=g)
     if name == "imex3":
         # IMEX-SSP3(4,3,3), Pareschi & Russo (2005) Table VI
         # (reference: driver.cpp:232-272); explicit part identical to rk3
@@ -88,7 +103,7 @@ def make_integrator(name: str) -> IntegratorData:
                      (4.0 * (b + e + a) - 1.0) / 6.0, 2.0 * (1.0 - a) / 3.0]],
             a_impl=a)
     raise ValueError(f"integrator '{name}' not implemented "
-                     "(valid: rk1, rk2, rk3, rk4, imex2, imex3)")
+                     "(valid: rk1, rk2, rk3, rk4, imex2, imex2+, imex3)")
 
 
 class Driver:
@@ -118,6 +133,12 @@ class Driver:
         self.ecounters: Dict[str, int] = {}
         self.nmb_updated = 0
         self._cycle_fn = None
+        # adaptive mesh refinement (reference: MeshRefinement is attached
+        # to the mesh after physics construction, main.cpp:363-366)
+        self.pamr = None
+        if getattr(mesh, "adaptive", False):
+            from .amr import AMR
+            self.pamr = AMR(pin, mesh)
         # optional jax.sharding.Mesh: shards the block axis over devices
         # (the TPU-native analogue of MPI rank decomposition)
         self.dmesh = None
@@ -147,12 +168,21 @@ class Driver:
                 state = phys.ppart.push(state, dt)
             if getattr(phys, "psbox", None) is not None:
                 # orbital advection, once per cycle (reference: OA tasks
-                # in the hydro DAG, src/shearing_box/orbital_advection*)
+                # in the hydro/MHD DAGs, src/shearing_box/
+                # orbital_advection_{cc,fc}.cpp)
                 u = phys.psbox.orbital_advect(state["u"], dt)
                 u = phys.bvals.fill_ghosts(u)
                 u = phys.psbox.remap_ghosts(u, state["t"])
-                w, u, _ = phys.cons_to_prim(u)
-                state = dict(state, u=u, w=w)
+                if "bfc" in state:
+                    bfc = phys.psbox.orbital_advect_fc(state["bfc"], dt)
+                    bfc = phys.fill_ghosts_fc(bfc)
+                    bfc = phys.psbox.remap_ghosts_fc(bfc, state["t"])
+                    bcc = phys.compute_bcc(bfc)
+                    w, u, _ = phys.cons_to_prim(u, bcc)
+                    state = dict(state, u=u, w=w, bfc=bfc, bcc=bcc)
+                else:
+                    w, u, _ = phys.cons_to_prim(u)
+                    state = dict(state, u=u, w=w)
             saved = phys.save_state(state)
             counters_tot = None
             for s in range(integ.nexp_stages):
@@ -301,8 +331,6 @@ class Driver:
         mesh = self.mesh
         outputs = outputs or []
         wall0 = _time.perf_counter()
-        zones = (mesh.mb_indcs.nx1 * mesh.mb_indcs.nx2 * mesh.mb_indcs.nx3
-                 * mesh.nmb_total)
 
         # initial-condition outputs (skipped on restart, reference:
         # Driver::Initialize res_flag, driver.cpp:341)
@@ -317,6 +345,7 @@ class Driver:
         # cycles per dispatch with the dt chain on device (one host sync
         # per batch instead of per cycle).
         use_batch = (not outputs) and not verbose \
+            and self.pamr is None \
             and getattr(self.phys, "pturb", None) is None \
             and getattr(self.phys, "ppart", None) is None
         if use_batch:
@@ -380,13 +409,29 @@ class Driver:
                 dt = self.tlim - mesh.time
             mesh.dt = dt
 
+            # adaptive refinement after the cycle (reference:
+            # Driver::Execute, driver.cpp:448)
+            if self.pamr is not None:
+                state, changed = self.pamr.step(self, state,
+                                                outputs=outputs)
+                if changed:
+                    mesh = self.mesh
+                    self._cycle_fn = self._build_cycle(state)
+                    # respect the finer CFL immediately (reference:
+                    # NewTimeStep calls after RedistAndRefine)
+                    dtnew = float(jax.jit(self.phys.dt_from_state)(state))
+                    mesh.dt = min(mesh.dt, self.cfl_no * dtnew)
+
             if outputs:
                 sv = self._unpadded(state)
                 for out in outputs:
                     out.maybe_write(mesh, sv["u"], sv["w"], state=sv)
 
         self.wall_seconds = _time.perf_counter() - wall0
-        self.zone_cycles = zones * mesh.ncycle
+        mbi = mesh.mb_indcs
+        # per-block zone count x blocks updated (correct under AMR where
+        # nmb_total varies over the run)
+        self.zone_cycles = self.nmb_updated * (mbi.nx1 * mbi.nx2 * mbi.nx3)
         self.zcps = self.zone_cycles / max(self.wall_seconds, 1e-12)
 
         # final outputs

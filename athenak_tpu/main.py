@@ -40,17 +40,11 @@ def setup_precision(pin) -> None:
         raise ValueError(f"job/precision={prec} must be single|double")
 
 
-def build(pin):
-    """Construct mesh -> physics -> pgen -> driver (reference main.cpp order)."""
-    from .bvals import BoundaryValues
-    from .driver import Driver
-    from .mesh import Mesh
-    from .pgen import get_pgen
+def make_physics(pin, mesh, bvals):
+    """Select and construct the physics module for this input deck
+    (reference: MeshBlockPack::AddPhysics, meshblock_pack.cpp:102-235).
+    Also used by the AMR rebuild (amr.py) after a tree update."""
     from .physics.hydro import Hydro
-
-    setup_precision(pin)
-    mesh = Mesh(pin)
-    bvals = BoundaryValues(mesh)
 
     if pin.does_block_exist("radiation") \
             and not pin.does_block_exist("hydro") \
@@ -58,6 +52,20 @@ def build(pin):
         # radiation-only transport (reference: AddPhysics radiation branch)
         from .radiation.radiation import Radiation
         phys = Radiation(pin, mesh, bvals)
+    elif pin.does_block_exist("radiation") \
+            and not (pin.does_block_exist("adm")
+                     or pin.does_block_exist("z4c")):
+        # coupled radiation + hydro/MHD (reference: AddPhysics
+        # rad_hydro/rad_mhd branches + RadFluidCoupling)
+        from .radiation.rad_fluid import RadiationFluid
+        phys = RadiationFluid(pin, mesh, bvals)
+    elif pin.does_block_exist("mhd") and (
+            pin.does_block_exist("adm") or pin.does_block_exist("z4c")):
+        # dynamical GRMHD: <mhd>+<adm> fixed spacetime, or <mhd>+<z4c>
+        # fully coupled (reference: AddPhysics dyn_grmhd branch,
+        # meshblock_pack.cpp:205-235)
+        from .dyngr import DynGRMHD
+        phys = DynGRMHD(pin, mesh, bvals)
     elif pin.does_block_exist("z4c"):
         # vacuum numerical relativity (reference: AddPhysics z4c branch)
         from .z4c.z4c import Z4c
@@ -78,6 +86,20 @@ def build(pin):
         phys = Hydro(pin, mesh, bvals)
     else:
         raise ValueError("no <hydro> or <mhd> block in input file")
+    return phys
+
+
+def build(pin):
+    """Construct mesh -> physics -> pgen -> driver (reference main.cpp order)."""
+    from .bvals import BoundaryValues
+    from .driver import Driver
+    from .mesh import Mesh
+    from .pgen import get_pgen
+
+    setup_precision(pin)
+    mesh = Mesh(pin)
+    bvals = BoundaryValues(mesh)
+    phys = make_physics(pin, mesh, bvals)
 
     pgen_name = pin.get_string("problem", "pgen_name")
     pgen = get_pgen(pgen_name)
@@ -99,6 +121,8 @@ def run(pin, verbose: bool = False):
         out.driver = driver
     state = driver.initialize(state)
     state = driver.execute(state, outputs=outputs, verbose=verbose)
+    # AMR rebuilds mesh/phys during execute; report against the final tree
+    mesh, phys = driver.mesh, driver.phys
     if hasattr(pgen, "final"):
         pgen.final(pin, mesh, phys, state)
     return mesh, phys, driver, state

@@ -93,7 +93,11 @@ class Mesh:
     class with per-level neighbor/prolongation tables.
     """
 
-    def __init__(self, pin: ParameterInput) -> None:
+    def __init__(self, pin: ParameterInput, leaves=None) -> None:
+        """``leaves``: explicit leaf list [(l1,l2,l3,lev)] — used by the
+        adaptive-AMR rebuild path (amr.py) to reconstruct the mesh after a
+        tree update (reference: RedistAndRefineMeshBlocks,
+        src/mesh/mesh_refinement.cpp:427-560)."""
         self.pin = pin
 
         ms = RegionSize(
@@ -172,27 +176,34 @@ class Mesh:
             if pa != pb:
                 raise ValueError(f"{a}/{b} must both be periodic or neither")
 
-        # static mesh refinement (reference: build_tree.cpp:62-229)
+        # mesh refinement (reference: build_tree.cpp:62-229)
         self.multilevel = False
+        self.adaptive = False
         if pin.does_block_exist("mesh_refinement"):
             ref = pin.get_string("mesh_refinement", "refinement")
             if ref == "adaptive":
-                raise NotImplementedError(
-                    "adaptive refinement not implemented yet; "
-                    "refinement=static is available")
-            if ref == "static":
+                self.adaptive = True
+            elif ref == "static":
                 self.multilevel = True
             elif ref != "none":
                 raise ValueError(f"mesh_refinement/refinement={ref}")
+        # finest allowed level relative to root (reference:
+        # build_tree.cpp:53 num_levels)
+        self.max_allowed_level = pin.get_or_add_integer(
+            "mesh_refinement", "num_levels", 1) - 1 \
+            if (self.adaptive or self.multilevel) else 0
 
-        if self.multilevel:
+        if self.multilevel or self.adaptive:
             if ng % 2 != 0:
-                raise ValueError("SMR requires an even nghost")
+                raise ValueError("SMR/AMR requires an even nghost")
             for mb, act in ((mbnx1, True), (mbnx2, nx2 > 1),
                             (mbnx3, nx3 > 1)):
                 if act and mb % 2 != 0:
-                    raise ValueError("SMR requires even meshblock extents")
-            self._build_blocks_ml()
+                    raise ValueError("SMR/AMR requires even meshblock extents")
+            self._build_blocks_ml(leaves)
+            # adaptive meshes take the uniform fast path while the tree is
+            # still flat; the AMR rebuild re-evaluates this per tree update
+            self.multilevel = self.max_level > 0
         else:
             self._build_blocks()
             self.mb_lev = np.zeros(self.nmb_total, dtype=np.int64)
@@ -287,10 +298,11 @@ class Mesh:
                 self.phys_bc_mask[key] = mask
 
     # ------------------------------------------------------------------
-    def _build_blocks_ml(self) -> None:
-        """Statically refined tree: leaves, per-block (level-dependent)
-        extents, and mixed-level donor tables (reference:
-        build_tree.cpp:62-229 + bvals neighbor enumeration)."""
+    def _build_blocks_ml(self, leaves=None) -> None:
+        """Refined tree: leaves, per-block (level-dependent) extents, and
+        mixed-level donor tables (reference: build_tree.cpp:62-229 + bvals
+        neighbor enumeration).  ``leaves`` overrides tree construction
+        (AMR rebuild path)."""
         from .refinement import build_ml_tables, build_static_tree
 
         ms = self.mesh_size
@@ -298,7 +310,25 @@ class Mesh:
         nrbx = (self.nmb_x1, self.nmb_x2, self.nmb_x3)
         domain = (ms.x1min, ms.x1max, ms.x2min, ms.x2max,
                   ms.x3min, ms.x3max)
-        leaves = build_static_tree(self.pin, nrbx, active, domain)
+        self.tree_active = active
+        self.tree_nrbx = nrbx
+        if leaves is None:
+            has_regions = any(b.startswith("refined_region")
+                              for b in self.pin.blocks)
+            if has_regions:
+                leaves = build_static_tree(self.pin, nrbx, active, domain)
+            elif self.adaptive:
+                # adaptive runs may start from the flat root tree
+                # (reference: the AMR tests refine from criteria alone)
+                locs = [(l1, l2, l3)
+                        for l3 in range(nrbx[2]) for l2 in range(nrbx[1])
+                        for l1 in range(nrbx[0])]
+                nbits = max(1, (max(nrbx) - 1).bit_length())
+                locs.sort(key=lambda t: _interleave_bits3(*t, nbits))
+                leaves = [(l1, l2, l3, 0) for (l1, l2, l3) in locs]
+            else:
+                leaves = build_static_tree(self.pin, nrbx, active, domain)
+        self.leaves = list(leaves)
         self.nmb_total = len(leaves)
         self.lloc_eachmb = np.array([[l1, l2, l3] for l1, l2, l3, _ in
                                      leaves], dtype=np.int64)

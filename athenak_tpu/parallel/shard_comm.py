@@ -205,6 +205,10 @@ def supports_shard_cycle(driver, state) -> bool:
     phys = driver.phys
     if getattr(phys, "multilevel", False):
         return False
+    if getattr(driver.mesh, "adaptive", False):
+        # AMR rebuilds the neighbor tables per tree update; the ppermute
+        # tables here are built once — fall back to the gather path
+        return False
     if getattr(phys, "is_gr", False):
         return False
     if hasattr(phys, "imex_cycle"):

@@ -26,12 +26,15 @@ def compute_errors(mesh, u_num, u_ref, nvars: int):
           slice(mbi.is_, mbi.ie + 1))
     diff = np.abs(np.asarray(u_num[sl], dtype=np.float64)
                   - np.asarray(u_ref[sl], dtype=np.float64))
-    vol_cell = mesh.mesh_size.dx1 * mesh.mesh_size.dx2 * mesh.mesh_size.dx3
     ms = mesh.mesh_size
     vol = ((ms.x1max - ms.x1min) * (ms.x2max - ms.x2min)
            * (ms.x3max - ms.x3min))
-    l1 = vol_cell * diff.sum(axis=(0, 2, 3, 4)) / vol
-    linf = vol_cell * diff.max() / vol
+    # per-block cell volume (level-dependent on SMR/AMR meshes)
+    vol_cell = (np.asarray(mesh.mb_size["dx1"], dtype=np.float64)
+                * np.asarray(mesh.mb_size["dx2"])
+                * np.asarray(mesh.mb_size["dx3"]))
+    l1 = (vol_cell[:, None] * diff.sum(axis=(2, 3, 4))).sum(axis=0) / vol
+    linf = (vol_cell.reshape(-1, 1, 1, 1, 1) * diff).max() / vol
     return l1, linf
 
 

@@ -184,11 +184,15 @@ class MHD:
         from ..turb_driver import TurbulenceDriver
         self.pturb = TurbulenceDriver(pin, mesh) \
             if pin.does_block_exist("turb_driving") else None
-        if pin.does_block_exist("shearing_box"):
+        # shearing box + orbital advection (reference:
+        # src/shearing_box/shearing_box_fc.cpp, orbital_advection_fc.cpp)
+        from ..shearing_box import ShearingBox
+        self.psbox = ShearingBox(pin, mesh, self.nvar) \
+            if pin.does_block_exist("shearing_box") else None
+        if self.psbox is not None and mesh.mb_indcs.nx3 == 1:
             raise NotImplementedError(
-                "MHD shearing box (EMF-form orbital advection of face "
-                "fields) lands in a later round; hydro shearing box works")
-        self.psbox = None
+                "2D r-z MHD shearing box (SourceTermsFC electric fields) "
+                "not wired yet; use a 3D box")
 
         # test particles (reference: src/particles/)
         from ..particles import Particles
@@ -207,6 +211,7 @@ class MHD:
         # pallas/jnp paths otherwise
         from ..ops.pallas_stage import supports_fused_stage
         self.use_fused_stage = (self.use_pallas
+                                and self.psbox is None
                                 and supports_fused_stage(self, mesh))
 
         if self.multilevel:
@@ -216,6 +221,7 @@ class MHD:
                 "turbulence driving": self.pturb,
                 "particles": self.ppart,
                 "self-gravity": self.pgrav,
+                "shearing box": self.psbox,
             }
             for what, on in blockers.items():
                 if on is not None and on is not False:
@@ -341,12 +347,16 @@ class MHD:
         return gam0 * u0 + gam1 * u1 - beta_dt * divf
 
     # ------------------------------------------------------------- corner E
-    def corner_e(self, w, bcc, fden, emf, bfc=None):
+    def corner_e(self, w, bcc, fden, emf, bfc=None, ecc=None):
         """Edge-centered EMFs via Gardiner-Stone (2005/07) upwinding
         (reference: src/mhd/mhd_corner_e.cpp).  Returns cell-indexed edge
         arrays e1/e2/e3: entry (k,j,i) is the edge at the lower corner of
         cell (k,j,i).  ``fden`` holds the mass-flux upwinding selectors
-        per direction ({"x1": ..} arrays [nmb,n3,n2,n1])."""
+        per direction ({"x1": ..} arrays [nmb,n3,n2,n1]).  ``ecc``
+        optionally supplies externally-computed cell-centered EMFs
+        (e1cc, e2cc, e3cc) — used by dynamical GRMHD, where the transport
+        velocity is alpha*v - beta (reference: mhd_corner_e.cpp ADM
+        branch :66-84, 218-240)."""
         one_d = len(self.dirs) == 1
         two_d = len(self.dirs) == 2
         # axes of the 4D [nmb, n3, n2, n1] EMF/flux-channel arrays
@@ -364,13 +374,15 @@ class MHD:
         bx = bcc[:, 0]
         by = bcc[:, 1]
         bz = bcc[:, 2]
+        if ecc is not None:
+            e1cc_gr, e2cc_gr, e3cc_gr = ecc
         if self.is_sr:
             # SR primitives store u^i = gamma v^i: the transport velocity
             # in E = -v x B is the 3-velocity
             # (reference: mhd_corner_e.cpp:136-143)
             lor = jnp.sqrt(1.0 + vx * vx + vy * vy + vz * vz)
             vx, vy, vz = vx / lor, vy / lor, vz / lor
-        if self.is_gr:
+        if self.is_gr and ecc is None:
             # GR cell EMFs from the 4-velocity and 4-field
             # (reference: mhd_corner_e.cpp:86-133, 243-293)
             gl, gu = self.geom.metric("cc")
@@ -395,7 +407,8 @@ class MHD:
             e2cc_gr = b3 * u1 - b1 * u3
             e3cc_gr = b1 * u2 - b2 * u1
         # cell-centered EMFs, E = -v x B (Newtonian/SR 3-velocity form)
-        e3cc = e3cc_gr if self.is_gr else vy * bx - vx * by
+        use_ext = self.is_gr or ecc is not None
+        e3cc = e3cc_gr if use_ext else vy * bx - vx * by
         fx1 = fden["x1"]  # mass flux upwinding selector
         fx2 = fden["x2"]
 
@@ -433,8 +446,8 @@ class MHD:
             return self._add_resist(bfc, bcc, e1, e2, e3)
 
         # 3D
-        e1cc = e1cc_gr if self.is_gr else vz * by - vy * bz
-        e2cc = e2cc_gr if self.is_gr else vx * bz - vz * bx
+        e1cc = e1cc_gr if use_ext else vz * by - vy * bz
+        e2cc = e2cc_gr if use_ext else vx * bz - vz * bx
         fx3 = fden["x3"]
         # E1 lies along x1; faces: e1x2 (x2-faces), e1x3 (x3-faces);
         # corner in (x2, x3) plane
@@ -663,6 +676,20 @@ class MHD:
             # ---------------- prolongation from a coarser donor ------------
             if t["any_coarse"]:
                 cmask = t["coarse_mask"].reshape((-1,) + (1,) * 3)
+                # corner-strip guard: where the diagonal neighbor is
+                # same-level or finer the sweeps already copied the true
+                # values there; prolongation must not overwrite them
+                # (concave trees; see refinement.build_ml_tables pkeep)
+                for a2 in tn:
+                    ta = _AXIS_OF[a2] - 1
+                    ncc = arr.shape[ta]
+                    shp = [1] * 4
+                    shp[ta] = ncc
+                    pos = _np.arange(ncc).reshape(shp)
+                    km = t["pkeep"][a2]["m"].reshape((-1,) + (1,) * 3)
+                    kp = t["pkeep"][a2]["p"].reshape((-1,) + (1,) * 3)
+                    cmask = cmask & ((pos >= ng) | km) \
+                        & ((pos < ncc - ng) | kp)
 
                 def window(d, a2, guard):
                     """Parity window along cell axis a2: two static slices
@@ -761,6 +788,91 @@ class MHD:
                         jnp.where(cmask, pro, arr[region]))
         return arr
 
+    def _emf_sync(self, es):
+        """Average edge EMFs with all SAME-LEVEL neighbors sharing the
+        edge (faces + edge-diagonals), making every shared edge single-
+        valued before the fine-replacement pass (reference:
+        flux_correct_fc.cpp SumBoundaryFluxes/AverageBoundaryFluxes —
+        the reference sums every same-level contribution and divides by
+        the count).  On uniform regions the neighbors' values are
+        bitwise identical, so this is exact there; at level-boundary
+        junctions it reconciles the (differently-prolonged) stencils of
+        same-level blocks — without it the corner edge is multi-valued
+        and div(B) leaks at concave junctions."""
+        mesh = self.mesh
+        mbi = mesh.mb_indcs
+        ng = mbi.ng
+        nx_of = {"x1": mbi.nx1, "x2": mbi.nx2, "x3": mbi.nx3}
+        active = self.bvals.active_axes
+        out = {}
+        for c in ("x1", "x2", "x3"):
+            e = es[c]
+            ac = _AXIS_OF[c] - 1
+            sum_e = e
+            cnt = jnp.ones_like(e)
+            dims = [d for d in active if d != c]
+            # ---- shared planes with same-level face neighbors
+            for d in dims:
+                ad = _AXIS_OF[d] - 1
+                nxd = nx_of[d]
+                for side, my_idx, dn_idx in (("m", ng, ng + nxd),
+                                             ("p", ng + nxd, ng)):
+                    t = mesh.ml[f"{d}{side}"]
+                    msk = ~(t["fine_mask"] | t["coarse_mask"] | t["phys"])
+                    region = [slice(None)] * 4
+                    region[ad] = slice(my_idx, my_idx + 1)
+                    dregion = [slice(None)] * 4
+                    dregion[ad] = slice(dn_idx, dn_idx + 1)
+                    for o in ("x1", "x2", "x3"):
+                        if o in (c, d):
+                            continue
+                        ao = _AXIS_OF[o] - 1
+                        if o in active:
+                            region[ao] = slice(ng, ng + nx_of[o] + 1)
+                            dregion[ao] = region[ao]
+                    if c in active:
+                        region[ac] = slice(ng, ng + nx_of[c])
+                        dregion[ac] = region[ac]
+                    region = tuple(region)
+                    donor = jnp.take(e[tuple(dregion)], t["same"], axis=0)
+                    mb = msk.reshape((-1,) + (1,) * 3)
+                    sum_e = sum_e.at[region].add(jnp.where(mb, donor, 0.0))
+                    cnt = cnt.at[region].add(
+                        jnp.where(mb, jnp.ones_like(donor), 0.0))
+            # ---- shared corner edges with same-level diagonal neighbors
+            if len(dims) == 2:
+                d1, d2 = dims
+                a1 = _AXIS_OF[d1] - 1
+                a2 = _AXIS_OF[d2] - 1
+                for s1 in ("m", "p"):
+                    for s2 in ("m", "p"):
+                        t = mesh.ml.get(f"e_{d1}{s1}{d2}{s2}")
+                        if t is None or not t.get("any_same"):
+                            continue
+                        my1 = ng if s1 == "m" else ng + nx_of[d1]
+                        my2 = ng if s2 == "m" else ng + nx_of[d2]
+                        dn1 = ng + nx_of[d1] if s1 == "m" else ng
+                        dn2 = ng + nx_of[d2] if s2 == "m" else ng
+                        region = [slice(None)] * 4
+                        region[a1] = slice(my1, my1 + 1)
+                        region[a2] = slice(my2, my2 + 1)
+                        dregion = [slice(None)] * 4
+                        dregion[a1] = slice(dn1, dn1 + 1)
+                        dregion[a2] = slice(dn2, dn2 + 1)
+                        if c in active:
+                            region[ac] = slice(ng, ng + nx_of[c])
+                            dregion[ac] = region[ac]
+                        region = tuple(region)
+                        donor = jnp.take(e[tuple(dregion)],
+                                         t["same_gid"], axis=0)
+                        mb = t["same_mask"].reshape((-1,) + (1,) * 3)
+                        sum_e = sum_e.at[region].add(
+                            jnp.where(mb, donor, 0.0))
+                        cnt = cnt.at[region].add(
+                            jnp.where(mb, jnp.ones_like(donor), 0.0))
+            out[c] = sum_e / cnt
+        return out
+
     def _emf_correct(self, e1, e2, e3):
         """SMR EMF correction: on every level-boundary plane, overwrite the
         coarse block's edge EMFs with the line-average of the fine donors'
@@ -771,7 +883,7 @@ class MHD:
         mbi = mesh.mb_indcs
         ng = mbi.ng
         nx_of = {"x1": mbi.nx1, "x2": mbi.nx2, "x3": mbi.nx3}
-        es = {"x1": e1, "x2": e2, "x3": e3}
+        es = self._emf_sync({"x1": e1, "x2": e2, "x3": e3})
         active = set(self.bvals.active_axes)
         for d in self.bvals.active_axes:
             axis_d = _AXIS_OF[d] - 1
@@ -925,7 +1037,171 @@ class MHD:
                     arr = new_arr
                     bfc = {**bfc, comp: arr}
                 bfc = self._phys_bc_fc(bfc, ax)
+        if self.multilevel:
+            bfc = self._fc_fill_corners(bfc)
         return bfc
+
+    def _fc_fill_corners(self, bfc):
+        """Direct diagonal-donor fill of face-field edge/corner ghost
+        patches (the FC counterpart of bvals._fill_corners; reference:
+        the FC edge/corner buffers of src/bvals/bvals_fc.cpp).  Copies
+        from same-level diagonal donors; restricts (even-face subsample
+        + transverse averaging) from finer diagonal donors."""
+        from ..refinement import restrict_cc
+
+        mesh = self.mesh
+        mbi = mesh.mb_indcs
+        ng, h = mbi.ng, mbi.ng // 2
+        nx_of = {"x1": mbi.nx1, "x2": mbi.nx2, "x3": mbi.nx3}
+        act = self.bvals.active_axes
+
+        def cell_slices(s, n):
+            """(ghost, same-donor, fine-donor) cell slices on one side."""
+            if s == "m":
+                return (slice(0, ng), slice(n - 2 * ng, n - ng),
+                        slice(n - 3 * ng, n - ng))
+            return (slice(n - ng, n), slice(ng, 2 * ng),
+                    slice(ng, 3 * ng))
+
+        def face_slices(s, nxa):
+            """(ghost, same-donor, fine-donor-indices) face slices; the
+            fine donor faces are the even (coarse-coincident) ones."""
+            if s == "m":
+                return (slice(0, ng), slice(nxa, nxa + ng),
+                        _np.arange(nxa + ng - 2 * ng, nxa + ng, 2))
+            return (slice(nxa + ng + 1, nxa + 2 * ng + 1),
+                    slice(ng + 1, 2 * ng + 1),
+                    _np.arange(ng + 2, ng + 2 * ng + 1, 2))
+
+        pairs = [(d1, d2) for i, d1 in enumerate(act)
+                 for d2 in act[i + 1:]]
+        out = dict(bfc)
+        for comp, arr0 in bfc.items():
+            nrm = comp[:2]
+            cax = _AXIS_OF[nrm] - 1
+            arr = arr0
+            for d1, d2 in pairs:
+                a1, a2 = _AXIS_OF[d1] - 1, _AXIS_OF[d2] - 1
+                rest = [a for a in act if a not in (d1, d2)]
+                for s1 in ("m", "p"):
+                    for s2 in ("m", "p"):
+                        t = mesh.ml.get(f"e_{d1}{s1}{d2}{s2}")
+                        if t is None or not (t.get("any_same")
+                                             or t.get("any")):
+                            continue
+                        my, dn, fn = {}, {}, {}
+                        for (d, a, s) in ((d1, a1, s1), (d2, a2, s2)):
+                            if d == nrm:
+                                my[a], dn[a], fn[a] = face_slices(
+                                    s, nx_of[d])
+                            else:
+                                my[a], dn[a], fn[a] = cell_slices(
+                                    s, arr.shape[a])
+                        region = [slice(None)] * 4
+                        region[a1], region[a2] = my[a1], my[a2]
+                        if t.get("any_same"):
+                            drg = [slice(None)] * 4
+                            drg[a1], drg[a2] = dn[a1], dn[a2]
+                            donor = jnp.take(arr[tuple(drg)],
+                                             t["same_gid"], axis=0)
+                            mb = t["same_mask"].reshape((-1,) + (1,) * 3)
+                            rg = tuple(region)
+                            arr = arr.at[rg].set(
+                                jnp.where(mb, donor, arr[rg]))
+                        if t.get("any"):
+                            drg = [slice(None)] * 4
+                            drg[a1], drg[a2] = fn[a1], fn[a2]
+                            caxes = [a for a in (a1, a2) if a != cax]
+                            rrest = None
+                            if rest:
+                                ar = _AXIS_OF[rest[0]] - 1
+                                rrest = ar
+                                if ar != cax:
+                                    caxes.append(ar)
+                            parts = []
+                            for q in range(t["fine"].shape[1]):
+                                d = jnp.take(arr[tuple(drg)],
+                                             t["fine"][:, q], axis=0)
+                                if rrest is not None and rrest == cax:
+                                    # edge axis is the face axis:
+                                    # even-face subsample over the
+                                    # guarded span (per _ml_fc_override)
+                                    faces = _np.arange(
+                                        ng - 2 * h,
+                                        ng + nx_of[nrm] + 2 * h + 1, 2)
+                                    d = jnp.take(d, faces, axis=cax)
+                                d = restrict_cc(
+                                    d, [a - 4 for a in caxes])
+                                parts.append(d)
+                            rg = list(region)
+                            if rrest is not None:
+                                nxt = nx_of[rest[0]]
+                                keep = nxt // 2 + h
+                                ar = rrest
+                                lo = jnp.take(parts[0], _np.arange(keep),
+                                              axis=ar)
+                                nh = parts[1].shape[ar]
+                                hi = jnp.take(parts[1],
+                                              _np.arange(h, nh), axis=ar)
+                                assembled = jnp.concatenate([lo, hi],
+                                                            axis=ar)
+                                rg[ar] = slice(h, arr.shape[ar] - h)
+                            else:
+                                assembled = parts[0]
+                            rg = tuple(rg)
+                            mb = t["mask"].reshape((-1,) + (1,) * 3)
+                            arr = arr.at[rg].set(
+                                jnp.where(mb, assembled, arr[rg]))
+            if len(act) == 3:
+                for s1 in ("m", "p"):
+                    for s2 in ("m", "p"):
+                        for s3 in ("m", "p"):
+                            t = mesh.ml.get(f"v_{s1}{s2}{s3}")
+                            if t is None or not (t["any_same"]
+                                                 or t["any_fine"]):
+                                continue
+                            my, dn, fn = {}, {}, {}
+                            for (d, s) in (("x1", s1), ("x2", s2),
+                                           ("x3", s3)):
+                                a = _AXIS_OF[d] - 1
+                                if d == nrm:
+                                    my[a], dn[a], fn[a] = face_slices(
+                                        s, nx_of[d])
+                                else:
+                                    my[a], dn[a], fn[a] = cell_slices(
+                                        s, arr.shape[a])
+                            axs = [_AXIS_OF[d] - 1
+                                   for d in ("x1", "x2", "x3")]
+                            region = [slice(None)] * 4
+                            for a in axs:
+                                region[a] = my[a]
+                            region = tuple(region)
+                            if t["any_same"]:
+                                drg = [slice(None)] * 4
+                                for a in axs:
+                                    drg[a] = dn[a]
+                                donor = jnp.take(arr[tuple(drg)],
+                                                 t["same_gid"], axis=0)
+                                mb = t["same_mask"].reshape(
+                                    (-1,) + (1,) * 3)
+                                arr = arr.at[region].set(
+                                    jnp.where(mb, donor, arr[region]))
+                            if t["any_fine"]:
+                                drg = [slice(None)] * 4
+                                for a in axs:
+                                    drg[a] = fn[a]
+                                d = jnp.take(arr[tuple(drg)],
+                                             t["fine_gid"], axis=0)
+                                d = restrict_cc(
+                                    d, [a - 4 for a in axs if a != cax])
+                                mb = t["fine_mask"].reshape(
+                                    (-1,) + (1,) * 3)
+                                arr = arr.at[region].set(
+                                    jnp.where(mb, d, arr[region]))
+                            # NOTE: fine-vertex face subsample along the
+                            # normal axis happens via fn's even spacing
+            out[comp] = arr
+        return out
 
     def _phys_bc_fc(self, bfc, ax: str):
         """Physical BCs for face fields
@@ -1171,6 +1447,8 @@ class MHD:
             state.update(self.pturb.init_state_entries(u.dtype))
         if self.ppart is not None:
             state.update(self.ppart.init_state_entries(u.dtype))
+        if self.psbox is not None:
+            state["t"] = jnp.asarray(0.0, dtype=u.dtype)
         return state
 
     def save_state(self, state):
@@ -1229,6 +1507,9 @@ class MHD:
             phi = self.pgrav.solve(u, self.bvals)
         if self.srcterms is not None and self.srcterms.any_enabled:
             u = self.srcterms.apply(u, w, beta_dt, flx=flx, phi=phi)
+        if self.psbox is not None:
+            u = self.psbox.src_terms(u, w, beta_dt, self.eos.is_ideal,
+                                     len(self.dirs) == 3, bcc=bcc)
         if self.srcterms_func is not None:
             u = self.srcterms_func(u, w, beta_dt)
         e1, e2, e3 = self.corner_e(
@@ -1239,6 +1520,9 @@ class MHD:
                              gam0, gam1, beta_dt)
         u = self.bvals.fill_ghosts(u)
         bfc = self.fill_ghosts_fc(bfc)
+        if self.psbox is not None:
+            u = self.psbox.remap_ghosts(u, state["t"])
+            bfc = self.psbox.remap_ghosts_fc(bfc, state["t"])
         bcc = self.compute_bcc(bfc)
         w, u, counters = self.cons_to_prim(u, bcc)
         if nfofc is not None:

@@ -235,6 +235,26 @@ def build_ml_tables(leaves, nrbx, active, wraps) -> Dict[str, Dict]:
             fine = np.zeros((nmb, nq), dtype=np.int32)
             fi_mask = np.zeros(nmb, dtype=bool)
             par = {t: np.zeros(nmb, dtype=np.int64) for t in t_names}
+            # corner-strip guards for the prolongation write: on concave
+            # trees a coarse-donor face can have a SAME-or-FINER diagonal
+            # neighbor; the ghost corner strip then belongs to that donor
+            # (filled transitively by the sweeps), and the prolongation
+            # must not overwrite it (the reference enumerates corner
+            # buffers by actual neighbor level, src/bvals/bvals.hpp:61-101)
+            pkeep = {t: {"m": np.ones(nmb, dtype=bool),
+                         "p": np.ones(nmb, dtype=bool)} for t in t_names}
+
+            def _covering_lev(lev, c1, c2, c3):
+                """Level of the leaf covering cell (c1,c2,c3) of lev, or
+                None when covered by finer leaves."""
+                for up in range(lev, -1, -1):
+                    s = lev - up
+                    k = (up, c1 >> s,
+                         (c2 >> s) if active[1] else c2,
+                         (c3 >> s) if active[2] else c3)
+                    if k in loc2gid:
+                        return up
+                return None
 
             for gid, (l1, l2, l3, lev) in enumerate(leaves):
                 n = extent(lev)
@@ -262,6 +282,21 @@ def build_ml_tables(leaves, nrbx, active, wraps) -> Dict[str, Dict]:
                     my = (l1, l2, l3)
                     for t in t_names:
                         par[t][gid] = my[_AXIS_ID[t]] & 1
+                        # diagonal neighbor level at each transverse end:
+                        # prolongation may only write a corner strip whose
+                        # diagonal is strictly coarser
+                        for s2name, s2 in (("m", -1), ("p", +1)):
+                            d = list(tgt)
+                            ta = _AXIS_ID[t]
+                            d[ta] += s2
+                            if not (0 <= d[ta] < n[ta]):
+                                if wraps[t]:
+                                    d[ta] %= n[ta]
+                                else:
+                                    continue  # physical corner: keep
+                            clev = _covering_lev(lev, d[0], d[1], d[2])
+                            if not (clev is not None and clev < lev):
+                                pkeep[t][s2name][gid] = False
                     continue
                 # finer neighbors: children of tgt at lev+1 touching my face
                 same[gid] = gid
@@ -285,7 +320,7 @@ def build_ml_tables(leaves, nrbx, active, wraps) -> Dict[str, Dict]:
                 "same": same, "phys": phys,
                 "coarse": coarse, "coarse_mask": co_mask,
                 "fine": fine, "fine_mask": fi_mask,
-                "par": par, "t_names": t_names,
+                "par": par, "t_names": t_names, "pkeep": pkeep,
                 "any_coarse": bool(co_mask.any()),
                 "any_fine": bool(fi_mask.any()),
             }
@@ -305,6 +340,8 @@ def build_ml_tables(leaves, nrbx, active, wraps) -> Dict[str, Dict]:
                 key = f"e_{d1}{s1}{d2}{s2}"
                 fine = np.zeros((nmb, nq), dtype=np.int32)
                 mask = np.zeros(nmb, dtype=bool)
+                same_gid = np.zeros(nmb, dtype=np.int32)
+                same_mask = np.zeros(nmb, dtype=bool)
                 for gid, (l1, l2, l3) in enumerate(
                         [(a, b, c) for a, b, c, _ in leaves]):
                     lev = leaves[gid][3]
@@ -321,8 +358,14 @@ def build_ml_tables(leaves, nrbx, active, wraps) -> Dict[str, Dict]:
                                 ok = False
                     if not ok:
                         continue
-                    if (lev, tgt[0], tgt[1], tgt[2]) in loc2gid:
-                        continue  # same level: nothing to correct
+                    k_same = (lev, tgt[0], tgt[1], tgt[2])
+                    if k_same in loc2gid:
+                        # same-level diagonal: recorded for the EMF
+                        # edge-averaging sync (reference: corner buffers of
+                        # flux_correct_fc.cpp SumBoundaryFluxes)
+                        same_gid[gid] = loc2gid[k_same]
+                        same_mask[gid] = True
+                        continue
                     # finer children touching my corner edge?
                     base = [t << 1 if active[i] else t
                             for i, t in enumerate(tgt)]
@@ -344,7 +387,51 @@ def build_ml_tables(leaves, nrbx, active, wraps) -> Dict[str, Dict]:
                         mask[gid] = True
                 tables[key] = {"fine": fine, "mask": mask,
                                "edge_axis": ec,
+                               "same_gid": same_gid,
+                               "same_mask": same_mask,
+                               "any_same": bool(same_mask.any()),
                                "any": bool(mask.any())}
+    # ---- 3D vertex (triple-diagonal) donors for the corner-fill pass
+    if all(active):
+        for s1, e1 in (("m", -1), ("p", +1)):
+            for s2, e2 in (("m", -1), ("p", +1)):
+                for s3, e3 in (("m", -1), ("p", +1)):
+                    key = f"v_{s1}{s2}{s3}"
+                    same_gid = np.zeros(nmb, dtype=np.int32)
+                    same_mask = np.zeros(nmb, dtype=bool)
+                    fine_gid = np.zeros(nmb, dtype=np.int32)
+                    fine_mask = np.zeros(nmb, dtype=bool)
+                    for gid, (l1, l2, l3, lev) in enumerate(leaves):
+                        n = extent(lev)
+                        tgt = [l1 + e1, l2 + e2, l3 + e3]
+                        ok = True
+                        for ax_id, nm in ((0, "x1"), (1, "x2"),
+                                          (2, "x3")):
+                            if not (0 <= tgt[ax_id] < n[ax_id]):
+                                if wraps[nm]:
+                                    tgt[ax_id] %= n[ax_id]
+                                else:
+                                    ok = False
+                        if not ok:
+                            continue
+                        k_same = (lev, tgt[0], tgt[1], tgt[2])
+                        if k_same in loc2gid:
+                            same_gid[gid] = loc2gid[k_same]
+                            same_mask[gid] = True
+                            continue
+                        # finer: the single child touching my corner
+                        child = (lev + 1,
+                                 2 * tgt[0] + (0 if e1 > 0 else 1),
+                                 2 * tgt[1] + (0 if e2 > 0 else 1),
+                                 2 * tgt[2] + (0 if e3 > 0 else 1))
+                        if child in loc2gid:
+                            fine_gid[gid] = loc2gid[child]
+                            fine_mask[gid] = True
+                    tables[key] = {
+                        "same_gid": same_gid, "same_mask": same_mask,
+                        "fine_gid": fine_gid, "fine_mask": fine_mask,
+                        "any_same": bool(same_mask.any()),
+                        "any_fine": bool(fine_mask.any())}
     tables["multilevel"] = any_multi
     return tables
 

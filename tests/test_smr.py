@@ -90,11 +90,18 @@ def test_tree_construction_2d():
     assert np.isclose(area.sum(), 4.0)
 
 
-def test_adaptive_refinement_rejected():
+def test_adaptive_accepted_with_criteria():
+    """refinement=adaptive now builds (amr.py); it requires at least one
+    <amr_criterion> block like the reference."""
     deck = _deck().replace("refinement = static", "refinement = adaptive")
     pin = ParameterInput.from_string(deck)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="amr_criterion"):
         build(pin)
+    deck2 = deck + ("\n<amr_criterion1>\nmethod = min_max\n"
+                    "variable = hydro_u_d\nvalue_max = 1.5\n")
+    pin2 = ParameterInput.from_string(deck2)
+    mesh, phys, pgen, driver, state = build(pin2)
+    assert driver.pamr is not None
 
 
 def _linear_fill_errors(nx3, mb):
