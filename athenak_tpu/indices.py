@@ -30,7 +30,8 @@ RECONSTRUCTION_METHODS = ("dc", "plm", "ppm4", "ppmx", "wenoz")
 # number of ghost cells each reconstruction method requires
 # (reference enforces ng>=2 for plm, >=3 for ppm4/ppmx/wenoz:
 #  src/hydro/hydro.cpp constructor checks)
-RECON_NGHOST = {"dc": 2, "plm": 2, "ppm4": 3, "ppmx": 3, "wenoz": 3}
+RECON_NGHOST = {"dc": 2, "plm": 2, "ppm4": 3, "ppmx": 3, "wenoz": 3,
+                "teno": 3}
 
 HYDRO_RSOLVERS = ("advect", "llf", "hlle", "hllc", "roe")
 MHD_RSOLVERS = ("advect", "llf", "hlle", "hlld")

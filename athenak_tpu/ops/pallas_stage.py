@@ -131,8 +131,18 @@ def _mk_x3_kernel(eos: EOSData, dfloor, efloor):
     return kernel
 
 
+def _x3_tile(n2: int, n1p: int) -> int:
+    """Transverse tile for the x3 kernel (VMEM-bounded halving)."""
+    tj = n2
+    while tj > 8 and (TK + 1) * (-(-tj // 8) * 8) * n1p > 20480 \
+            and tj % 2 == 0:
+        tj //= 2
+    return tj
+
+
 def supports_fused_stage(phys, mesh) -> bool:
     mbi = mesh.mb_indcs
+    tj = _x3_tile(mbi.ncells2, mbi.ncells1)
     return (len(phys.dirs) == 3
             and phys.recon_method == "plm" and phys.rsolver == "hlld"
             and phys.nscalars == 0 and phys.eos.is_ideal
@@ -144,6 +154,9 @@ def supports_fused_stage(phys, mesh) -> bool:
             and phys.pcond is None
             and (mbi.ncells3 - 4) % TK == 0
             and mbi.ncells3 % TK12 == 0
+            # Mosaic: second-to-last block dims must be 8-divisible or
+            # span the full axis (hit at e.g. 64^3 where the tile is 17)
+            and (tj == mbi.ncells2 or tj % 8 == 0)
             and mbi.ng == 2)
 
 
@@ -250,10 +263,7 @@ def fused_stage3d(w, bcc, bfc, u0, u1, eos: EOSData,
     )(bd2, w, bcc, bfc["x2f"][..., :-1, :], acc)
 
     # ---- x3 (plane windows)
-    TJ = n2
-    while TJ > 8 and (TK + 1) * (-(-TJ // 8) * 8) * n1p > 20480 \
-            and TJ % 2 == 0:
-        TJ //= 2
+    TJ = _x3_tile(n2, n1p)
     bd3 = jnp.asarray(beta_dt / dxs["x3"], dt).reshape(1, 1)
     k3 = _mk_x3_kernel(eos, dfloor, efloor)
 

@@ -185,11 +185,56 @@ def wenoz(q, axis: int):
     return _sh(ql_cell, -1, axis), qr_cell
 
 
-RECON_FNS = {"dc": dc, "plm": plm, "ppm4": ppm4, "ppmx": ppmx, "wenoz": wenoz}
+def teno(q, axis: int):
+    """5th-order TENO (Fu et al. 2016/2019; reference:
+    src/reconstruct/teno.hpp): WENO-Z smoothness indicators with a hard
+    cut-off selector — candidate stencils are either fully on (weight
+    from the optimal linear combination) or fully off."""
+    qm2 = _sh(q, -2, axis)
+    qm1 = _sh(q, -1, axis)
+    qp1 = _sh(q, +1, axis)
+    qp2 = _sh(q, +2, axis)
+
+    b0c, b1c = 13.0 / 12.0, 0.25
+    beta0 = b0c * (qm2 + q - 2.0 * qm1) ** 2 \
+        + b1c * (qm2 + 3.0 * q - 4.0 * qm1) ** 2
+    beta1 = b0c * (qm1 + qp1 - 2.0 * q) ** 2 + b1c * (qm1 - qp1) ** 2
+    beta2 = b0c * (qp2 + q - 2.0 * qp1) ** 2 \
+        + b1c * (qp2 + 3.0 * q - 4.0 * qp1) ** 2
+
+    eps_t, c_t = 1.0e-40, 1.0e-6
+    al0 = 1.0 / (beta0 + eps_t) ** 6
+    al1 = 1.0 / (beta1 + eps_t) ** 6
+    al2 = 1.0 / (beta2 + eps_t) ** 6
+    asum = al0 + al1 + al2
+    ind0 = jnp.where(al0 < c_t * asum, 0.0, 1.0)
+    ind1 = jnp.where(al1 < c_t * asum, 0.0, 1.0)
+    ind2 = jnp.where(al2 < c_t * asum, 0.0, 1.0)
+
+    f0 = 2.0 * qm2 - 7.0 * qm1 + 11.0 * q
+    f1 = -qm1 + 5.0 * q + 2.0 * qp1
+    f2 = 2.0 * q + 5.0 * qp1 - qp2
+    a0 = 0.1 * ind0
+    a1 = 0.6 * ind1
+    a2 = 0.3 * ind2
+    ql_cell = (f0 * a0 + f1 * a1 + f2 * a2) / (6.0 * (a0 + a1 + a2))
+
+    g0 = 2.0 * qp2 - 7.0 * qp1 + 11.0 * q
+    g1 = -qp1 + 5.0 * q + 2.0 * qm1
+    g2 = 2.0 * q + 5.0 * qm1 - qm2
+    c0 = 0.1 * ind2
+    c2 = 0.3 * ind0
+    qr_cell = (g0 * c0 + g1 * a1 + g2 * c2) / (6.0 * (c0 + a1 + c2))
+
+    return _sh(ql_cell, -1, axis), qr_cell
+
+
+RECON_FNS = {"dc": dc, "plm": plm, "ppm4": ppm4, "ppmx": ppmx,
+             "wenoz": wenoz, "teno": teno}
 
 # methods whose L/R states must be floored on density/energy channels
 # (reference: src/reconstruct/recon.hpp:78-110 applies floors for ppmx/wenoz/teno)
-FLOORED_METHODS = ("ppmx", "wenoz")
+FLOORED_METHODS = ("ppmx", "wenoz", "teno")
 
 
 def reconstruct(method: str, q, axis: int):

@@ -71,31 +71,66 @@ class BaseOutput:
 
 
 class HistoryOutput(BaseOutput):
-    """Volume-weighted history sums (reference: src/outputs/history.cpp)."""
+    """Volume-weighted history sums (reference: src/outputs/history.cpp).
 
-    def write(self, mesh, u, w) -> None:
+    Problem generators can enroll ``phys.user_hist_func(mesh, state) ->
+    (labels, values)`` for extra columns (reference: pgen user_hist_func
+    hook, src/pgen/pgen.hpp:55); ``<outputN>/user_hist_only=true`` writes
+    only those, into a ``.user.hst`` file like the reference."""
+
+    def __init__(self, pin, mesh, phys, block: str) -> None:
+        super().__init__(pin, mesh, phys, block)
+        self.user_only = pin.get_or_add_boolean(
+            self.params.block, "user_hist_only", False)
+
+    def maybe_write(self, mesh, u, w, force: bool = False, state=None):
+        if force or self.due(mesh):
+            self.write(mesh, u, w, state=state)
+            if self.params.dt > 0.0:
+                if self.params.last_time < -1e299:
+                    self.params.last_time = mesh.time
+                else:
+                    self.params.last_time += self.params.dt
+            self.params.file_number += 1
+
+    def write(self, mesh, u, w, state=None) -> None:
         mbi = mesh.mb_indcs
         sl = (slice(None), slice(None),
               slice(mbi.ks, mbi.ke + 1),
               slice(mbi.js, mbi.je + 1),
               slice(mbi.is_, mbi.ie + 1))
-        ua = np.asarray(u[sl], dtype=np.float64)
-        wa = np.asarray(w[sl], dtype=np.float64)
-        ms = mesh.mesh_size
-        vol = ms.dx1 * ms.dx2 * ms.dx3
+        user_fn = getattr(self.phys, "user_hist_func", None)
+        labels = []
+        data = []
+        if not (self.user_only and user_fn is not None):
+            ua = np.asarray(u[sl], dtype=np.float64)
+            wa = np.asarray(w[sl], dtype=np.float64)
+            # per-block cell volume (level-dependent on SMR/AMR meshes)
+            vol = (np.asarray(mesh.mb_size["dx1"], dtype=np.float64)
+                   * np.asarray(mesh.mb_size["dx2"])
+                   * np.asarray(mesh.mb_size["dx3"]))
 
-        is_ideal = self.phys.eos.is_ideal
-        labels = ["mass", "1-mom", "2-mom", "3-mom"]
-        data = [vol * ua[:, IDN].sum(), vol * ua[:, IM1].sum(),
-                vol * ua[:, IM2].sum(), vol * ua[:, IM3].sum()]
-        if is_ideal:
-            labels.append("tot-E")
-            data.append(vol * ua[:, IEN].sum())
-        for n, lab in ((IVX, "1-KE"), (IVY, "2-KE"), (IVZ, "3-KE")):
-            labels.append(lab)
-            data.append(vol * (0.5 * wa[:, IDN] * wa[:, n] ** 2).sum())
+            def vsum(q):
+                return float((q.sum(axis=(1, 2, 3)) * vol).sum())
 
-        fname = self.basename + ".hst"
+            is_ideal = self.phys.eos.is_ideal
+            labels += ["mass", "1-mom", "2-mom", "3-mom"]
+            data += [vsum(ua[:, IDN]), vsum(ua[:, IM1]),
+                     vsum(ua[:, IM2]), vsum(ua[:, IM3])]
+            if is_ideal:
+                labels.append("tot-E")
+                data.append(vsum(ua[:, IEN]))
+            for n, lab in ((IVX, "1-KE"), (IVY, "2-KE"), (IVZ, "3-KE")):
+                labels.append(lab)
+                data.append(vsum(0.5 * wa[:, IDN] * wa[:, n] ** 2))
+        if user_fn is not None:
+            ulabels, uvals = user_fn(mesh, state)
+            labels += list(ulabels)
+            data += [float(v) for v in uvals]
+
+        suffix = ".user.hst" if (self.user_only and user_fn is not None) \
+            else ".hst"
+        fname = self.basename + suffix
         new = not os.path.exists(fname)
         with open(fname, "a") as f:
             if new:
@@ -235,22 +270,38 @@ class BinaryOutput(BaseOutput):
         self.single = (pin.get_or_add_boolean(
             self.params.block, "single_file_per_rank", False))
 
-    def write(self, mesh, u, w, bcc=None) -> None:
+    def write(self, mesh, u, w, bcc=None, state=None) -> None:
         p = self.params
-        kind, labels = self._VARIABLES.get(
-            p.variable, ("w", ["dens", "velx", "vely", "velz", "eint"]))
-        if kind in ("u", "w"):
-            arr = np.asarray(u if kind == "u" else w, dtype=np.float64)
-            nvar_phys = min(arr.shape[1], 5)
-            arr = arr[:, :nvar_phys]
-            labels = labels[:nvar_phys]
-        else:
-            base = np.asarray(u if kind == "u_bcc" else w, dtype=np.float64)
-            b = np.asarray(bcc, dtype=np.float64)
-            arr = np.concatenate([base[:, :5], b], axis=1)
-        nvar = arr.shape[1]
-
         mbi = mesh.mb_indcs
+        interior = (slice(None), slice(None),
+                    slice(mbi.ks, mbi.ke + 1),
+                    slice(mbi.js, mbi.je + 1),
+                    slice(mbi.is_, mbi.ie + 1))
+        try:
+            # derived-variable registry: computed + sliced ON DEVICE, so
+            # only the interior of the requested channels crosses to host
+            # (reference: derived_variables.cpp computes on device too)
+            from .variables import resolve
+            st = state if state is not None \
+                else {"u": u, "w": w, "bcc": bcc}
+            labels, dev = resolve(p.variable, self.phys, st, mesh)
+            arr = np.asarray(dev[interior], dtype=np.float64)
+        except ValueError:
+            kind, labels = self._VARIABLES.get(
+                p.variable, ("w", ["dens", "velx", "vely", "velz",
+                                   "eint"]))
+            if kind in ("u", "w"):
+                dev = (u if kind == "u" else w)
+                nvar_phys = min(dev.shape[1], 5)
+                sl = (slice(None), slice(0, nvar_phys)) + interior[2:]
+                arr = np.asarray(dev[sl], dtype=np.float64)
+                labels = labels[:nvar_phys]
+            else:
+                base = u if kind == "u_bcc" else w
+                import jax.numpy as _jnp
+                dev = _jnp.concatenate([base[:, :5], bcc], axis=1)
+                arr = np.asarray(dev[interior], dtype=np.float64)
+        nvar = arr.shape[1]
         fname = f"{self.basename}.{p.variable}.{p.file_number:05d}.bin"
         header_dump = self.pin.dump()
         header_bytes = header_dump.encode()
@@ -284,17 +335,14 @@ class BinaryOutput(BaseOutput):
                      mesh.mb_size["x3min"][gid], mesh.mb_size["x3max"][gid]],
                     dtype=np.float64)
                 f.write(geom.tobytes())
-                block_data = arr[gid, :,
-                                 mbi.ks:mbi.ke + 1,
-                                 mbi.js:mbi.je + 1,
-                                 mbi.is_:mbi.ie + 1]
-                f.write(np.ascontiguousarray(block_data,
+                # arr is already interior-sliced (device-side)
+                f.write(np.ascontiguousarray(arr[gid],
                                              dtype=np.float64).tobytes())
 
     def maybe_write(self, mesh, u, w, force: bool = False, state=None):
         if force or self.due(mesh):
             bcc = state.get("bcc") if state is not None else None
-            self.write(mesh, u, w, bcc=bcc)
+            self.write(mesh, u, w, bcc=bcc, state=state)
             if self.params.dt > 0.0:
                 if self.params.last_time < -1e299:
                     self.params.last_time = mesh.time

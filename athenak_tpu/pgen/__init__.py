@@ -31,6 +31,10 @@ _REGISTRY = {
     "kh": "athenak_tpu.pgen.kh",
     "rt": "athenak_tpu.pgen.rt",
     "shu_osher": "athenak_tpu.pgen.shu_osher",
+    "shwave": "athenak_tpu.pgen.shwave",
+    "rad_linear_wave": "athenak_tpu.pgen.rad_linear_wave",
+    "tov": "athenak_tpu.pgen.dyngr_tov",
+    "dyngr_tov": "athenak_tpu.pgen.dyngr_tov",
 }
 
 

@@ -1,24 +1,31 @@
-"""Shearing box: local-frame source terms, orbital advection, and
-shear-periodic radial boundaries.
+"""Shearing box: local-frame source terms, orbital advection (CC + FC),
+and shear-periodic radial boundaries.
 
 Parity target: the reference ``ShearingBox``/``OrbitalAdvection`` modules
 (reference: src/shearing_box/shearing_box.cpp:24-68,
-shearing_box_srcterms.cpp:30-120, orbital_advection_cc.cpp:244-290,
-shearing_box_cc.cpp:63-140, remap_fluxes.hpp:15-69).  Like the reference,
-the evolved azimuthal velocity is the DEVIATION from the orbital shear
-flow vy_orb = -q Omega0 x1:
+shearing_box_srcterms.cpp:30-150, orbital_advection_cc.cpp:244-290,
+orbital_advection_fc.cpp:180-361, shearing_box_cc.cpp:63-140,
+shearing_box_fc.cpp:60-140, remap_fluxes.hpp:15-69).  Like the
+reference, the evolved azimuthal velocity is the DEVIATION from the
+orbital shear flow vy_orb = -q Omega0 x1:
 
   * source terms: dM1 += 2 Om M2 bdt; dM2 -= (2-q) Om M1 bdt;
-    dE += q Om M1 M2/rho bdt (+ stratified vertical gravity)
+    dE += q Om (M1 M2/rho - Bx By) bdt (+ stratified vertical gravity)
   * orbital advection: once per cycle every x1-column is remapped in y by
-    dy = -q Om x1 dt with a conservative PLM remap (integer part by a
-    modular gather, fractional part by upwind PLM fluxes)
-  * shear-periodic x1 BCs: ghost slabs from the opposite side are
-    y-shifted by +/- yshear(t) = q Om Lx t with the same remap
+    dy = -q Om x1 dt.  Cell-centered variables use a conservative remap
+    (integer modular gather + upwind PLM fractional flux); face fields
+    use the EMF form of Stone & Gardiner (2010): the remap fluxes are
+    accumulated into effective EMFs and applied through a CT update so
+    div(B) is preserved to round-off.
+  * shear-periodic x1 BCs: ghost slabs are assembled from the OPPOSITE
+    x1-boundary column's full azimuthal ring, shifted by
+    +/- yshear(t) = q Om Lx t with the same conservative remap.
 
-TPU-native: per-column integer offsets become a static-shape
-``take_along_axis`` gather with traced indices; the fractional remap is a
-roll-stencil; everything lives inside the jitted cycle.
+TPU-native design: all neighbor motion is static gathers along the block
+axis (ring tables built host-side) plus ``take_along_axis`` with traced
+integer shifts; cumulative sums turn the reference's per-cell
+integer-offset loops into two gathers; everything is shape-static inside
+the jitted cycle.
 """
 
 from __future__ import annotations
@@ -31,11 +38,20 @@ from .indices import IDN, IEN, IM1, IM2, IM3, IVX, IVY
 _JA = 3  # y axis in [nmb, nvar, n3, n2, n1]
 
 
+def _mc_slope(g, axis):
+    gm = jnp.roll(g, 1, axis=axis)
+    gp = jnp.roll(g, -1, axis=axis)
+    dl = g - gm
+    dr = gp - g
+    return jnp.where(dl * dr > 0.0,
+                     2.0 * dl * dr / (dl + dr + 1.0e-300), 0.0)
+
+
 def _plm_remap(f, s, axis):
-    """Conservative remap of f by a (traced, possibly per-element) shift
-    ``s`` measured in cells along ``axis`` (periodic).  Positive s moves
-    the profile toward +axis.  PLM with monotonized-central slopes
-    (reference: remap_fluxes.hpp PLM branch)."""
+    """Conservative periodic remap of f by a (traced, per-element) shift
+    ``s`` in cells along ``axis``.  Positive s moves the profile toward
+    +axis.  PLM with monotonized-central slopes (reference:
+    remap_fluxes.hpp PLM branch)."""
     n = f.shape[axis]
     jo = jnp.floor(s).astype(jnp.int32)
     eps = s - jo  # in [0, 1)
@@ -50,17 +66,23 @@ def _plm_remap(f, s, axis):
     g = jnp.take_along_axis(f, idx, axis=axis)
 
     # fractional shift by eps in [0,1): upwind PLM flux through j-1/2
-    # F_{j-1/2} = eps * (g_{j-1} + 0.5*(1-eps)*sigma_{j-1})
     gm = jnp.roll(g, 1, axis=axis)
-    gp = jnp.roll(g, -1, axis=axis)
-    dl = g - gm
-    dr = gp - g
-    sigma = jnp.where(dl * dr > 0.0,
-                      2.0 * dl * dr / (dl + dr + 1.0e-300), 0.0)
-    sig_m = jnp.roll(sigma, 1, axis=axis)
+    sig_m = jnp.roll(_mc_slope(g, axis), 1, axis=axis)
     flux = eps * (gm + 0.5 * (1.0 - eps) * sig_m)  # through j-1/2
     flux_p = jnp.roll(flux, -1, axis=axis)         # through j+1/2
     return g - (flux_p - flux)
+
+
+def _remap_flux(ext, eps, axis):
+    """Signed-eps upwind PLM remap flux through face j (between cells
+    j-1 and j) for every position of ``ext`` (reference:
+    remap_fluxes.hpp PLM_RemapFlx, both branches)."""
+    sig = _mc_slope(ext, axis)
+    um = jnp.roll(ext, 1, axis=axis)
+    sm = jnp.roll(sig, 1, axis=axis)
+    f_pos = eps * (um + 0.5 * (1.0 - eps) * sm)
+    f_neg = eps * (ext - 0.5 * (1.0 + eps) * sig)
+    return jnp.where(eps > 0.0, f_pos, f_neg)
 
 
 class ShearingBox:
@@ -78,21 +100,56 @@ class ShearingBox:
             raise NotImplementedError(
                 "2D r-z shearing box not wired yet (needs x3-handedness)")
 
-        # x1 cell centers per block, broadcastable [nmb, 1, 1, 1, n1]
+        # maximum integer shift per cycle for orbital advection
+        # (reference: orbital_advection.cpp:41-43)
+        cfl = pin.get_or_add_real("time", "cfl_number", 0.8) \
+            if pin.does_block_exist("time") else 0.8
+        self.maxjshift = int(cfl * max(abs(ms.x1min), abs(ms.x1max))) + 1
+        if self.maxjshift > mbi.nx2:
+            raise ValueError(
+                f"orbital advection shift bound {self.maxjshift} exceeds "
+                f"meshblock nx2={mbi.nx2}; use larger y-blocks")
+
+        # x1 cell centers / faces per block, broadcastable
         nmb = mesh.nmb_total
         xc = np.empty((nmb, 1, 1, 1, mbi.ncells1))
+        xf = np.empty((nmb, 1, 1, 1, mbi.ncells1 + 1))
         zc = np.empty((nmb, 1, mbi.ncells3, 1, 1))
         for gid in range(nmb):
             x1v, _, x3v = mesh.cell_centers(gid)
+            x1f, _, _ = mesh.face_edges(gid)
             xc[gid, 0, 0, 0, :] = x1v
+            xf[gid, 0, 0, 0, :] = x1f
             zc[gid, 0, :, 0, 0] = x3v
         self.xc = xc
+        self.xf = xf
         self.zc = zc
         self.dy = ms.dx2
 
+        # ---- shear-periodic ring tables: for each x1-boundary block, the
+        # gids of the OPPOSITE boundary column ordered by y (reference:
+        # the sheared-overlap target search of shearing_box_cc.cpp:63-100)
+        self.ring = {}
+        maskm = mesh.phys_bc_mask.get("x1m")
+        if maskm is not None and mesh.mesh_bcs["ix1"] == "shear_periodic":
+            n1b, n2b = mesh.nmb_x1, mesh.nmb_x2
+            loc2gid = {tuple(loc): g
+                       for g, loc in enumerate(mesh.lloc_eachmb)}
+            for side, src_lx1 in (("m", n1b - 1), ("p", 0)):
+                bmask = mesh.phys_bc_mask[f"x1{side}"]
+                bgids = np.where(bmask)[0]
+                ring = np.zeros((nmb, n2b), dtype=np.int32)
+                for g in bgids:
+                    l1, l2, l3 = mesh.lloc_eachmb[g]
+                    for yi in range(n2b):
+                        ring[g, yi] = loc2gid[(src_lx1, yi, l3)]
+                self.ring[side] = (ring, bmask)
+
     # ------------------------------------------------------------------
-    def src_terms(self, u, w, beta_dt, is_ideal: bool, three_d: bool):
-        """(reference: shearing_box_srcterms.cpp:30-83)."""
+    def src_terms(self, u, w, beta_dt, is_ideal: bool, three_d: bool,
+                  bcc=None):
+        """(reference: shearing_box_srcterms.cpp:30-150; the MHD energy
+        source subtracts the Maxwell stress q Om Bx By)."""
         om = self.omega0
         q = self.qshear
         den = w[:, IDN]
@@ -104,51 +161,265 @@ class ShearingBox:
             u = u.at[:, IM3].add(
                 -beta_dt * om * om * den * self.zc[:, 0])
         if is_ideal:
-            u = u.at[:, IEN].add(
-                beta_dt * q * om * mom1 * mom2 / den)
+            src = mom1 * mom2 / den
+            if bcc is not None:
+                src = src - bcc[:, 0] * bcc[:, 1]
+            u = u.at[:, IEN].add(beta_dt * q * om * src)
         return u
+
+    # ------------------------------------------------------------------
+    def _y_extended(self, arr, pad: int, face_normal_x1: bool = False):
+        """Extend the active-y range of a 4D/5D array by ``pad`` cells on
+        each side with neighbor data along x2 (periodic wrap).
+
+        ``arr`` carries its own y-cell layout [.., ncells2(, ..)] with
+        axis _JA-1 for 4D FC arrays handled by the caller."""
+        mesh = self.mesh
+        mbi = mesh.mb_indcs
+        ng = mbi.ng
+        js, je = mbi.js, mbi.je
+        ja = arr.ndim - 2  # y axis for [..., n3, n2, n1] layouts
+        n2 = arr.shape[ja]
+
+        def yslc(lo, hi):
+            idx = [slice(None)] * arr.ndim
+            idx[ja] = slice(lo, hi)
+            return tuple(idx)
+
+        nbr_m = mesh.nbr_gid["x2m"]
+        nbr_p = mesh.nbr_gid["x2p"]
+        lo = jnp.take(arr[yslc(n2 - ng - pad, n2 - ng)], nbr_m, axis=0)
+        hi = jnp.take(arr[yslc(ng, ng + pad)], nbr_p, axis=0)
+        mid = arr[yslc(js, je + 1)]
+        return jnp.concatenate([lo, mid, hi], axis=ja)
 
     # ------------------------------------------------------------------
     def orbital_advect(self, u, dt):
         """Advect every x1-column by the orbital shear displacement
         dy = -q Om x1 dt (reference: orbital_advection_cc.cpp:240-290).
-        Operates on active y cells with periodic wrap; ghosts are refilled
-        by the caller."""
+        General in the y block decomposition: the profile is extended by
+        ng+maxjshift neighbor cells before the remap."""
         mbi = self.mesh.mb_indcs
         js, je = mbi.js, mbi.je
-        ua = u[:, :, :, js:je + 1, :]
-        shift_cells = (-(self.qshear * self.omega0)
-                       * jnp.asarray(self.xc) * dt) / self.dy
-        ua = _plm_remap(ua, shift_cells, axis=_JA)
-        return u.at[:, :, :, js:je + 1, :].set(ua)
+        nx2 = mbi.nx2
+        pad = self.maxjshift + 2  # stencil guard for the PLM flux
+        ext = self._y_extended(u, pad)
+        shift = (-(self.qshear * self.omega0)
+                 * jnp.asarray(self.xc) * dt) / self.dy
+        jo = jnp.floor(shift).astype(jnp.int32)
+        eps = shift - jo
+
+        # integer part: gather within the extended array (no wrap needed)
+        ja = u.ndim - 2
+        jgrid = jnp.arange(pad, pad + nx2)
+        shp = [1] * u.ndim
+        shp[ja] = nx2
+        jgrid = jgrid.reshape(shp)
+        idx = jnp.broadcast_to(jgrid - jo, ext.shape[:ja] + (nx2,)
+                               + ext.shape[ja + 1:])
+        g = jnp.take_along_axis(ext, idx, axis=ja)
+        gm = jnp.take_along_axis(ext, idx - 1, axis=ja)
+        gmm = jnp.take_along_axis(ext, idx - 2, axis=ja)
+        gp = jnp.take_along_axis(ext, idx + 1, axis=ja)
+        # fractional flux through j-1/2 and j+1/2 (eps in [0,1) via floor)
+        dl = gm - gmm
+        dr = g - gm
+        sig_m = jnp.where(dl * dr > 0.0,
+                          2.0 * dl * dr / (dl + dr + 1.0e-300), 0.0)
+        flux = eps * (gm + 0.5 * (1.0 - eps) * sig_m)
+        dl2 = g - gm
+        dr2 = gp - g
+        sig = jnp.where(dl2 * dr2 > 0.0,
+                        2.0 * dl2 * dr2 / (dl2 + dr2 + 1.0e-300), 0.0)
+        flux_p = eps * (g + 0.5 * (1.0 - eps) * sig)
+        out = g - (flux_p - flux)
+        return u.at[(slice(None),) * ja + (slice(js, je + 1),)].set(out)
+
+    # ------------------------------------------------------------------
+    def orbital_advect_fc(self, bfc, dt):
+        """EMF-form orbital advection of the face fields (reference:
+        orbital_advection_fc.cpp:180-361, after Stone & Gardiner 2010
+        eqs. 49-52).  The y-remap of B1 and B3 is expressed as effective
+        (time-integrated, dy-normalized) EMFs; B is then updated with a
+        CT curl so div(B) is preserved exactly."""
+        mesh = self.mesh
+        mbi = mesh.mb_indcs
+        ng = mbi.ng
+        js, je = mbi.js, mbi.je
+        nx2 = mbi.nx2
+        three_d = mbi.nx3 > 1
+        qo = self.qshear * self.omega0
+        pad = self.maxjshift + 2
+        dy = self.dy
+        ms = mesh.mesh_size
+
+        def eff_emf(arr, x1):
+            """Effective EMF at y-faces j in [js, je+1] for a y-profile
+            of B sampled like ``arr`` (4D [nmb, n3c, n2c, nX]):
+            emf(j) = flx(j - jo) + sum of the jo cells crossed."""
+            yshear = -qo * jnp.asarray(x1[:, 0]) * dt   # [nmb,1,1,nX]
+            shift = yshear / dy
+            jo = jnp.trunc(shift).astype(jnp.int32)
+            eps = shift - jo
+            ext = self._y_extended(arr, pad)
+            ja = 2
+            flx = _remap_flux(ext, eps, ja)
+            # cumulative sum for the integer-cell transport
+            csum = jnp.cumsum(ext, axis=ja)
+            jgrid = jnp.arange(pad, pad + nx2 + 1).reshape(1, 1, -1, 1)
+            tgt = jnp.broadcast_to(
+                jgrid, ext.shape[:ja] + (nx2 + 1,) + ext.shape[ja + 1:])
+            f_sh = jnp.take_along_axis(flx, tgt - jo, axis=ja)
+            c_hi = jnp.take_along_axis(csum, tgt - 1, axis=ja)
+            c_lo = jnp.take_along_axis(csum, tgt - jo - 1, axis=ja)
+            # sum_{jj=1..jo} b(jf-jj)  (sign handles jo<0 too)
+            cells = c_hi - c_lo
+            return f_sh + cells
+
+        x1f, x2f = bfc["x1f"], bfc["x2f"]
+        x3f = bfc["x3f"]
+        ks, ke = mbi.ks, mbi.ke
+        is_, ie = mbi.is_, mbi.ie
+        # emfz = +Vy Bx remap at x1-FACES (uses B1 profile);
+        # [nmb, n3c, nx2+1, n1+1], y index 0..nx2 <-> faces js..je+1
+        emfz = eff_emf(x1f, self.xf)
+        # emfx = -Vy Bz remap at x1-CENTERS (uses B3 profile);
+        # [nmb, n3c+1, nx2+1, n1], k index = x3-face layout
+        emfx = -eff_emf(x3f, self.xc) if three_d else None
+
+        # ---- CT update over the active region (reference:
+        # orbital_advection_fc.cpp oaCT-b1/b2/b3 loops)
+        # B1: b1 -= d(emfz)/dy
+        nb1 = x1f.at[:, ks:ke + 1, js:je + 1, :].add(
+            -(emfz[:, ks:ke + 1, 1:nx2 + 1, :]
+              - emfz[:, ks:ke + 1, 0:nx2, :]))
+        # B2: b2 += (dy/dx)*d(emfz)/dx [- (dy/dz)*d(emfx)/dz]
+        dydx = dy / ms.dx1
+        d_emfz = emfz[..., 1:] - emfz[..., :-1]   # at x1 cell centers
+        nb2 = x2f.at[:, ks:ke + 1, js:je + 2, is_:ie + 1].add(
+            dydx * d_emfz[:, ks:ke + 1, :, is_:ie + 1])
+        if emfx is not None:
+            dydz = dy / ms.dx3
+            d_emfx = emfx[:, 1:, :, :] - emfx[:, :-1, :, :]
+            nb2 = nb2.at[:, ks:ke + 1, js:je + 2, is_:ie + 1].add(
+                -dydz * d_emfx[:, ks:ke + 1, :, is_:ie + 1])
+        # B3: b3 += d(emfx)/dy
+        nb3 = x3f
+        if emfx is not None:
+            nb3 = x3f.at[:, ks:ke + 2, js:je + 1, :].add(
+                emfx[:, ks:ke + 2, 1:nx2 + 1, :]
+                - emfx[:, ks:ke + 2, 0:nx2, :])
+        return {"x1f": nb1, "x2f": nb2, "x3f": nb3}
+
+    # ------------------------------------------------------------------
+    def _ring_remap(self, u, side: str, s, slab_idx, ja,
+                    win_lo: int, win_hi: int):
+        """Assemble the full azimuthal ring of the opposite x1-boundary
+        column, shift it by ``s`` cells, and return each boundary block's
+        window of global-y samples [lx2*nx2 + win_lo, lx2*nx2 + win_hi)
+        (periodic)."""
+        mesh = self.mesh
+        mbi = mesh.mb_indcs
+        nx2 = mbi.nx2
+        ring_gids, bmask = self.ring[side]
+        n2b = ring_gids.shape[1]
+        ny = n2b * nx2
+
+        slab = u[slab_idx]   # y extent = nx2 active samples per block
+        parts = [jnp.take(slab, ring_gids[:, yi], axis=0)
+                 for yi in range(n2b)]
+        ring = jnp.concatenate(parts, axis=ja)   # y extent = ny
+        shifted = _plm_remap(ring, s, axis=ja)
+        lx2 = np.asarray(mesh.lloc_eachmb[:, 1])
+        win = (np.arange(win_lo, win_hi)[None, :]
+               + (lx2 * nx2)[:, None]) % ny     # [nmb, win_hi-win_lo]
+        out = jnp.take_along_axis(
+            shifted, jnp.asarray(win).reshape(
+                (-1,) + (1,) * (ja - 1) + (win_hi - win_lo,)
+                + (1,) * (u.ndim - 1 - ja)), axis=ja)
+        return out, bmask
 
     # ------------------------------------------------------------------
     def remap_ghosts(self, u, t):
         """y-shift the shear-periodic x1 ghost slabs by +/- yshear(t)
-        (reference: shearing_box_cc.cpp:63-140).  The plain periodic
-        gather has already filled the slabs; this corrects them."""
+        (reference: shearing_box_cc.cpp:63-140).  Assembles the opposite
+        boundary column's full ring, so any y block decomposition works;
+        the slab's y-corner rows are refilled too."""
         mesh = self.mesh
         mbi = mesh.mb_indcs
         ng = mbi.ng
         n1 = mbi.ncells1
+        n2 = mbi.ncells2
         js, je = mbi.js, mbi.je
         yshear = self.qshear * self.omega0 * self.lx * t
-        s = yshear / self.dy  # shift in cells
+        s = yshear / self.dy
+        ja = u.ndim - 2
 
-        # inner-x1 ghosts: f(x<x1min, y) = f(x+Lx, y - yshear)
-        #   -> shift gathered slab toward +y by s
-        maskm = mesh.phys_bc_mask["x1m"]
-        maskp = mesh.phys_bc_mask["x1p"]
-        if maskm.any():
-            slab = u[:, :, :, js:je + 1, 0:ng]
-            shifted = _plm_remap(slab, s, axis=_JA)
-            mb = jnp.asarray(maskm).reshape(-1, 1, 1, 1, 1)
-            u = u.at[:, :, :, js:je + 1, 0:ng].set(
-                jnp.where(mb, shifted, slab))
-        if maskp.any():
-            slab = u[:, :, :, js:je + 1, n1 - ng:n1]
-            shifted = _plm_remap(slab, -s, axis=_JA)
-            mb = jnp.asarray(maskp).reshape(-1, 1, 1, 1, 1)
-            u = u.at[:, :, :, js:je + 1, n1 - ng:n1].set(
-                jnp.where(mb, shifted, slab))
+        if "m" in self.ring:
+            slab_idx = (slice(None), slice(None), slice(None),
+                        slice(js, je + 1), slice(n1 - 2 * ng, n1 - ng))
+            win, bmask = self._ring_remap(u, "m", s, slab_idx, ja,
+                                          -ng, n2 - ng)
+            mb = jnp.asarray(bmask).reshape((-1,) + (1,) * (u.ndim - 1))
+            cur = u[:, :, :, :, 0:ng]
+            u = u.at[:, :, :, :, 0:ng].set(jnp.where(mb, win, cur))
+        if "p" in self.ring:
+            slab_idx = (slice(None), slice(None), slice(None),
+                        slice(js, je + 1), slice(ng, 2 * ng))
+            win, bmask = self._ring_remap(u, "p", -s, slab_idx, ja,
+                                          -ng, n2 - ng)
+            mb = jnp.asarray(bmask).reshape((-1,) + (1,) * (u.ndim - 1))
+            cur = u[:, :, :, :, n1 - ng:n1]
+            u = u.at[:, :, :, :, n1 - ng:n1].set(jnp.where(mb, win, cur))
         return u
+
+    # ------------------------------------------------------------------
+    def remap_ghosts_fc(self, bfc, t):
+        """Shear-periodic remap of the face-field x1 ghost slabs
+        (reference: shearing_box_fc.cpp:60-140; each component's ghost
+        profile is conservatively remapped in y like the CC variables;
+        the x1min/x1max shared faces stay locally owned)."""
+        mesh = self.mesh
+        mbi = mesh.mb_indcs
+        ng = mbi.ng
+        js, je = mbi.js, mbi.je
+        yshear = self.qshear * self.omega0 * self.lx * t
+        s = yshear / self.dy
+
+        mbi2 = mbi
+        n2c = mbi2.ncells2
+        out = dict(bfc)
+        for comp, arr in bfc.items():
+            ja = 2
+            nrm_x1 = comp == "x1f"
+            n1 = arr.shape[3]
+            nxa = mbi.nx1
+            # y window length: cell layout for x1f/x3f, face layout
+            # (one extra sample) for x2f; the ring itself always holds
+            # one sample per y position (x2f drops its duplicated
+            # closing face, which the window re-reads periodically)
+            extra = 1 if comp == "x2f" else 0
+            for side, sgn in (("m", +1.0), ("p", -1.0)):
+                if side not in self.ring:
+                    continue
+                if nrm_x1:
+                    # ghost faces strictly beyond the shared face
+                    dn = slice(nxa, nxa + ng) if side == "m" \
+                        else slice(ng + 1, 2 * ng + 1)
+                    my = slice(0, ng) if side == "m" \
+                        else slice(nxa + ng + 1, nxa + 2 * ng + 1)
+                else:
+                    dn = slice(n1 - 2 * ng, n1 - ng) if side == "m" \
+                        else slice(ng, 2 * ng)
+                    my = slice(0, ng) if side == "m" \
+                        else slice(n1 - ng, n1)
+                slab_idx = (slice(None), slice(None),
+                            slice(js, je + 1), dn)
+                win, bmask = self._ring_remap(arr, side, sgn * s,
+                                              slab_idx, ja,
+                                              -ng, n2c - ng + extra)
+                mb = jnp.asarray(bmask).reshape((-1, 1, 1, 1))
+                cur = arr[:, :, :, my]
+                arr = arr.at[:, :, :, my].set(jnp.where(mb, win, cur))
+            out[comp] = arr
+        return out
