@@ -33,6 +33,7 @@ _REGISTRY = {
     "shu_osher": "athenak_tpu.pgen.shu_osher",
     "shwave": "athenak_tpu.pgen.shwave",
     "rad_linear_wave": "athenak_tpu.pgen.rad_linear_wave",
+    "rad_beam": "athenak_tpu.pgen.rad_beam",
     "tov": "athenak_tpu.pgen.dyngr_tov",
     "dyngr_tov": "athenak_tpu.pgen.dyngr_tov",
 }

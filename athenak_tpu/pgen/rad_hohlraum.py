@@ -19,7 +19,8 @@ def init(pin, mesh, phys):
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     i0 = jnp.zeros(phys.shape, dtype=dtype)
 
-    # fixed boundary: ghosts at inner x1 = i_beam for angles with n_x > 0
+    # fixed boundary: ghosts at inner x1 hold I = i_beam for angles with
+    # n_x > 0, stored in the evolved variable i0 = n^0 n_0 I
     ng = mbi.ng
     nx_pos = (phys.grid.nh[:, 0] > 0.0).reshape(1, -1, 1, 1, 1)
     gmask = np.zeros(phys.shape, dtype=bool)
@@ -28,9 +29,10 @@ def init(pin, mesh, phys):
         gmask[gid, :, :, :, 0:ng] = True
     gmask = gmask & np.broadcast_to(nx_pos, phys.shape)
     gmask_j = jnp.asarray(gmask)
+    beam_i0 = jnp.asarray(phys.n0 * phys.n_0 * ibeam, dtype=dtype)
 
     def hohlraum_bc(u, bv):
-        return jnp.where(gmask_j, ibeam, u)
+        return jnp.where(gmask_j, beam_i0, u)
 
     phys.bvals.user_bc_func = hohlraum_bc
     return phys.make_state(i0)

@@ -84,13 +84,71 @@ def _spherical_area(a, b, c):
     return 4.0 * math.atan(math.sqrt(max(t, 0.0)))
 
 
+def _circumcenter(a, b, c):
+    """Normalized circumcenter of the spherical triangle (a, b, c)
+    (reference: CircumcenterNormalized, geodesic_grid.cpp:473-500)."""
+    la = np.linalg.norm(c - b)
+    lb = np.linalg.norm(a - c)
+    lc = np.linalg.norm(b - a)
+    wa = la * la * (lb * lb + lc * lc - la * la)
+    wb = lb * lb * (lc * lc + la * la - lb * lb)
+    wc = lc * lc * (la * la + lb * lb - lc * lc)
+    p = wa * a + wb * b + wc * c
+    return p / np.linalg.norm(p)
+
+
+def _unit_flux_dir(zetav, psiv, zetaf, psif):
+    """Unit vector (zeta, psi components) of the flux direction along
+    the great circle from the angle center to an edge midpoint
+    (reference: UnitFluxDir + GreatCircleParam,
+    geodesic_grid.cpp:639-672)."""
+    if abs(psif - psiv) < 1e-10 or abs(abs(math.cos(zetaf)) - 1.0) < 1e-10 \
+            or abs(abs(math.cos(zetav)) - 1.0) < 1e-10:
+        return math.copysign(1.0, zetaf - zetav), 0.0
+    atil = (math.sin(psif) / math.tan(zetav)
+            - math.sin(psiv) / math.tan(zetaf)) / math.sin(psif - psiv)
+    btil = (math.cos(psif) / math.tan(zetav)
+            - math.cos(psiv) / math.tan(zetaf)) / math.sin(psiv - psif)
+    p_par = math.atan2(btil, atil)
+    a_par = math.sqrt(atil * atil + btil * btil)
+    zeta_deriv = (a_par * math.sin(psif - p_par)
+                  / (1.0 + (a_par * math.cos(psif - p_par)) ** 2))
+    denom = 1.0 / math.sqrt(zeta_deriv ** 2 + math.sin(zetaf) ** 2)
+    sgn = math.copysign(1.0, psif - psiv) \
+        * math.copysign(1.0, math.pi - abs(psif - psiv))
+    return sgn * zeta_deriv * denom, sgn * denom
+
+
 class GeodesicGrid:
-    """Angles + quadrature weights; nangles = 10 nlevel^2 + 2."""
+    """Angles + quadrature weights; nangles = 10 nlevel^2 + 2 (nlevel>=1)
+    or the 8-per-octant testing grid (nlevel=0, reference:
+    geodesic_grid.cpp:345-375)."""
 
     def __init__(self, nlevel: int) -> None:
-        if nlevel < 1:
-            raise ValueError("nlevel >= 1 required")
+        if nlevel < 0:
+            raise ValueError("nlevel >= 0 required")
         self.nlevel = nlevel
+        if nlevel == 0:
+            # one angle per octant; positions scaled so first AND second
+            # angular moments are exact (reference values)
+            self.nangles = 8
+            zetav = (math.pi / 4.0, 3.0 * math.pi / 4.0)
+            psiv = tuple((2 * k + 1) * math.pi / 4.0 for k in range(4))
+            nh = np.empty((8, 3))
+            n = 0
+            for zv in zetav:
+                for pv in psiv:
+                    nh[n] = (math.sin(zv) * math.cos(pv)
+                             * math.sqrt(4.0 / 3.0),
+                             math.sin(zv) * math.sin(pv)
+                             * math.sqrt(4.0 / 3.0),
+                             math.cos(zv) * math.sqrt(2.0 / 3.0))
+                    n += 1
+            self.nh = nh
+            self.solid_angles = np.full(8, 4.0 * math.pi / 8.0)
+            self.weights = self.solid_angles / (4.0 * math.pi)
+            self.has_edges = False
+            return
         v0, f0 = _icosahedron()
         verts, tris = _subdivide(v0, f0, nlevel)
         self.nangles = len(verts)
@@ -98,13 +156,88 @@ class GeodesicGrid:
             (self.nangles, nlevel)
         self.nh = np.asarray(verts)  # unit direction vectors [nangles, 3]
 
-        # solid angles: each triangle contributes a third of its area to
-        # each corner (exact partition of 4 pi)
-        w = np.zeros(self.nangles)
+        # ---- neighbor tables: cyclically-ordered vertex adjacency
+        # (reference: Neighbors, geodesic_grid.cpp:430-466)
+        adj = [set() for _ in range(self.nangles)]
         for (a, b, c) in tris:
-            ar = _spherical_area(self.nh[a], self.nh[b], self.nh[c])
-            w[a] += ar / 3.0
-            w[b] += ar / 3.0
-            w[c] += ar / 3.0
+            adj[a].update((b, c))
+            adj[b].update((a, c))
+            adj[c].update((a, b))
+        nbrs = []
+        for n in range(self.nangles):
+            ring = sorted(adj[n])
+            # order cyclically by azimuth in the tangent plane at x0
+            x0 = self.nh[n]
+            ref = np.array([1.0, 0.0, 0.0]) if abs(x0[0]) < 0.9 \
+                else np.array([0.0, 1.0, 0.0])
+            t1 = np.cross(x0, ref)
+            t1 /= np.linalg.norm(t1)
+            t2 = np.cross(x0, t1)
+            ordered = sorted(
+                ring, key=lambda q: math.atan2(float(self.nh[q] @ t2),
+                                               float(self.nh[q] @ t1)))
+            nbrs.append(ordered)
+        nmax = max(len(r) for r in nbrs)
+        self.num_neighbors = np.array([len(r) for r in nbrs],
+                                      dtype=np.int32)
+        self.ind_neighbors = np.zeros((self.nangles, nmax), dtype=np.int32)
+        for n, r in enumerate(nbrs):
+            self.ind_neighbors[n, :len(r)] = r
+            # pad with self (zero-flux edges via arc length 0)
+            self.ind_neighbors[n, len(r):] = n
+
+        # ---- dual-cell geometry: circumcenter polygon around each angle
+        # (reference: SolidAngleAndArcLengths, geodesic_grid.cpp:500-532)
+        w = np.zeros(self.nangles)
+        self.arc_lengths = np.zeros((self.nangles, nmax))
+        self.cart_pos_mid = np.zeros((self.nangles, nmax, 3))
+        for n, ring in enumerate(nbrs):
+            nn = len(ring)
+            x0 = self.nh[n]
+            for nb in range(nn):
+                p1 = self.nh[ring[(nb - 1) % nn]]
+                p2 = self.nh[ring[nb]]
+                p3 = self.nh[ring[(nb + 1) % nn]]
+                c1 = _circumcenter(x0, p1, p2)
+                c2 = _circumcenter(x0, p2, p3)
+                self.arc_lengths[n, nb] = math.acos(
+                    np.clip(c1 @ c2, -1.0, 1.0))
+                w[n] += _spherical_area(x0, c1, c2)
+                mid = 0.5 * (x0 + p2)
+                self.cart_pos_mid[n, nb] = mid / np.linalg.norm(mid)
         self.solid_angles = w          # sums to 4 pi
         self.weights = w / (4.0 * math.pi)
+
+        # ---- reverse edge index: ind_neighbors_edges[n, nb] = index of n
+        # in its neighbor's table
+        self.ind_neighbors_edges = np.zeros((self.nangles, nmax),
+                                            dtype=np.int32)
+        for n, ring in enumerate(nbrs):
+            for nb, q in enumerate(ring):
+                self.ind_neighbors_edges[n, nb] = nbrs[q].index(n)
+
+        # ---- unit flux direction (zeta, psi) at each edge midpoint,
+        # symmetrized across shared edges like the reference
+        self.unit_flux = np.zeros((self.nangles, nmax, 2))
+        for n, ring in enumerate(nbrs):
+            x0 = self.nh[n]
+            zetav = math.acos(np.clip(x0[2], -1.0, 1.0))
+            psiv = math.atan2(x0[1], x0[0])
+            for nb in range(len(ring)):
+                xm = self.cart_pos_mid[n, nb]
+                zetaf = math.acos(np.clip(xm[2], -1.0, 1.0))
+                psif = math.atan2(xm[1], xm[0])
+                self.unit_flux[n, nb] = _unit_flux_dir(zetav, psiv,
+                                                       zetaf, psif)
+        for n, ring in enumerate(nbrs):
+            for nb in range(len(ring)):
+                q, eb = ring[nb], self.ind_neighbors_edges[n, nb]
+                uz, up = self.unit_flux[n, nb]
+                vz, vp = self.unit_flux[q, eb]
+                az = 0.5 * (abs(uz) + abs(vz))
+                ap = 0.5 * (abs(up) + abs(vp))
+                self.unit_flux[n, nb] = (math.copysign(az, uz),
+                                         math.copysign(ap, up))
+                self.unit_flux[q, eb] = (math.copysign(az, vz),
+                                         math.copysign(ap, vp))
+        self.has_edges = True

@@ -92,9 +92,11 @@ def test_scattering_isotropizes():
     pin = ParameterInput.from_string(deck)
     mesh, phys, pgen, driver, state = build(pin)
     phys.bvals.user_bc_func = None  # uniform periodic-like relaxation
-    # anisotropic but spatially uniform IC: I_a = 1 + n_x
+    # anisotropic but spatially uniform IC: I_a = 1 + n_x, stored in the
+    # evolved variable i0 = n^0 n_0 I (negative-definite in flat space)
     nh = phys.grid.nh[:, 0].reshape(1, -1, 1, 1, 1)
-    i0 = jnp.asarray(1.0 + 0.9 * np.broadcast_to(nh, phys.shape))
+    nn = np.asarray(phys.n0) * np.asarray(phys.n_0)
+    i0 = jnp.asarray(nn * (1.0 + 0.9 * np.broadcast_to(nh, phys.shape)))
     state = dict(state, u=i0, w=i0)
     state = driver.initialize(state)
     saved = phys.save_state(state)
