@@ -803,7 +803,7 @@ class AMR:
         tbl = _prov_tables(prov)
 
         new_state = dict(state)
-        for key in ("u", "w", "z"):
+        for key in ("u", "w", "z", "i0"):
             if key in state:
                 new_state[key] = remap_cc(state[key], tbl, mbi, act_axes)
         if "T" in state:

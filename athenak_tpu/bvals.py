@@ -67,6 +67,10 @@ class BoundaryValues:
         self.inflow_state: Dict[str, jnp.ndarray] = {}
         # user BC hook: fn(u, bvals) -> u
         self.user_bc_func = None
+        # mixed-level prolongation order: 2 (min-mod, default) or 4
+        # (Lagrange; required by Z4c/dyngr on refined meshes, reference:
+        # prolongation.hpp HighOrderProlongCC)
+        self.prolong_order = 2
 
     # ------------------------------------------------------------------
     def _exchange(self, slab, key: str):
@@ -276,8 +280,10 @@ class BoundaryValues:
         """Replace the same-level ghost candidate with restriction (finer
         donors) / prolongation (coarser donor) where the face is a level
         boundary (reference: bvals_cc.cpp pack/unpack with coarse buffers
-        + ProlongCC; here: masked selects over statically gathered slabs)."""
-        from .refinement import prolong_cc, restrict_cc
+        + ProlongCC/HighOrderProlongCC; here: masked selects over
+        statically gathered slabs)."""
+        from .refinement import (prolong_cc_order, prolong_guard,
+                                 restrict_cc)
 
         t = self.mesh.ml[f"{ax}{side}"]
         if not (t["any_fine"] or t["any_coarse"]):
@@ -329,26 +335,27 @@ class BoundaryValues:
             ghost = ghost.at[region].set(
                 jnp.where(fmask, assembled, ghost[region]))
 
-        # ---- coarser donor: min-mod linear prolongation over a per-block
-        # parity-selected window of the donor face
+        # ---- coarser donor: min-mod (or 4th-order Lagrange) prolongation
+        # over a per-block parity-selected window of the donor face
         if t["any_coarse"]:
-            slab = u[slc(n - ng - h - 1, n - ng + 1)] if side == "m" \
-                else u[slc(ng - 1, ng + h + 1)]
+            g = prolong_guard(self.prolong_order)
+            slab = u[slc(n - ng - h - g, n - ng + g)] if side == "m" \
+                else u[slc(ng - g, ng + h + g)]
             d = jnp.take(slab, t["coarse"], axis=0)
             for a2 in tn:
                 t_axis = _AXIS_OF[a2]
                 half = nx_of[a2] // 2
-                ln = half + ng + 2
+                ln = half + ng + 2 * g
                 # two static parity windows + per-block select (XLA/TPU
                 # prefers static slices over take_along_axis gathers)
-                s0 = ng - h - 1
+                s0 = ng - h - g
                 d0 = jnp.take(d, np.arange(s0, s0 + ln), axis=t_axis)
                 d1 = jnp.take(d, np.arange(s0 + half, s0 + half + ln),
                               axis=t_axis)
                 sel = t["par"][a2].astype(bool).reshape(
                     (-1,) + (1,) * 4)
                 d = jnp.where(sel, d1, d0)
-            pro = prolong_cc(d, cell_axes)
+            pro = prolong_cc_order(d, cell_axes, self.prolong_order)
             wmask = t["coarse_mask"].reshape((-1,) + (1,) * 4)
             # guard the transverse corner strips: where the diagonal
             # neighbor is same-level or finer, the sweeps already placed

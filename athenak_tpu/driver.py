@@ -350,6 +350,10 @@ class Driver:
             and getattr(self.phys, "ppart", None) is None
         if use_batch:
             k = 16
+            if self.nlim >= 0:
+                # no-op (dt=0) cycles past nlim still cost full compute:
+                # don't batch beyond the cycle limit
+                k = max(1, min(k, self.nlim - mesh.ncycle))
             batch_fn = self._build_batch_cycle(state, k)
             t_dev = jnp.asarray(mesh.time, dtype=dtype)
             dt_dev = jnp.asarray(mesh.dt, dtype=dtype)

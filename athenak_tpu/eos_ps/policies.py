@@ -144,7 +144,9 @@ class PiecewisePolytropePS:
         for i in range(1, n):
             d[i] = dens[i] / mb
             p[i] = p[i - 1] * (d[i] / d[i - 1]) ** g[i - 1]
-            eps[i] = eps[i - 1] + p[i - 1] / (d[i - 1] * mb) * (
+            # energy continuity at the dividing density d[i]: the
+            # correction uses P and rho AT the boundary
+            eps[i] = eps[i - 1] + p[i] / (d[i] * mb) * (
                 1.0 / (g[i - 1] - 1.0) - 1.0 / (g[i] - 1.0))
         self.density_pieces = d
         self.gamma_pieces = g
@@ -379,14 +381,19 @@ class CompOSEPS:
 
     # -- inversions: fixed-iteration bisection on the monotone T axis
     def _invert(self, table, n, target_log, Y, iters=40):
-        lt_lo = jnp.full_like(n, self.lt[0])
-        lt_hi = jnp.full_like(n, self.lt[-1])
-        for _ in range(iters):
+        import jax as _jax
+
+        def body(_, carry):
+            lt_lo, lt_hi = carry
             lt_mid = 0.5 * (lt_lo + lt_hi)
             val = self._interp(table, n, self.logs.exp2(lt_mid), Y)
             hi = val > target_log
-            lt_hi = jnp.where(hi, lt_mid, lt_hi)
-            lt_lo = jnp.where(hi, lt_lo, lt_mid)
+            return (jnp.where(hi, lt_lo, lt_mid),
+                    jnp.where(hi, lt_mid, lt_hi))
+
+        lt_lo = jnp.full_like(n, self.lt[0])
+        lt_hi = jnp.full_like(n, self.lt[-1])
+        lt_lo, lt_hi = _jax.lax.fori_loop(0, iters, body, (lt_lo, lt_hi))
         return self.logs.exp2(0.5 * (lt_lo + lt_hi))
 
     def temperature_from_e(self, n, e, Y=None):

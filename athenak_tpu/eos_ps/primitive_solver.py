@@ -193,16 +193,24 @@ class PrimitiveSolverPS:
 
         h_min = eos.min_enthalpy()
         # ---- tighter upper bound where rsq > h_min^2 (masked NewtonSafe)
-        lo = jnp.zeros_like(Ds)
-        hi = jnp.full_like(Ds, 1.0 / h_min)
-        mu = 0.5 * (lo + hi)
-        for _ in range(self.n_newton):
+        # (lax loops keep the traced graph small: the unrolled version
+        # nests the policy's own inversion loops and explodes compile
+        # times for tabulated EOS policies)
+        import jax as _jax
+
+        def _newton_body(_, carry):
+            lo, hi, mu = carry
             f, df = self._upper_f(mu, bsq, rsq, rbsq, h_min)
             lo = jnp.where(f < 0.0, mu, lo)
             hi = jnp.where(f >= 0.0, mu, hi)
             step = mu - f / jnp.where(jnp.abs(df) > 1e-30, df, 1.0)
             inside = (step > lo) & (step < hi)
-            mu = jnp.where(inside, step, 0.5 * (lo + hi))
+            return lo, hi, jnp.where(inside, step, 0.5 * (lo + hi))
+
+        lo = jnp.zeros_like(Ds)
+        hi = jnp.full_like(Ds, 1.0 / h_min)
+        _, _, mu = _jax.lax.fori_loop(
+            0, self.n_newton, _newton_body, (lo, hi, 0.5 * (lo + hi)))
         muh = jnp.where(rsq > h_min * h_min,
                         mu * (1.0 + 1e-10), 1.0 / h_min)
 
@@ -221,14 +229,18 @@ class PrimitiveSolverPS:
         fb = jnp.where(fb <= 0.0, f_wide, fb)
         # truly degenerate: root numerically AT the bound
         collided = fb <= 0.0
-        side = jnp.zeros_like(Ds)  # +1: last test matched lower, -1: upper
-        x = b
-        for _ in range(self.n_falsepos):
+        # bracket invariant: f(a) <= 0 <= f(b) (f(0) = -muhat < 0 and the
+        # bound setup guarantees f(b) >= 0); updates test the SIGN of fx
+        # directly — a product test like fx*fa >= 0 degenerates to
+        # always-true once fa underflows to exactly 0 at convergence and
+        # then walks the bracket off the root
+        def _fp_body(_, carry):
+            a, b, fa, fb, side = carry
             denom = jnp.where(jnp.abs(fb - fa) > 1e-30, fb - fa, 1.0)
             x = (fb * a - fa * b) / denom
             fx, _, _, _ = self._root_f(x, Ds, q, bsq, rsq, rbsq, Y)
-            low_side = fx * fa >= 0.0
-            # Anderson-Bjorck weighting when landing on the same side twice
+            low_side = fx <= 0.0
+            # Anderson-Bjorck weighting on same-side repeats
             m_hi = 1.0 - fx / jnp.where(jnp.abs(fa) > 1e-30, fa, 1.0)
             m_hi = jnp.where(m_hi > 0.0, m_hi, 0.5)
             m_lo = 1.0 - fx / jnp.where(jnp.abs(fb) > 1e-30, fb, 1.0)
@@ -239,19 +251,31 @@ class PrimitiveSolverPS:
             fa = jnp.where(low_side, fx, fa_new)
             b = jnp.where(low_side, b, x)
             fb = jnp.where(low_side, fb_new, fx)
-            side = jnp.where(low_side, 1.0, -1.0)
+            return a, b, fa, fb, jnp.where(low_side, 1.0, -1.0)
+
+        side = jnp.zeros_like(Ds)  # +1: last test matched lower, -1: upper
+        a, b, fa, fb, side = _jax.lax.fori_loop(
+            0, self.n_falsepos, _fp_body, (a, b, fa, fb, side))
+
         # bisection polish: Anderson-Bjorck can stall on derivative kinks
         # (piecewise-polytrope piece boundaries); bisection guarantees the
         # bracket keeps halving
-        for _ in range(self.n_bisect):
+        def _bi_body(_, carry):
+            a, b, fa, fb = carry
             mid = 0.5 * (a + b)
             fm, _, _, _ = self._root_f(mid, Ds, q, bsq, rsq, rbsq, Y)
-            low_side = fm * fa >= 0.0
+            low_side = fm <= 0.0
             a = jnp.where(low_side, mid, a)
             fa = jnp.where(low_side, fm, fa)
             b = jnp.where(low_side, b, mid)
             fb = jnp.where(low_side, fb, fm)
-        x = 0.5 * (a + b)
+            return a, b, fa, fb
+
+        a, b, fa, fb = _jax.lax.fori_loop(
+            0, self.n_bisect, _bi_body, (a, b, fa, fb))
+        # prefer the exactly-converged endpoint over the bracket midpoint
+        x = jnp.where(fa == 0.0, a, jnp.where(fb == 0.0, b,
+                                              0.5 * (a + b)))
 
         mu_root = jnp.where(collided, b, x)
         _, n, T, P = self._root_f(mu_root, Ds, q, bsq, rsq, rbsq, Y)

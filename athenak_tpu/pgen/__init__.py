@@ -34,6 +34,7 @@ _REGISTRY = {
     "shwave": "athenak_tpu.pgen.shwave",
     "rad_linear_wave": "athenak_tpu.pgen.rad_linear_wave",
     "rad_beam": "athenak_tpu.pgen.rad_beam",
+    "z4c_two_punctures": "athenak_tpu.pgen.z4c_two_punctures",
     "tov": "athenak_tpu.pgen.dyngr_tov",
     "dyngr_tov": "athenak_tpu.pgen.dyngr_tov",
 }

@@ -549,6 +549,61 @@ def _interleave(lo, hi, a):
     return st.reshape(sh[:a] + (2 * sh[a],) + sh[a + 1:])
 
 
+# 4th-order Lagrange interpolation weights at the fine-cell centers
+# x = -1/4 and +1/4 (in coarse cells) over the 5-point stencil -2..2
+# (reference: HighOrderProlongCC + InitInterpWghts,
+# src/mesh/prolongation.hpp:247-283, mesh_refinement.cpp weights)
+def _lagrange_w(x, nodes=(-2.0, -1.0, 0.0, 1.0, 2.0)):
+    import numpy as _np
+    w = _np.ones(len(nodes))
+    for i, xi in enumerate(nodes):
+        for j, xj in enumerate(nodes):
+            if i != j:
+                w[i] *= (x - xj) / (xi - xj)
+    return w
+
+
+_W4_M = _lagrange_w(-0.25)
+_W4_P = _lagrange_w(+0.25)
+
+
+def prolong_cc4(c, cell_axes):
+    """4th-order Lagrange prolongation (reference HighOrderProlongCC for
+    Z4c/dyngr fields).  ``c`` carries TWO guard cells on each end of
+    every axis in ``cell_axes``; the result doubles the trimmed
+    interior."""
+    import jax.numpy as jnp
+
+    axes = [ax % c.ndim for ax in cell_axes]
+
+    def conv(f, a, w):
+        n = f.shape[a]
+        out = None
+        for o, wi in zip((-2, -1, 0, 1, 2), w):
+            t = wi * jnp.take(f, np.arange(2 + o, n - 2 + o), axis=a)
+            out = t if out is None else out + t
+        return out
+
+    for a in axes:
+        lo = conv(c, a, _W4_M)
+        hi = conv(c, a, _W4_P)
+        c = _interleave(lo, hi, a)
+        # restore the 2-cell guards on the axes not yet processed: conv
+        # trimmed only axis a; the others keep their guards
+    return c
+
+
+def prolong_cc_order(c, cell_axes, order: int):
+    if order == 4:
+        return prolong_cc4(c, cell_axes)
+    return prolong_cc(c, cell_axes)
+
+
+def prolong_guard(order: int) -> int:
+    """Coarse guard cells needed per side by the prolongation stencil."""
+    return 2 if order == 4 else 1
+
+
 def prolong_cc(c, cell_axes):
     """Piecewise-linear min-mod prolongation (reference ProlongCC).
 

@@ -22,6 +22,9 @@ _D1 = {
         (2, -1.0 / 12.0)],
     4: [(-3, -1.0 / 60.0), (-2, 3.0 / 20.0), (-1, -3.0 / 4.0),
         (1, 3.0 / 4.0), (2, -3.0 / 20.0), (3, 1.0 / 60.0)],
+    5: [(-4, 1.0 / 280.0), (-3, -4.0 / 105.0), (-2, 1.0 / 5.0),
+        (-1, -4.0 / 5.0), (1, 4.0 / 5.0), (2, -1.0 / 5.0),
+        (3, 4.0 / 105.0), (4, -1.0 / 280.0)],
 }
 
 # centered second derivative (same axis)
@@ -32,6 +35,9 @@ _D2 = {
     4: [(-3, 1.0 / 90.0), (-2, -3.0 / 20.0), (-1, 3.0 / 2.0),
         (0, -49.0 / 18.0), (1, 3.0 / 2.0), (2, -3.0 / 20.0),
         (3, 1.0 / 90.0)],
+    5: [(-4, -1.0 / 560.0), (-3, 8.0 / 315.0), (-2, -1.0 / 5.0),
+        (-1, 8.0 / 5.0), (0, -205.0 / 72.0), (1, 8.0 / 5.0),
+        (2, -1.0 / 5.0), (3, 8.0 / 315.0), (4, -1.0 / 560.0)],
 }
 
 # one-sided-biased advective stencils (dl for beta<0, dr for beta>0)
@@ -42,6 +48,9 @@ _ADV_L = {
     4: [(-4, 1.0 / 60.0), (-3, -2.0 / 15.0), (-2, 1.0 / 2.0),
         (-1, -4.0 / 3.0), (0, 7.0 / 12.0), (1, 2.0 / 5.0),
         (2, -1.0 / 30.0)],
+    5: [(-5, -1.0 / 280.0), (-4, 1.0 / 28.0), (-3, -1.0 / 6.0),
+        (-2, 1.0 / 2.0), (-1, -5.0 / 4.0), (0, 9.0 / 20.0),
+        (1, 1.0 / 2.0), (2, -1.0 / 14.0), (3, 1.0 / 168.0)],
 }
 _ADV_R = {ng: [(-o, -c) for o, c in sten] for ng, sten in _ADV_L.items()}
 
@@ -52,6 +61,9 @@ _DISS = {
         (2, -6.0), (3, 1.0)],
     4: [(-4, 1.0), (-3, -8.0), (-2, 28.0), (-1, -56.0), (0, 70.0),
         (1, -56.0), (2, 28.0), (3, -8.0), (4, 1.0)],
+    5: [(-5, 1.0), (-4, -10.0), (-3, 45.0), (-2, -120.0), (-1, 210.0),
+        (0, -252.0), (1, 210.0), (2, -120.0), (3, 45.0), (4, -10.0),
+        (5, 1.0)],
 }
 
 

@@ -101,16 +101,32 @@ class Z4c:
         self.mesh = mesh
         self.bvals = bvals
         self.opt = Z4cOptions(pin)
-        if getattr(mesh, "multilevel", False):
-            raise NotImplementedError(
-                "Z4c with static mesh refinement is not supported yet")
+        self.multilevel = bool(getattr(mesh, "multilevel", False))
         mbi = mesh.mb_indcs
         self.ng = mbi.ng
-        if self.ng not in (2, 3, 4):
-            raise ValueError("Z4c requires nghost in {2,3,4} "
-                             "(2nd/4th/6th-order FD)")
+        if self.ng not in (2, 3, 4, 5):
+            raise ValueError("Z4c requires nghost in {2,3,4,5} "
+                             "(2nd/4th/6th/8th-order FD)")
         ms = mesh.mesh_size
-        self.idx = (1.0 / ms.dx1, 1.0 / ms.dx2, 1.0 / ms.dx3)
+        if self.multilevel:
+            # per-block (level-dependent) inverse spacings, broadcast
+            # against the [nmb, n3, n2, n1] channel fields; idx5 is the
+            # 5D variant for whole-state ops (KO dissipation)
+            self.idx = tuple(
+                (1.0 / mesh.mb_size[f"dx{d}"]).reshape(-1, 1, 1, 1)
+                for d in (1, 2, 3))
+            self.idx5 = tuple(
+                (1.0 / mesh.mb_size[f"dx{d}"]).reshape(-1, 1, 1, 1, 1)
+                for d in (1, 2, 3))
+            if self.ng < 4:
+                raise ValueError(
+                    "Z4c on refined meshes needs nghost >= 4 (4th-order "
+                    "mixed-level prolongation; reference: "
+                    "prolongation.hpp:247-283)")
+            bvals.prolong_order = 4
+        else:
+            self.idx = (1.0 / ms.dx1, 1.0 / ms.dx2, 1.0 / ms.dx3)
+            self.idx5 = self.idx
         # dissipation scale (reference: z4c.cpp:158)
         self.diss = (self.opt.diss * 2.0 ** (-2.0 * self.ng)
                      * (-1.0 if self.ng % 2 == 0 else 1.0))
@@ -467,7 +483,7 @@ class Z4c:
         if self.diss != 0.0:
             dd = None
             for d in range(3):
-                t = fd.ko_diss(u, d, idx, ng)
+                t = fd.ko_diss(u, d, self.idx5, ng)
                 dd = t if dd is None else dd + t
             rhs = rhs + self.diss * dd
         return rhs
@@ -626,11 +642,18 @@ class Z4c:
     def dt_from_state(self, state):
         """dt = min cell size (unit light speed, reference:
         z4c_newdt.cpp:26-60)."""
-        ms = self.mesh.mesh_size
         mbi = self.mesh.mb_indcs
-        dt = ms.dx1
-        if mbi.nx2 > 1:
-            dt = min(dt, ms.dx2)
-        if mbi.nx3 > 1:
-            dt = min(dt, ms.dx3)
+        if self.multilevel:
+            dt = float(np.min(self.mesh.mb_size["dx1"]))
+            if mbi.nx2 > 1:
+                dt = min(dt, float(np.min(self.mesh.mb_size["dx2"])))
+            if mbi.nx3 > 1:
+                dt = min(dt, float(np.min(self.mesh.mb_size["dx3"])))
+        else:
+            ms = self.mesh.mesh_size
+            dt = ms.dx1
+            if mbi.nx2 > 1:
+                dt = min(dt, ms.dx2)
+            if mbi.nx3 > 1:
+                dt = min(dt, ms.dx3)
         return jnp.asarray(dt, dtype=state["u"].dtype)
