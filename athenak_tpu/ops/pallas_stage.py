@@ -267,20 +267,35 @@ def fused_stage3d(w, bcc, bfc, u0, u1, eos: EOSData,
     bd3 = jnp.asarray(beta_dt / dxs["x3"], dt).reshape(1, 1)
     k3 = _mk_x3_kernel(eos, dfloor, efloor)
 
+    # when TJ spans the whole axis, drop the j grid axis: Mosaic cannot
+    # prove 8 | j*TJ for non-multiple-of-8 TJ even though j is always 0
+    full_tj = (TJ == n2)
+
     def e_blk(ch, tk, koff):
+        if full_tj:
+            def imap4(m, k):
+                return (m, k * TK + koff, 0, 0)
+
+            def imap5(m, k):
+                return (m, 0, k * TK + koff, 0, 0)
+        else:
+            def imap4(m, k, j):
+                return (m, k * TK + koff, j * TJ, 0)
+
+            def imap5(m, k, j):
+                return (m, 0, k * TK + koff, j * TJ, 0)
         if ch is None:
             return pl.BlockSpec(
                 (pl.Element(1), pl.Element(tk), pl.Element(TJ),
                  pl.Element(n1)),
-                lambda m, k, j: (m, k * TK + koff, j * TJ, 0),
-                memory_space=pltpu.VMEM)
+                imap4, memory_space=pltpu.VMEM)
         return pl.BlockSpec(
             (pl.Element(1), pl.Element(ch), pl.Element(tk),
              pl.Element(TJ), pl.Element(n1)),
-            lambda m, k, j: (m, 0, k * TK + koff, j * TJ, 0),
-            memory_space=pltpu.VMEM)
+            imap5, memory_space=pltpu.VMEM)
 
-    grid3 = (nmb, (n3 - 4) // TK, n2 // TJ)
+    grid3 = (nmb, (n3 - 4) // TK) if full_tj \
+        else (nmb, (n3 - 4) // TK, n2 // TJ)
     acc, fd3, ey3, ez3 = pl.pallas_call(
         k3, grid=grid3,
         in_specs=[smem_spec(),

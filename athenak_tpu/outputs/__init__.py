@@ -657,3 +657,16 @@ class EventLogOutput(BaseOutput):
 
 
 _TYPES["log"] = EventLogOutput
+
+
+def _register_grid_outputs():
+    # deferred import: grids.py subclasses BinaryOutput defined above
+    from .grids import (CartesianGridOutput, CoarsenedBinaryOutput,
+                        PDFOutput, SphericalSurfaceOutput)
+    _TYPES["cbin"] = CoarsenedBinaryOutput
+    _TYPES["pdf"] = PDFOutput
+    _TYPES["cartgrid"] = CartesianGridOutput
+    _TYPES["sphsurf"] = SphericalSurfaceOutput
+
+
+_register_grid_outputs()
