@@ -142,7 +142,8 @@ def _x3_tile(n2: int, n1p: int) -> int:
 
 def supports_fused_stage(phys, mesh) -> bool:
     mbi = mesh.mb_indcs
-    tj = _x3_tile(mbi.ncells2, mbi.ncells1)
+    # lane-padded extent, matching the kernel's own tile choice
+    tj = _x3_tile(mbi.ncells2, -(-mbi.ncells1 // 128) * 128)
     return (len(phys.dirs) == 3
             and phys.recon_method == "plm" and phys.rsolver == "hlld"
             and phys.nscalars == 0 and phys.eos.is_ideal
@@ -312,3 +313,187 @@ def fused_stage3d(w, bcc, bfc, u0, u1, eos: EOSData,
            "e1x2": ey2, "e3x2": ez2,
            "e2x3": ey3, "e1x3": ez3}
     return acc, fden, emf
+
+
+# ===================================================================
+# Fused corner-EMF (Gardiner-Stone 2007) + constrained-transport update
+# ===================================================================
+def _ct_k(n3: int) -> int:
+    """Cell planes per CT grid step: largest divisor of the interior
+    depth among {8, 4, 2, 1} (bigger steps amortize the 2-plane window
+    overlap; VMEM stays modest since the kernel is elementwise)."""
+    for k in (8, 4, 2):
+        if (n3 - 4) % k == 0:
+            return k
+    return 1
+
+
+def supports_fused_ct(phys, mesh) -> bool:
+    """Gate for fused_ct3d: the same single-level Newtonian 3-D f32
+    envelope as the fused stage, plus no resistivity (corner_e would
+    append resistive EMFs, mhd.py _add_resist)."""
+    mbi = mesh.mb_indcs
+    return (len(phys.dirs) == 3
+            and not (phys.is_sr or phys.is_gr)
+            and not phys.multilevel
+            and phys.presist is None
+            and mbi.ng == 2)
+
+
+def _gs07(e_cc, cc_am, cc_bm, cc_mm, e_a, e_a_m, e_b, e_b_m,
+          f_a, f_a_m, f_b, f_b_m):
+    """Gardiner-Stone 07 corner EMF from 2 face pairs + 4 cell EMFs,
+    upwinded by the mass fluxes (mirrors mhd.py corner_e gs07)."""
+    l_b = jnp.where(f_a_m >= 0.0, e_b_m - cc_mm, e_b - cc_bm)
+    r_b = jnp.where(f_a >= 0.0, e_b_m - cc_am, e_b - e_cc)
+    l_a = jnp.where(f_b_m >= 0.0, e_a_m - cc_mm, e_a - cc_am)
+    r_a = jnp.where(f_b >= 0.0, e_a_m - cc_bm, e_a - e_cc)
+    return 0.25 * (l_b + r_b + l_a + r_a + e_b_m + e_b + e_a_m + e_a)
+
+
+def fused_ct3d(w, bcc, fden, emf, bfc, bfc_old, gam0: float, gam1: float,
+               beta_dt, dxs):
+    """Corner EMFs + CT face update in one pass: no edge-centered EMF
+    arrays round-trip HBM (reference: src/mhd/mhd_corner_e.cpp +
+    src/mhd/mhd_ct.cpp, fused).
+
+    Per grid step the kernel consumes a (KC+2)-plane x3 window of the
+    cell-centered inputs (w, bcc, fden, face EMFs), forms corner EMFs on
+    KC+1 planes, and writes KC planes of b1f/b2f plus KC+1 faces of b3f
+    (the face shared by adjacent steps is computed identically by both,
+    so the overlapping write is benign on the sequential TPU grid)."""
+    nmb, nv, n3, n2, n1 = w.shape
+    dt = w.dtype
+    KC = _ct_k(n3)
+    J, I = 0, 1  # axes of a 2-D (j, i) plane slab
+
+    bd = jnp.stack([beta_dt / dxs["x1"], beta_dt / dxs["x2"],
+                    beta_dt / dxs["x3"]]).astype(dt).reshape(1, 3)
+
+    def cwin(ch):
+        """(KC+2)-plane cell window starting at plane s*KC + 1."""
+        if ch is None:
+            return pl.BlockSpec(
+                (pl.Element(1), pl.Element(KC + 2), pl.Element(n2),
+                 pl.Element(n1)),
+                lambda m, s: (m, s * KC + 1, 0, 0),
+                memory_space=pltpu.VMEM)
+        return pl.BlockSpec(
+            (pl.Element(1), pl.Element(ch), pl.Element(KC + 2),
+             pl.Element(n2), pl.Element(n1)),
+            lambda m, s: (m, 0, s * KC + 1, 0, 0),
+            memory_space=pltpu.VMEM)
+
+    def owin(np_, off, nj=n2, ni=n1):
+        """np_-plane output/face window starting at plane s*KC + off.
+        Face-extended transverse axes (nj = n2+1 or ni = n1+1) must span
+        the full axis (Mosaic tiling rule); the kernel stores partially
+        and the stale extra face is ghost data refilled by the FC fill."""
+        return pl.BlockSpec(
+            (pl.Element(1), pl.Element(np_), pl.Element(nj),
+             pl.Element(ni)),
+            lambda m, s: (m, s * KC + off, 0, 0),
+            memory_space=pltpu.VMEM)
+
+    def kern(bd_ref, w_ref, bcc_ref, fd1_ref, fd2_ref, fd3_ref,
+             e3x1_ref, e2x1_ref, e1x2_ref, e3x2_ref, e2x3_ref, e1x3_ref,
+             b1c_ref, b2c_ref, b3c_ref, b1o_ref, b2o_ref, b3o_ref,
+             nb1_ref, nb2_ref, nb3_ref):
+        bdx, bdy, bdz = bd_ref[0, 0], bd_ref[0, 1], bd_ref[0, 2]
+        vx = w_ref[0, 1]
+        vy = w_ref[0, 2]
+        vz = w_ref[0, 3]
+        bx = bcc_ref[0, 0]
+        by = bcc_ref[0, 1]
+        bz = bcc_ref[0, 2]
+        e1cc = vz * by - vy * bz
+        e2cc = vx * bz - vz * bx
+        e3cc = vy * bx - vx * by
+        fd1 = fd1_ref[0]
+        fd2 = fd2_ref[0]
+        fd3 = fd3_ref[0]
+
+        e1 = [None] * (KC + 2)
+        e2 = [None] * (KC + 2)
+        e3 = [None] * (KC + 2)
+        for t in range(1, KC + 2):
+            # E3 along x3: faces e3x1/e3x2, corner in the (x1, x2) plane
+            cc = e3cc[t]
+            e3[t] = _gs07(
+                cc, _roll(cc, -1, I), _roll(cc, -1, J),
+                _roll(_roll(cc, -1, I), -1, J),
+                e3x1_ref[0][t], _roll(e3x1_ref[0][t], -1, J),
+                e3x2_ref[0][t], _roll(e3x2_ref[0][t], -1, I),
+                fd1[t], _roll(fd1[t], -1, J),
+                fd2[t], _roll(fd2[t], -1, I))
+            # E1 along x1: faces e1x2/e1x3, corner in the (x2, x3) plane
+            cc = e1cc[t]
+            e1[t] = _gs07(
+                cc, _roll(cc, -1, J), e1cc[t - 1],
+                _roll(e1cc[t - 1], -1, J),
+                e1x2_ref[0][t], e1x2_ref[0][t - 1],
+                e1x3_ref[0][t], _roll(e1x3_ref[0][t], -1, J),
+                fd2[t], fd2[t - 1],
+                fd3[t], _roll(fd3[t], -1, J))
+            # E2 along x2: faces e2x3/e2x1, corner in the (x3, x1) plane
+            cc = e2cc[t]
+            e2[t] = _gs07(
+                cc, e2cc[t - 1], _roll(cc, -1, I),
+                _roll(e2cc[t - 1], -1, I),
+                e2x3_ref[0][t], _roll(e2x3_ref[0][t], -1, I),
+                e2x1_ref[0][t], e2x1_ref[0][t - 1],
+                fd3[t], _roll(fd3[t], -1, I),
+                fd1[t], fd1[t - 1])
+
+        # partial stores: the face-extended lane/sublane (index n1 / n2)
+        # stays stale — it is ghost data, rewritten by fill_ghosts_fc
+        for t in range(1, KC + 1):
+            q = t - 1
+            nb1_ref[0, q, :, :n1] = (
+                gam0 * b1c_ref[0, q, :, :n1] + gam1 * b1o_ref[0, q, :, :n1]
+                - bdy * (_roll(e3[t], 1, J) - e3[t])
+                + bdz * (e2[t + 1] - e2[t]))
+            nb2_ref[0, q, :n2, :] = (
+                gam0 * b2c_ref[0, q, :n2, :] + gam1 * b2o_ref[0, q, :n2, :]
+                + bdx * (_roll(e3[t], 1, I) - e3[t])
+                - bdz * (e1[t + 1] - e1[t]))
+        for t in range(1, KC + 2):
+            q = t - 1
+            nb3_ref[0, q] = (gam0 * b3c_ref[0, q] + gam1 * b3o_ref[0, q]
+                             - bdx * (_roll(e2[t], 1, I) - e2[t])
+                             + bdy * (_roll(e1[t], 1, J) - e1[t]))
+
+    grid = (nmb, (n3 - 4) // KC)
+    smem = pl.BlockSpec((1, 3), lambda *a: (0, 0),
+                        memory_space=pltpu.SMEM)
+    nb1, nb2, nb3 = pl.pallas_call(
+        kern, grid=grid,
+        in_specs=[smem,
+                  cwin(nv), cwin(3),                      # w, bcc
+                  cwin(None), cwin(None), cwin(None),     # fden x1/x2/x3
+                  cwin(None), cwin(None),                 # e3x1, e2x1
+                  cwin(None), cwin(None),                 # e1x2, e3x2
+                  cwin(None), cwin(None),                 # e2x3, e1x3
+                  owin(KC, 2, ni=n1 + 1), owin(KC, 2, nj=n2 + 1),
+                  owin(KC + 1, 2),
+                  owin(KC, 2, ni=n1 + 1), owin(KC, 2, nj=n2 + 1),
+                  owin(KC + 1, 2)],
+        out_specs=(owin(KC, 2, ni=n1 + 1), owin(KC, 2, nj=n2 + 1),
+                   owin(KC + 1, 2)),
+        out_shape=(jax.ShapeDtypeStruct(bfc["x1f"].shape, dt),
+                   jax.ShapeDtypeStruct(bfc["x2f"].shape, dt),
+                   jax.ShapeDtypeStruct(bfc["x3f"].shape, dt)),
+        # b1/b2 windows are disjoint across steps, so aliasing is safe;
+        # b3 face windows OVERLAP (stride KC, size KC+1) while gam0*b3c
+        # reads the same faces — aliasing it would let step s+1 read the
+        # face step s just wrote.  b3 gets a fresh buffer; its ghost
+        # faces (never written) are healed by fill_ghosts_fc.
+        input_output_aliases={12: 0, 13: 1},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(bd, w, bcc, fden["x1"], fden["x2"], fden["x3"],
+      emf["e3x1"], emf["e2x1"], emf["e1x2"], emf["e3x2"],
+      emf["e2x3"], emf["e1x3"],
+      bfc["x1f"], bfc["x2f"], bfc["x3f"],
+      bfc_old["x1f"], bfc_old["x2f"], bfc_old["x3f"])
+    return {"x1f": nb1, "x2f": nb2, "x3f": nb3}

@@ -209,10 +209,16 @@ class MHD:
         # fully-fused stage path (ops/pallas_stage.py): gated on the exact
         # configuration the kernels cover; falls back to the per-direction
         # pallas/jnp paths otherwise
-        from ..ops.pallas_stage import supports_fused_stage
+        from ..ops.pallas_stage import (supports_fused_ct,
+                                        supports_fused_stage)
         self.use_fused_stage = (self.use_pallas
                                 and self.psbox is None
                                 and supports_fused_stage(self, mesh))
+        # fused corner-EMF + CT kernel: a wider gate than the fused stage
+        # (any reconstruction/solver), since it only consumes face EMFs
+        self.use_fused_ct = (self.use_pallas
+                             and self.psbox is None
+                             and supports_fused_ct(self, mesh))
 
         if self.multilevel:
             blockers = {
@@ -1481,9 +1487,14 @@ class MHD:
                 gam0, gam1, beta_dt, dxs)
             if self.srcterms_func is not None:
                 u = self.srcterms_func(u, w, beta_dt)
-            e1, e2, e3 = self.corner_e(w, bcc, fden, emf, bfc=bfc)
-            bfc = self.ct_update(bfc, saved["bfc1"], e1, e2, e3,
-                                 gam0, gam1, beta_dt)
+            if self.use_fused_ct:
+                from ..ops.pallas_stage import fused_ct3d
+                bfc = fused_ct3d(w, bcc, fden, emf, bfc, saved["bfc1"],
+                                 gam0, gam1, beta_dt, dxs)
+            else:
+                e1, e2, e3 = self.corner_e(w, bcc, fden, emf, bfc=bfc)
+                bfc = self.ct_update(bfc, saved["bfc1"], e1, e2, e3,
+                                     gam0, gam1, beta_dt)
             u = self.bvals.fill_ghosts(u)
             bfc = self.fill_ghosts_fc(bfc)
             bcc = self.compute_bcc(bfc)
@@ -1512,12 +1523,19 @@ class MHD:
                                      len(self.dirs) == 3, bcc=bcc)
         if self.srcterms_func is not None:
             u = self.srcterms_func(u, w, beta_dt)
-        e1, e2, e3 = self.corner_e(
-            w, bcc, {n: flx[n][:, IDN] for n in flx}, emf, bfc=bfc)
-        if self.multilevel:
-            e1, e2, e3 = self._emf_correct(e1, e2, e3)
-        bfc = self.ct_update(bfc, saved["bfc1"], e1, e2, e3,
-                             gam0, gam1, beta_dt)
+        if self.use_fused_ct:
+            from ..ops.pallas_stage import fused_ct3d
+            bfc = fused_ct3d(w, bcc, {n: flx[n][:, IDN] for n in flx},
+                             emf, bfc, saved["bfc1"], gam0, gam1,
+                             beta_dt, {n: dx for n, _a, _i, dx
+                                       in self.dirs})
+        else:
+            e1, e2, e3 = self.corner_e(
+                w, bcc, {n: flx[n][:, IDN] for n in flx}, emf, bfc=bfc)
+            if self.multilevel:
+                e1, e2, e3 = self._emf_correct(e1, e2, e3)
+            bfc = self.ct_update(bfc, saved["bfc1"], e1, e2, e3,
+                                 gam0, gam1, beta_dt)
         u = self.bvals.fill_ghosts(u)
         bfc = self.fill_ghosts_fc(bfc)
         if self.psbox is not None:
