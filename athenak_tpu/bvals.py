@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Dict, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -71,6 +72,20 @@ class BoundaryValues:
         # (Lagrange; required by Z4c/dyngr on refined meshes, reference:
         # prolongation.hpp HighOrderProlongCC)
         self.prolong_order = 2
+        # single-block fully-periodic 3-D fast path: the whole fill is
+        # one Pallas pass (ops/pallas_fill.py) on TPU f32 arrays
+        try:
+            on_tpu = any(d.platform == "tpu" for d in jax.devices())
+        except Exception:
+            on_tpu = False
+        self.use_pallas_fill = (
+            on_tpu
+            and mesh.nmb_total == 1
+            and not self.multilevel
+            and len(self.active_axes) == 3
+            and self.ng == 2
+            and not any(self.any_phys.values())
+            and all(f == "periodic" for f in self.flag.values()))
 
     # ------------------------------------------------------------------
     def _exchange(self, slab, key: str):
@@ -98,6 +113,12 @@ class BoundaryValues:
         The normal-velocity channel for reflect/diode BCs is taken from the
         conserved/primitive index convention (IVX/IVY/IVZ == IM1/IM2/IM3).
         """
+        if self.use_pallas_fill and u.dtype == jnp.float32:
+            from .ops.pallas_fill import periodic_fill_cc
+            u = periodic_fill_cc(u)
+            if self.user_bc_func is not None:
+                u = self.user_bc_func(u, self)
+            return u
         # Mixed-level meshes run the sweeps twice: round 1 establishes
         # face ghosts everywhere, round 2 re-restricts/re-prolongates with
         # donors whose own ghosts are now valid, completing edge ghosts

@@ -1004,6 +1004,10 @@ class MHD:
         bv = self.bvals
         mbi = self.mesh.mb_indcs
         ng = mbi.ng
+        if bv.use_pallas_fill \
+                and bfc["x1f"].dtype == jnp.float32:
+            from ..ops.pallas_fill import periodic_fill_fc
+            return periodic_fill_fc(bfc)
 
         # mixed-level meshes sweep twice, like the CC exchange
         for _ in range(2 if self.multilevel else 1):
