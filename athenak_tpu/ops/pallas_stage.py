@@ -497,3 +497,339 @@ def fused_ct3d(w, bcc, fden, emf, bfc, bfc_old, gam0: float, gam1: float,
       bfc["x1f"], bfc["x2f"], bfc["x3f"],
       bfc_old["x1f"], bfc_old["x2f"], bfc_old["x3f"])
     return {"x1f": nb1, "x2f": nb2, "x3f": nb3}
+
+
+# ===================================================================
+# Megakernel: recon + HLLD + RK accumulation + corner EMF + CT in ONE
+# pallas pass — no flux, face-EMF, or edge-EMF arrays touch HBM.
+# ===================================================================
+def _mega_k(n3: int) -> int:
+    """Cell planes per megakernel grid step: the kernel is VPU-bound,
+    so pick the largest divisor of the interior depth (bounded by the
+    HLLD live-set fitting VMEM) to minimize the (K+2)/K redundant
+    x1/x2 flux compute at window seams."""
+    best = 1
+    for k in range(2, 7):   # K+2 > 8 planes of HLLD live-set blows the
+        if (n3 - 4) % k == 0:   # 128MB VMEM (measured: ~14MB/plane)
+            best = k
+    return best
+
+
+def supports_mega_stage(phys, mesh) -> bool:
+    """Gate for the single-pass stage megakernel: Newtonian ideal
+    PLM+HLLD, 3-D, uniform mesh, no extra physics.  Unlike the split
+    fused stage it has no transverse-tile shape constraints."""
+    mbi = mesh.mb_indcs
+    return (len(phys.dirs) == 3
+            and phys.recon_method == "plm" and phys.rsolver == "hlld"
+            and phys.nscalars == 0 and phys.eos.is_ideal
+            and not (phys.is_sr or phys.is_gr)
+            and not phys.multilevel
+            and not phys.use_fofc and phys.fofc_excise_mask is None
+            and phys.srcterms is None and phys.pgrav is None
+            and phys.pvisc is None and phys.presist is None
+            and phys.pcond is None
+            and mbi.ng == 2)
+
+
+def fused_mega_stage3d(w, bcc, bfc, u0, u1, bfc_old, eos: EOSData,
+                       gam0: float, gam1: float, beta_dt, dxs):
+    """One RK stage of 3-D Newtonian MHD in a single Pallas pass.
+
+    Replaces fused_stage3d + fused_ct3d (reference task chain
+    mhd_fluxes.cpp -> mhd_update.cpp -> mhd_corner_e.cpp -> mhd_ct.cpp)
+    with one sweep over x3 plane windows: per step, PLM+HLLD in all
+    three directions on a (K+4)-plane window, the flux-divergence RK
+    update for K cell planes, GS07 corner EMFs on K+1 planes, and the
+    CT curl update of all three face fields.  Per-stage HBM traffic is
+    one read of (w, bcc, bfc, u0, u1, bfc_old) and one write of
+    (u', bfc') — nothing else.
+
+    Returns (u_new, bfc_new).  Ghost planes of every output are stale
+    and must be refilled (fill_ghosts / fill_ghosts_fc) before use.
+    """
+    from ..indices import IVY, IVZ
+
+    nmb, nv, n3, n2, n1 = w.shape
+    dt = w.dtype
+    K = _mega_k(n3)
+    dfloor = eos.dfloor
+    efloor = eos.pfloor / (eos.gamma - 1.0) if eos.is_ideal else 0.0
+    J, I = 0, 1  # in-plane axes of a 2-D (j, i) slab
+
+    bd = jnp.stack([beta_dt / dxs["x1"], beta_dt / dxs["x2"],
+                    beta_dt / dxs["x3"]]).astype(dt).reshape(1, 3)
+
+    def win(ch, planes, off, nj=n2, ni=n1):
+        if ch is None:
+            return pl.BlockSpec(
+                (pl.Element(1), pl.Element(planes), pl.Element(nj),
+                 pl.Element(ni)),
+                lambda m, s: (m, s * K + off, 0, 0),
+                memory_space=pltpu.VMEM)
+        return pl.BlockSpec(
+            (pl.Element(1), pl.Element(ch), pl.Element(planes),
+             pl.Element(nj), pl.Element(ni)),
+            lambda m, s: (m, 0, s * K + off, 0, 0),
+            memory_space=pltpu.VMEM)
+
+    def kern(bd_ref, w_ref, bcc_ref, b1_ref, b2_ref, b3_ref,
+             u0_ref, u1_ref, b1o_ref, b2o_ref, b3o_ref,
+             acc_ref, nb1_ref, nb2_ref, nb3_ref):
+        bdx, bdy, bdz = bd_ref[0, 0], bd_ref[0, 1], bd_ref[0, 2]
+        ww = w_ref[0]       # [5, K+4, n2, n1]  planes c0-2 .. c0+K+1
+        bb = bcc_ref[0]     # [3, K+4, n2, n1]
+
+        # ---- x1 / x2 fluxes+EMFs on local planes 1..K+2 (K+2 planes)
+        wmid = ww[:, 1:K + 3]
+        bmid = bb[:, 1:K + 3]
+
+        wl, wr = _plm(wmid, 3)
+        bl, br = _plm(bmid, 3)
+        wl = _floors(wl, eos, dfloor, efloor)
+        wr = _floors(wr, eos, dfloor, efloor)
+        bx1 = b1_ref[0, :, :, :n1]
+        f1, e3x1, e2x1 = rsolvers_mhd.hlld(wl, wr, bl, br, bx1, eos, 1)
+        fd1 = f1[IDN]
+
+        wl, wr = _plm(wmid, 2)
+        bl, br = _plm(bmid, 2)
+        wl = _floors(wl, eos, dfloor, efloor)
+        wr = _floors(wr, eos, dfloor, efloor)
+        bx2 = b2_ref[0, :, :n2, :]
+        f2, e1x2, e3x2 = rsolvers_mhd.hlld(wl, wr, bl, br, bx2, eos, IVY)
+        fd2 = f2[IDN]
+
+        # ---- x3 fluxes+EMFs on faces local q = 0..K (face c0+q)
+        dql = ww[:, 1:K + 3] - ww[:, 0:K + 2]
+        dqr = ww[:, 2:K + 4] - ww[:, 1:K + 3]
+        dq2 = dql * dqr
+        dqm = jnp.where(dq2 <= 0.0, jnp.zeros_like(dql), dq2 / (dql + dqr))
+        wl = _floors(ww[:, 1:K + 2] + dqm[:, 0:K + 1], eos, dfloor, efloor)
+        wr = _floors(ww[:, 2:K + 3] - dqm[:, 1:K + 2], eos, dfloor, efloor)
+        dql = bb[:, 1:K + 3] - bb[:, 0:K + 2]
+        dqr = bb[:, 2:K + 4] - bb[:, 1:K + 3]
+        dq2 = dql * dqr
+        dqm = jnp.where(dq2 <= 0.0, jnp.zeros_like(dql), dq2 / (dql + dqr))
+        bl = bb[:, 1:K + 2] + dqm[:, 0:K + 1]
+        br = bb[:, 2:K + 3] - dqm[:, 1:K + 2]
+        bx3 = b3_ref[0]     # [K+1, n2, n1] faces c0 .. c0+K
+        f3, e2x3, e1x3 = rsolvers_mhd.hlld(wl, wr, bl, br, bx3, eos, IVZ)
+        fd3 = f3[IDN]
+
+        # ---- RK update of cell planes c0..c0+K-1 (x1/x2 local 1..K)
+        df1 = _roll(f1, 1, 3) - f1
+        df2 = _roll(f2, 1, 2) - f2
+        acc_ref[0] = (gam0 * u0_ref[0] + gam1 * u1_ref[0]
+                      - bdx * df1[:, 1:K + 1] - bdy * df2[:, 1:K + 1]
+                      - bdz * (f3[:, 1:K + 1] - f3[:, 0:K]))
+
+        # ---- corner EMFs on planes c0..c0+K (x1/x2 local a=1..K+1,
+        # x3 face local q=a-1; cell window local t2=a+1)
+        vx, vy, vz = ww[1], ww[2], ww[3]
+        bxc, byc, bzc = bb[0], bb[1], bb[2]
+        e1cc = vz * byc - vy * bzc
+        e2cc = vx * bzc - vz * bxc
+        e3cc = vy * bxc - vx * byc
+        e1 = [None] * (K + 2)
+        e2 = [None] * (K + 2)
+        e3 = [None] * (K + 2)
+        for a in range(1, K + 2):
+            q = a - 1
+            t2 = a + 1
+            cc = e3cc[t2]
+            e3[a] = _gs07(
+                cc, _roll(cc, -1, I), _roll(cc, -1, J),
+                _roll(_roll(cc, -1, I), -1, J),
+                e3x1[a], _roll(e3x1[a], -1, J),
+                e3x2[a], _roll(e3x2[a], -1, I),
+                fd1[a], _roll(fd1[a], -1, J),
+                fd2[a], _roll(fd2[a], -1, I))
+            cc = e1cc[t2]
+            e1[a] = _gs07(
+                cc, _roll(cc, -1, J), e1cc[t2 - 1],
+                _roll(e1cc[t2 - 1], -1, J),
+                e1x2[a], e1x2[a - 1],
+                e1x3[q], _roll(e1x3[q], -1, J),
+                fd2[a], fd2[a - 1],
+                fd3[q], _roll(fd3[q], -1, J))
+            cc = e2cc[t2]
+            e2[a] = _gs07(
+                cc, e2cc[t2 - 1], _roll(cc, -1, I),
+                _roll(e2cc[t2 - 1], -1, I),
+                e2x3[q], _roll(e2x3[q], -1, I),
+                e2x1[a], e2x1[a - 1],
+                fd3[q], _roll(fd3[q], -1, I),
+                fd1[a], fd1[a - 1])
+
+        # ---- CT (see fused_ct3d for the overlap/aliasing rules)
+        for a in range(1, K + 1):
+            q = a - 1
+            nb1_ref[0, q, :, :n1] = (
+                gam0 * b1_ref[0, a, :, :n1]
+                + gam1 * b1o_ref[0, q, :, :n1]
+                - bdy * (_roll(e3[a], 1, J) - e3[a])
+                + bdz * (e2[a + 1] - e2[a]))
+            nb2_ref[0, q, :n2, :] = (
+                gam0 * b2_ref[0, a, :n2, :]
+                + gam1 * b2o_ref[0, q, :n2, :]
+                + bdx * (_roll(e3[a], 1, I) - e3[a])
+                - bdz * (e1[a + 1] - e1[a]))
+        for a in range(1, K + 2):
+            q = a - 1
+            nb3_ref[0, q] = (gam0 * b3_ref[0, q]
+                             + gam1 * b3o_ref[0, q]
+                             - bdx * (_roll(e2[a], 1, I) - e2[a])
+                             + bdy * (_roll(e1[a], 1, J) - e1[a]))
+
+    grid = (nmb, (n3 - 4) // K)
+    smem = pl.BlockSpec((1, 3), lambda *a: (0, 0),
+                        memory_space=pltpu.SMEM)
+    acc, nb1, nb2, nb3 = pl.pallas_call(
+        kern, grid=grid,
+        in_specs=[smem,
+                  win(nv, K + 4, 0), win(3, K + 4, 0),         # w, bcc
+                  win(None, K + 2, 1, ni=n1 + 1),              # b1f
+                  win(None, K + 2, 1, nj=n2 + 1),              # b2f
+                  win(None, K + 1, 2),                         # b3f
+                  win(nv, K, 2), win(nv, K, 2),                # u0, u1
+                  win(None, K, 2, ni=n1 + 1),                  # b1 old
+                  win(None, K, 2, nj=n2 + 1),                  # b2 old
+                  win(None, K + 1, 2)],                        # b3 old
+        out_specs=(win(nv, K, 2),
+                   win(None, K, 2, ni=n1 + 1),
+                   win(None, K, 2, nj=n2 + 1),
+                   win(None, K + 1, 2)),
+        out_shape=(jax.ShapeDtypeStruct(u0.shape, dt),
+                   jax.ShapeDtypeStruct(bfc["x1f"].shape, dt),
+                   jax.ShapeDtypeStruct(bfc["x2f"].shape, dt),
+                   jax.ShapeDtypeStruct(bfc["x3f"].shape, dt)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(bd, w, bcc, bfc["x1f"], bfc["x2f"], bfc["x3f"], u0, u1,
+      bfc_old["x1f"], bfc_old["x2f"], bfc_old["x3f"])
+    return acc, {"x1f": nb1, "x2f": nb2, "x3f": nb3}
+
+
+# ===================================================================
+# Post-stage aux kernel: bcc + cons_to_prim + periodic CC fill fused
+# ===================================================================
+def fused_aux3d(u, bfc, eos: EOSData):
+    """compute_bcc + Newtonian ideal-MHD c2p + the single-block periodic
+    CC ghost fill of (u, w, bcc) in one bulk pass (reference chain:
+    mhd.cpp bcc0 + ideal_c2p_mhd.hpp + the periodic BC copies).
+
+    ``bfc`` must already be ghost-filled, which makes the face-averaged
+    bcc valid at every cell including ghosts; in-plane (x1/x2) ghosts
+    are wrapped in-register.  The four x3 ghost PLANES come out stale:
+    w's are healed by one plane-axis concatenate (the only consumer of
+    CC ghost planes on the fast path is the next stage's w window); u's
+    ghost planes stay stale by design — the megakernel reads u0/u1 at
+    interior planes only.  Floor counters are accumulated over interior
+    cells.  Returns (u_fixed, w, bcc, counters)."""
+    from .pallas_fill import _wrap_plane
+
+    nmb, nv, n3, n2, n1 = u.shape
+    dt = u.dtype
+    gm1 = eos.gamma - 1.0
+    efloor = eos.pfloor / gm1
+    # plane-group size: bounded by scoped VMEM (13 output channels
+    # x KP planes live, double-buffered; 16 overflows at 128^2 planes)
+    KP = 8 if n2 * n1 >= 96 * 96 else 16
+    while n3 % KP:
+        KP //= 2
+
+    def kern(u_ref, b1_ref, b2_ref, b3_ref,
+             u_out, w_out, bcc_out, cnt_ref):
+        s = pl.program_id(1)
+
+        @pl.when(jnp.logical_and(s == 0, pl.program_id(0) == 0))
+        def _init():
+            cnt_ref[0, 0] = 0.0
+            cnt_ref[0, 1] = 0.0
+            cnt_ref[0, 2] = 0.0
+
+        uu = u_ref[0]                       # [5, KP, n2, n1]
+        bx = 0.5 * (b1_ref[0, :, :, :n1] + b1_ref[0, :, :, 1:])
+        by = 0.5 * (b2_ref[0, :, :n2, :] + b2_ref[0, :, 1:, :])
+        bz = 0.5 * (b3_ref[0, 0:KP] + b3_ref[0, 1:KP + 1])
+
+        d, mx, my, mz, etot = uu[0], uu[1], uu[2], uu[3], uu[4]
+        b2 = bx * bx + by * by + bz * bz
+        dfl = jnp.maximum(eos.dfloor, b2 / eos.sigma_max)
+        dfloor_used = d < dfl
+        d = jnp.maximum(d, dfl)
+        di = 1.0 / d
+        vx, vy, vz = di * mx, di * my, di * mz
+        e_k = 0.5 * di * (mx * mx + my * my + mz * mz)
+        e_m = 0.5 * b2
+        e = etot - e_k - e_m
+        efloor_used = e < efloor
+        e = jnp.maximum(e, efloor)
+        tfloor_used = gm1 * e * di < eos.tfloor
+        e = jnp.where(tfloor_used, d * eos.tfloor / gm1, e)
+        spe = gm1 / jnp.power(d, gm1)
+        sfloor_used = spe * e * di <= eos.sfloor
+        e = jnp.where(sfloor_used, d * eos.sfloor / spe, e)
+        etot_fixed = jnp.where(efloor_used | tfloor_used | sfloor_used,
+                               e + e_k + e_m, etot)
+
+        # interior mask (counters exclude ghosts; stale ghost planes
+        # would otherwise contribute garbage counts)
+        shp = d.shape
+        kk = jax.lax.broadcasted_iota(jnp.int32, shp, 0) + s * KP
+        jj = jax.lax.broadcasted_iota(jnp.int32, shp, 1)
+        ii = jax.lax.broadcasted_iota(jnp.int32, shp, 2)
+        interior = ((kk >= 2) & (kk < n3 - 2) & (jj >= 2)
+                    & (jj < n2 - 2) & (ii >= 2) & (ii < n1 - 2))
+
+        def count(m):
+            return jnp.sum((m & interior).astype(jnp.float32))
+
+        cnt_ref[0, 0] += count(dfloor_used)
+        cnt_ref[0, 1] += count(efloor_used | sfloor_used)
+        cnt_ref[0, 2] += count(tfloor_used)
+
+        ni2, ni1 = n2 - 4, n1 - 4
+        u_out[0] = _wrap_plane(
+            jnp.stack([d, mx, my, mz, etot_fixed]), ni2, ni1)
+        w_out[0] = _wrap_plane(
+            jnp.stack([d, vx, vy, vz, e]), ni2, ni1)
+        bcc_out[0] = _wrap_plane(jnp.stack([bx, by, bz]), ni2, ni1)
+
+    def cwin(ch):
+        return pl.BlockSpec(
+            (1, ch, KP, n2, n1), lambda m, s: (m, 0, s, 0, 0),
+            memory_space=pltpu.VMEM)
+
+    def fwin(planes, nj=n2, ni=n1):
+        return pl.BlockSpec(
+            (pl.Element(1), pl.Element(planes), pl.Element(nj),
+             pl.Element(ni)),
+            lambda m, s: (m, s * KP, 0, 0),
+            memory_space=pltpu.VMEM)
+
+    u_fixed, w, bcc, cnt = pl.pallas_call(
+        kern, grid=(nmb, n3 // KP),
+        in_specs=[cwin(nv),
+                  fwin(KP, ni=n1 + 1), fwin(KP, nj=n2 + 1),
+                  fwin(KP + 1)],
+        out_specs=(cwin(nv), cwin(nv), cwin(3),
+                   pl.BlockSpec((1, 3), lambda *a: (0, 0),
+                                memory_space=pltpu.SMEM)),
+        out_shape=(jax.ShapeDtypeStruct(u.shape, dt),
+                   jax.ShapeDtypeStruct(u.shape, dt),
+                   jax.ShapeDtypeStruct((nmb, 3, n3, n2, n1), dt),
+                   jax.ShapeDtypeStruct((1, 3), jnp.float32)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(u, bfc["x1f"], bfc["x2f"], bfc["x3f"])
+
+    # heal w's x3 ghost planes (periodic wrap) with one concatenate
+    w = jnp.concatenate([w[:, :, n3 - 4:n3 - 2], w[:, :, 2:n3 - 2],
+                         w[:, :, 2:4]], axis=2)
+
+    counters = {"neos_dfloor": cnt[0, 0].astype(jnp.int32),
+                "neos_efloor": cnt[0, 1].astype(jnp.int32),
+                "neos_tfloor": cnt[0, 2].astype(jnp.int32)}
+    return u_fixed, w, bcc, counters

@@ -219,6 +219,11 @@ class MHD:
         self.use_fused_ct = (self.use_pallas
                              and self.psbox is None
                              and supports_fused_ct(self, mesh))
+        # single-kernel stage (recon+HLLD+RK+corner EMF+CT in one pass)
+        from ..ops.pallas_stage import supports_mega_stage
+        self.use_mega_stage = (self.use_pallas
+                               and self.psbox is None
+                               and supports_mega_stage(self, mesh))
 
         if self.multilevel:
             blockers = {
@@ -1481,6 +1486,30 @@ class MHD:
     def stage_update(self, state, saved, gam0, gam1, beta_dt):
         """One RK stage (reference task chain mhd_tasks.cpp:48-81)."""
         u, w, bfc, bcc = state["u"], state["w"], state["bfc"], state["bcc"]
+        if self.use_mega_stage:
+            # whole stage in ONE pallas pass (ops/pallas_stage.py
+            # fused_mega_stage3d): flux, face-EMF, and edge-EMF arrays
+            # never touch HBM
+            from ..ops.pallas_stage import fused_mega_stage3d
+            dxs = {n: dx for n, _a, _i, dx in self.dirs}
+            u, bfc = fused_mega_stage3d(
+                w, bcc, bfc, u, saved["u1"], saved["bfc1"], self.eos,
+                gam0, gam1, beta_dt, dxs)
+            if self.srcterms_func is not None:
+                u = self.srcterms_func(u, w, beta_dt)
+            bfc = self.fill_ghosts_fc(bfc)
+            if self.bvals.use_pallas_fill \
+                    and self.bvals.user_bc_func is None:
+                # bcc + c2p + periodic CC fill in one pallas pass
+                from ..ops.pallas_stage import fused_aux3d
+                u, w, bcc, counters = fused_aux3d(u, bfc, self.eos)
+            else:
+                u = self.bvals.fill_ghosts(u)
+                bcc = self.compute_bcc(bfc)
+                w, u, counters = self.cons_to_prim(u, bcc)
+            out = dict(state)
+            out.update({"u": u, "w": w, "bfc": bfc, "bcc": bcc})
+            return out, counters
         if self.use_fused_stage:
             # fully-fused recon+HLLD+RK path (ops/pallas_stage.py): the
             # 5-channel flux arrays never round-trip HBM
