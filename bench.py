@@ -9,7 +9,7 @@ Honest timing: cycles run as one on-device lax.scan per window and the
 clock stops on a *value fetch* (jax.block_until_ready returns early on
 the tunneled axon backend, so fetch-based sync is the only reliable
 barrier).  Reports the hero single-block number plus a multi-block
-configuration (8 x 62^3) that exercises the block-gather halo path.
+configuration (8 x 60^3) that exercises the block halo-exchange path.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -121,7 +121,9 @@ def main() -> int:
     if os.environ.get("BENCH_MULTIBLOCK", "1") != "0":
         try:
             mb_zcps = run_config(120, 60, max(ncycles // 2, 5), 1)
-        except Exception:
+        except Exception as e:
+            print(f"multi-block bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
             mb_zcps = None
 
     out = {
