@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .comm import gather_blocks, local_blocks
 from .indices import IVX, IVY, IVZ
 from .mesh import Mesh
 
@@ -95,16 +96,12 @@ class BoundaryValues:
         a ``use_comm(ShardComm(...))`` region (parallel/shard_comm.py) this
         becomes the explicit per-peer ppermute exchange — the rank-packed
         MPI analogue (reference: src/bvals/bvals_cc.cpp:42-255)."""
-        from .comm import current_comm
-        c = current_comm()
-        if c is None:
-            return jnp.take(slab, self.nbr[key], axis=0)
-        return c.exchange(slab, key)
+        from .comm import gather_blocks
+        return gather_blocks(slab, self.nbr[key])
 
     def _local_mask(self, key: str):
-        from .comm import current_comm
-        c = current_comm()
-        return self.mask[key] if c is None else c.local_mask(key)
+        from .comm import local_blocks
+        return local_blocks(self.mask[key])
 
     # ------------------------------------------------------------------
     def fill_ghosts(self, u):
@@ -183,9 +180,10 @@ class BoundaryValues:
                         region = tuple(region)
                         drg = [slice(None)] * 5
                         drg[a1], drg[a2] = dn1, dn2
-                        donor = jnp.take(u[tuple(drg)], t["same_gid"],
-                                         axis=0)
-                        mb = t["same_mask"].reshape((-1,) + (1,) * 4)
+                        donor = gather_blocks(u[tuple(drg)],
+                                              t["same_gid"])
+                        mb = local_blocks(
+                            t["same_mask"]).reshape((-1,) + (1,) * 4)
                         u = u.at[region].set(
                             jnp.where(mb, donor, u[region]))
                     if t.get("any"):
@@ -195,8 +193,8 @@ class BoundaryValues:
                         if rest:
                             caxes.append(_AXIS_OF[rest[0]] - 5)
                         parts = [restrict_cc(
-                            jnp.take(u[tuple(drg)], t["fine"][:, q],
-                                     axis=0), caxes)
+                            gather_blocks(u[tuple(drg)], t["fine"][:, q]),
+                            caxes)
                             for q in range(t["fine"].shape[1])]
                         region = [slice(None)] * 5
                         region[a1], region[a2] = my1, my2
@@ -217,7 +215,8 @@ class BoundaryValues:
                         else:
                             assembled = parts[0]
                         region = tuple(region)
-                        mb = t["mask"].reshape((-1,) + (1,) * 4)
+                        mb = local_blocks(
+                            t["mask"]).reshape((-1,) + (1,) * 4)
                         u = u.at[region].set(
                             jnp.where(mb, assembled, u[region]))
         if three_d:
@@ -242,19 +241,21 @@ class BoundaryValues:
                         if t["any_same"]:
                             drg = [slice(None)] * 5
                             drg[a1], drg[a2], drg[a3] = dn1, dn2, dn3
-                            donor = jnp.take(u[tuple(drg)],
-                                             t["same_gid"], axis=0)
-                            mb = t["same_mask"].reshape((-1,) + (1,) * 4)
+                            donor = gather_blocks(u[tuple(drg)],
+                                                  t["same_gid"])
+                            mb = local_blocks(
+                                t["same_mask"]).reshape((-1,) + (1,) * 4)
                             u = u.at[region].set(
                                 jnp.where(mb, donor, u[region]))
                         if t["any_fine"]:
                             drg = [slice(None)] * 5
                             drg[a1], drg[a2], drg[a3] = fn1, fn2, fn3
                             donor = restrict_cc(
-                                jnp.take(u[tuple(drg)], t["fine_gid"],
-                                         axis=0),
+                                gather_blocks(u[tuple(drg)],
+                                              t["fine_gid"]),
                                 [a1 - 5, a2 - 5, a3 - 5])
-                            mb = t["fine_mask"].reshape((-1,) + (1,) * 4)
+                            mb = local_blocks(
+                                t["fine_mask"]).reshape((-1,) + (1,) * 4)
                             u = u.at[region].set(
                                 jnp.where(mb, donor, u[region]))
         return u
@@ -313,7 +314,8 @@ class BoundaryValues:
         # candidate is self-garbage.  Start from the CURRENT ghost content
         # instead, so slab parts outside the restriction/prolongation write
         # regions (corner rings) retain what earlier sweeps copied there.
-        mlm = (t["fine_mask"] | t["coarse_mask"]).reshape((-1,) + (1,) * 4)
+        mlm = local_blocks(
+            t["fine_mask"] | t["coarse_mask"]).reshape((-1,) + (1,) * 4)
         cur = u[slc(0, self.ng)] if side == "m" \
             else u[slc(n - self.ng, n)]
         ghost = jnp.where(mlm, cur, ghost)
@@ -328,7 +330,7 @@ class BoundaryValues:
         if t["any_fine"]:
             slab = u[slc(n - 3 * ng, n - ng)] if side == "m" \
                 else u[slc(ng, 3 * ng)]
-            parts = [restrict_cc(jnp.take(slab, t["fine"][:, q], axis=0),
+            parts = [restrict_cc(gather_blocks(slab, t["fine"][:, q]),
                                  cell_axes)
                      for q in range(t["fine"].shape[1])]
             # pair-merge along each transverse axis (fastest quadrant bit
@@ -352,7 +354,7 @@ class BoundaryValues:
             for a2 in tn:
                 region[_AXIS_OF[a2]] = slice(h, nc_of[a2] - h)
             region = tuple(region)
-            fmask = t["fine_mask"].reshape((-1,) + (1,) * 4)
+            fmask = local_blocks(t["fine_mask"]).reshape((-1,) + (1,) * 4)
             ghost = ghost.at[region].set(
                 jnp.where(fmask, assembled, ghost[region]))
 
@@ -362,7 +364,7 @@ class BoundaryValues:
             g = prolong_guard(self.prolong_order)
             slab = u[slc(n - ng - h - g, n - ng + g)] if side == "m" \
                 else u[slc(ng - g, ng + h + g)]
-            d = jnp.take(slab, t["coarse"], axis=0)
+            d = gather_blocks(slab, t["coarse"])
             for a2 in tn:
                 t_axis = _AXIS_OF[a2]
                 half = nx_of[a2] // 2
@@ -373,11 +375,12 @@ class BoundaryValues:
                 d0 = jnp.take(d, np.arange(s0, s0 + ln), axis=t_axis)
                 d1 = jnp.take(d, np.arange(s0 + half, s0 + half + ln),
                               axis=t_axis)
-                sel = t["par"][a2].astype(bool).reshape(
+                sel = local_blocks(t["par"][a2].astype(bool)).reshape(
                     (-1,) + (1,) * 4)
                 d = jnp.where(sel, d1, d0)
             pro = prolong_cc_order(d, cell_axes, self.prolong_order)
-            wmask = t["coarse_mask"].reshape((-1,) + (1,) * 4)
+            wmask = local_blocks(
+                t["coarse_mask"]).reshape((-1,) + (1,) * 4)
             # guard the transverse corner strips: where the diagonal
             # neighbor is same-level or finer, the sweeps already placed
             # the correct (copied/restricted) values there — the prolonged
@@ -389,8 +392,10 @@ class BoundaryValues:
                 shp = [1] * 5
                 shp[t_axis] = ncc
                 pos = np.arange(ncc).reshape(shp)
-                km = t["pkeep"][a2]["m"].reshape((-1,) + (1,) * 4)
-                kp = t["pkeep"][a2]["p"].reshape((-1,) + (1,) * 4)
+                km = local_blocks(
+                    t["pkeep"][a2]["m"]).reshape((-1,) + (1,) * 4)
+                kp = local_blocks(
+                    t["pkeep"][a2]["p"]).reshape((-1,) + (1,) * 4)
                 wmask = wmask & ((pos >= ng) | km) \
                     & ((pos < ncc - ng) | kp)
             ghost = jnp.where(wmask, pro, ghost)

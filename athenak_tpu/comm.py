@@ -24,6 +24,40 @@ def current_comm():
     return _CURRENT
 
 
+def gather_blocks(slab, idx):
+    """Donor-slab movement along the block axis: out[i] = slab[idx[i]].
+
+    ``idx`` is an arbitrary host gid map (not necessarily a bijection —
+    mixed-level donor maps duplicate and skip slabs).  Default: whole-axis
+    gather.  Inside ``use_comm``: per-peer ppermute routing built from the
+    map (parallel/shard_comm.py), the rank-packed MPI analogue
+    (reference: src/bvals/bvals_cc.cpp:42-255)."""
+    import numpy as np
+
+    if _CURRENT is None:
+        import jax.numpy as jnp
+        return jnp.take(slab, np.asarray(idx), axis=0)
+    return _CURRENT.gather(slab, np.asarray(idx))
+
+
+def local_blocks(tab, pad_edge: bool = False):
+    """Per-block host table [nmb_total, ...] -> the rows owned locally.
+
+    Outside ``use_comm`` this is the identity.  Inside a shard_map region
+    it returns the calling device's [L, ...] rows, padding the pool tail
+    with zeros (masks: pad blocks take no physical BCs / overrides) or,
+    with ``pad_edge``, with row 0 (geometry: pad blocks clone block 0,
+    matching parallel/shard_comm.pad_state).  Scalars and arrays without
+    a block axis pass through unchanged."""
+    import numpy as np
+
+    if _CURRENT is None or tab is None:
+        return tab
+    if not hasattr(tab, "ndim") or tab.ndim == 0:
+        return tab
+    return _CURRENT.local_rows(np.asarray(tab), pad_edge)
+
+
 @contextmanager
 def use_comm(comm):
     global _CURRENT

@@ -63,15 +63,20 @@ class GRGeometry:
         self.xf, self.yf, self.zf = xf, yf, zf
 
     def _pos(self, where: str):
+        from .comm import local_blocks
+
         if where == "cc":
-            return self.xc, self.yc, self.zc
-        if where == "x1":  # x1-face positions (left edges), cell-indexed
-            return self.xf, self.yc, self.zc
-        if where == "x2":
-            return self.xc, self.yf, self.zc
-        if where == "x3":
-            return self.xc, self.yc, self.zf
-        raise ValueError(where)
+            xyz = self.xc, self.yc, self.zc
+        elif where == "x1":  # x1-face positions (left edges), cell-indexed
+            xyz = self.xf, self.yc, self.zc
+        elif where == "x2":
+            xyz = self.xc, self.yf, self.zc
+        elif where == "x3":
+            xyz = self.xc, self.yc, self.zf
+        else:
+            raise ValueError(where)
+        # inside a shard_map region each device gets its own blocks' rows
+        return tuple(local_blocks(a, pad_edge=True) for a in xyz)
 
     def metric(self, where: str = "cc"):
         from .gr.cks import metric
@@ -80,7 +85,8 @@ class GRGeometry:
 
     def metric_derivatives(self):
         from .gr.cks import metric_derivatives
-        return metric_derivatives(self.xc, self.yc, self.zc,
+        x, y, z = self._pos("cc")
+        return metric_derivatives(x, y, z,
                                   self.cd.bh_spin, self.cd.is_minkowski)
 
     def ks_radius_cc(self):

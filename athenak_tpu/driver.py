@@ -115,6 +115,7 @@ class Driver:
     watchdog = None
 
     def __init__(self, pin, mesh, phys) -> None:
+        self.pin = pin
         self.mesh = mesh
         self.phys = phys
         self.time_evolution = pin.get_string("time", "evolution")
@@ -139,6 +140,10 @@ class Driver:
         if getattr(mesh, "adaptive", False):
             from .amr import AMR
             self.pamr = AMR(pin, mesh)
+            # pgen-enrolled criterion (reference: pgen user_ref_func)
+            urf = getattr(phys, "user_refine_func", None)
+            if urf is not None:
+                self.pamr.user_ref_func = urf
         # optional jax.sharding.Mesh: shards the block axis over devices
         # (the TPU-native analogue of MPI rank decomposition)
         self.dmesh = None
@@ -146,6 +151,13 @@ class Driver:
         # (non-divisible nmb; reference allows any nmb >= nranks,
         # src/mesh/load_balance.cpp:55-63)
         self._npad = 0
+        # block coalescing (uniform single-device meshes run as one
+        # superblock; see parallel/coalesce.py)
+        self.use_coalesce = pin.get_or_add_boolean(
+            "mesh", "coalesce", True) if hasattr(pin, "get_or_add_boolean") \
+            else True
+        self._coal = None
+        self._block_phys = None
 
     # ------------------------------------------------------------------
     def make_cycle_fn(self) -> Callable:
@@ -279,6 +291,15 @@ class Driver:
     def initialize(self, state):
         """Ghost-zone init + first dt (reference: Driver::Initialize,
         src/driver/driver.cpp:314-372)."""
+        if self.use_coalesce and self._coal is None and self.pamr is None:
+            from .parallel.coalesce import maybe_coalesce
+            coal = maybe_coalesce(self.pin, self.mesh, self.phys,
+                                  self.dmesh)
+            if coal is not None:
+                self._coal = coal
+                self._block_phys = self.phys
+                self.phys = coal.phys2
+                state = jax.jit(coal.pack)(state)
         state = jax.jit(self.phys.init_ghosts)(state)
         if self.time_evolution != "static" \
                 and not getattr(self, "res_flag", False):
@@ -313,7 +334,10 @@ class Driver:
             self.ecounters[key] = self.ecounters.get(key, 0) + int(v)
 
     def _unpadded(self, state):
-        """View with block-pool padding stripped (for outputs/returns)."""
+        """View with block-pool padding stripped and superblock
+        coalescing undone (for outputs/returns)."""
+        if self._coal is not None:
+            return self._coal.unpack(state)
         if self._npad == 0:
             return state
         from .parallel.shard_comm import unpad_state
@@ -443,6 +467,8 @@ class Driver:
         for out in outputs:
             out.maybe_write(mesh, state["u"], state["w"], force=True,
                             state=state)
+        if self._block_phys is not None:
+            self.phys = self._block_phys
         return state
 
     # ------------------------------------------------------------------

@@ -139,6 +139,9 @@ class DynGRMHD:
         if mbi.nx3 > 1:
             self.dirs.append(("x3", 2, IVZ, ms.dx3))
         self._dx4 = {"x1": ms.dx1, "x2": ms.dx2, "x3": ms.dx3}
+        # scalar (uniform) dx: local_blocks passes scalars through, so
+        # the borrowed MHD.ct_update's _ldx4 is the identity here
+        self._ldx4 = lambda name: self._dx4[name]
         self.idx = (1.0 / ms.dx1, 1.0 / ms.dx2, 1.0 / ms.dx3)
         self.time_evolution = pin.get_string("time", "evolution") \
             if pin.does_block_exist("time") else "dynamic"

@@ -1,4 +1,4 @@
-"""Explicit multi-chip halo exchange: shard_map + per-slab ppermute.
+"""Explicit multi-chip block communication: shard_map + per-slab ppermute.
 
 The TPU-native replacement for the reference's rank-packed aggregated MPI
 messages (reference: src/bvals/bvals_cc.cpp:42-255, bvals.hpp:104-172).
@@ -9,15 +9,20 @@ Design:
     ranges, reference: src/mesh/load_balance.cpp:38-90).  Non-divisible
     block counts are padded with inactive clone blocks (the reference's
     any-nmb>=nranks balancing maps here to capacity padding).
-  * Per (axis, side), the donor map "whose interior fills my ghosts" is a
-    *bijection* on gids when physical boundaries are wrapped (torus map);
-    ghosts on non-periodic faces are overwritten by the physical-BC pass
-    afterwards, so using the wrapped donor is harmless.  A bijection means
-    the halo exchange is a pure permutation of ng-thick slabs:
-    one ``jax.lax.ppermute`` round per participating device offset, with
-    slabs packed per peer exactly like the reference's rank-packed buffers.
-  * All tables are computed once on host; inside ``shard_map`` each device
-    picks its row with ``lax.axis_index``.
+  * Every block-axis data movement in the frameworks is expressed as a
+    *gather with a host gid map* — same-level halo donors, mixed-level
+    fine/coarse donor quadruples, EMF edge donors, flux-correction
+    partners (see comm.gather_blocks).  Under shard_map each distinct map
+    compiles to per-peer packed buffers moved with one
+    ``jax.lax.ppermute`` round per participating device offset — slabs
+    packed per peer exactly like the reference's rank-packed buffers.
+    The maps need not be bijections: duplicated donors are packed twice,
+    unused slabs are never sent.
+  * Per-block host constants (physical-BC masks, prolongation parity
+    tables, per-block dx, GR coordinate arrays) are consumed through
+    ``comm.local_blocks``, which hands each device its own rows.
+  * All tables are computed once on host and cached per gid map; inside
+    ``shard_map`` each device picks its row with ``lax.axis_index``.
 
 Communication volume per sweep is one ng-thick face slab per block-face
 that crosses a shard boundary — identical to the reference's MPI traffic —
@@ -27,7 +32,7 @@ instead of the all-gather a whole-axis ``jnp.take`` would lower to.
 from __future__ import annotations
 
 import math
-from typing import Dict, List
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -56,6 +61,9 @@ def pad_state(state, nmb_total: int, nmb_pad: int):
         return state
 
     def pad(a):
+        if not hasattr(a, "shape") or a.ndim < 1 \
+                or a.shape[0] != nmb_total:
+            return a
         reps = jnp.broadcast_to(a[:1], (nmb_pad - nmb_total,) + a.shape[1:])
         return jnp.concatenate([a, reps], axis=0)
 
@@ -63,127 +71,121 @@ def pad_state(state, nmb_total: int, nmb_pad: int):
 
 
 def unpad_state(state, nmb_total: int):
-    return jax.tree_util.tree_map(lambda a: a[:nmb_total], state)
+    return jax.tree_util.tree_map(
+        lambda a: a[:nmb_total] if hasattr(a, "shape") and a.ndim >= 1
+        else a, state)
 
 
-class HaloPermTables:
-    """Host-side send/gather tables for one device count.
+class _Route:
+    """Packed ppermute routing for one gid map ``idx`` (out[g] = in[idx[g]]).
 
-    For each exchange key ("x1m", "x1p", ...), with perm[g] = donor gid:
-
-      send_idx[key][r]  int [ndev, max_r]  local slab indices device d
-                        packs for peer (d+r) % ndev in round r
-      src_slot[key]     int [ndev, L]      where ghost slot i finds its
-                        donor slab in concat([local_slabs] + recv_bufs)
-      rounds[key]       list of device offsets with any traffic
+    send_idx[r]    int [ndev, max_r]: local slab indices device d packs
+                   for peer (d+r) % ndev in ppermute round r
+    src_slot       int [ndev, L]: where receiver slot i finds its donor
+                   in concat([local_slabs] + recv_bufs)
+    rounds         device offsets with any traffic
     """
 
-    def __init__(self, mesh, ndev: int) -> None:
-        self.ndev = ndev
-        self.nmb = mesh.nmb_total
-        self.nmb_pad = padded_nmb(self.nmb, ndev)
-        L = self.L = self.nmb_pad // ndev
-        self.rounds: Dict[str, List[int]] = {}
-        self.send_idx: Dict[str, List[np.ndarray]] = {}
-        self.src_slot: Dict[str, np.ndarray] = {}
-        self.local_masks: Dict[str, np.ndarray] = {}
+    def __init__(self, idx: np.ndarray, nmb_pad: int, ndev: int) -> None:
+        L = nmb_pad // ndev
+        perm = np.arange(nmb_pad, dtype=np.int64)
+        perm[: idx.shape[0]] = idx  # pads keep identity (self-donor)
 
-        for key, wnbr in mesh.nbr_gid_wrap.items():
-            perm = np.arange(self.nmb_pad, dtype=np.int64)
-            perm[: self.nmb] = wnbr  # pads keep identity
-            order = np.sort(perm)
-            if not np.array_equal(order, np.arange(self.nmb_pad)):
-                raise ValueError(f"halo map for {key} is not a bijection")
+        dest_dev = perm // L       # owner device of the donor slab
+        owner_of = perm % L
+        sends: Dict[int, Dict[int, list]] = {d: {} for d in range(ndev)}
+        for g in range(nmb_pad):
+            d = g // L             # receiver device
+            o = int(dest_dev[g])
+            if o == d:
+                continue
+            r = (d - o) % ndev
+            sends[o].setdefault(r, []).append(int(owner_of[g]))
+        rounds = sorted({r for m in sends.values() for r in m})
+        max_r = {r: max((len(m.get(r, ())) for m in sends.values()),
+                        default=0) for r in rounds}
+        send_tables = []
+        offsets = {}
+        off = L
+        for r in rounds:
+            t = np.zeros((ndev, max_r[r]), dtype=np.int32)
+            for o in range(ndev):
+                lst = sends[o].get(r, [])
+                t[o, : len(lst)] = lst
+            send_tables.append(t)
+            offsets[r] = off
+            off += max_r[r]
 
-            # traffic per round: receiver d, slot i needs slab j = perm[...]
-            dest_dev = perm // L       # indexed by receiver gid
-            owner_of = perm % L
-            sends: Dict[int, Dict[int, List[int]]] = {
-                d: {} for d in range(ndev)}
-            for g in range(self.nmb_pad):
-                d = g // L             # receiver device
-                o = int(dest_dev[g])   # owner device of the donor slab
-                if o == d:
-                    continue
+        # receiver gather slots: receivers enumerate each sender's packed
+        # list in the same ascending-gid order the senders built it
+        slot = np.zeros((ndev, L), dtype=np.int32)
+        pos_in_round: Dict[tuple, int] = {}
+        for g in range(nmb_pad):
+            d = g // L
+            i = g % L
+            o = int(dest_dev[g])
+            if o == d:
+                slot[d, i] = int(owner_of[g])
+            else:
                 r = (d - o) % ndev
-                sends[o].setdefault(r, []).append(int(owner_of[g]))
-            rounds = sorted({r for m in sends.values() for r in m})
-            # canonical order: receivers enumerate sender lists the same
-            # way senders build them (ascending receiver gid == the g-loop
-            # above, which visits receivers in gid order)
-            max_r = {r: max((len(m.get(r, ())) for m in sends.values()),
-                            default=0) for r in rounds}
-            send_tables = []
-            offsets = {}
-            off = L
-            for r in rounds:
-                t = np.zeros((ndev, max_r[r]), dtype=np.int32)
-                for o in range(ndev):
-                    lst = sends[o].get(r, [])
-                    t[o, : len(lst)] = lst
-                send_tables.append(t)
-                offsets[r] = off
-                off += max_r[r]
-
-            # receiver gather slots
-            slot = np.zeros((ndev, L), dtype=np.int32)
-            # per (sender, round) running positions, rebuilt receiver-side
-            pos_in_round: Dict[tuple, int] = {}
-            for g in range(self.nmb_pad):
-                d = g // L
-                i = g % L
-                o = int(dest_dev[g])
-                if o == d:
-                    slot[d, i] = int(owner_of[g])
-                else:
-                    r = (d - o) % ndev
-                    m = pos_in_round.get((o, r), 0)
-                    pos_in_round[(o, r)] = m + 1
-                    slot[d, i] = offsets[r] + m
-            self.rounds[key] = rounds
-            self.send_idx[key] = send_tables
-            self.src_slot[key] = slot
-
-        for key, m in mesh.phys_bc_mask.items():
-            mm = np.zeros(self.nmb_pad, dtype=bool)
-            mm[: self.nmb] = m
-            self.local_masks[key] = mm.reshape(ndev, L)
+                m = pos_in_round.get((o, r), 0)
+                pos_in_round[(o, r)] = m + 1
+                slot[d, i] = offsets[r] + m
+        self.rounds = rounds
+        self.send_idx = send_tables
+        self.src_slot = slot
+        self.ndev = ndev
 
 
 class ShardComm:
-    """The exchange implementation consulted by BoundaryValues at trace
-    time inside a shard_map region (see athenak_tpu/comm.py)."""
+    """The communication implementation consulted by bvals/physics at
+    trace time inside a shard_map region (see athenak_tpu/comm.py)."""
 
-    def __init__(self, tables: HaloPermTables,
-                 axis: str = BLOCK_AXIS) -> None:
-        self.t = tables
+    def __init__(self, mesh, ndev: int, axis: str = BLOCK_AXIS) -> None:
+        self.nmb = mesh.nmb_total
+        self.ndev = ndev
+        self.nmb_pad = padded_nmb(self.nmb, ndev)
+        self.L = self.nmb_pad // ndev
         self.axis = axis
+        self._routes: Dict[bytes, _Route] = {}
 
-    # -- halo slab permutation ------------------------------------------
-    def exchange(self, slab, key: str):
-        """slab: local donor slabs [L, ...]; returns ghost slabs [L, ...]
-        where out[i] = global_slab[perm[gid(i)]]."""
-        t = self.t
+    # -- arbitrary block gather -----------------------------------------
+    def gather(self, slab, idx: np.ndarray):
+        """slab: local donor slabs [L, ...]; returns [L, ...] where
+        out[local i of gid g] = global_slab[idx[g]]."""
+        key = idx.tobytes()
+        route = self._routes.get(key)
+        if route is None:
+            route = _Route(idx.astype(np.int64), self.nmb_pad, self.ndev)
+            self._routes[key] = route
         d = lax.axis_index(self.axis)
         parts = [slab]
-        for r, table in zip(t.rounds[key], t.send_idx[key]):
+        for r, table in zip(route.rounds, route.send_idx):
             if table.shape[1] == 0:
                 continue
             send = jnp.take(jnp.asarray(table), d, axis=0)
             buf = jnp.take(slab, send, axis=0)
-            perm = [(s, (s + r) % t.ndev) for s in range(t.ndev)]
+            perm = [(s, (s + r) % self.ndev) for s in range(self.ndev)]
             parts.append(lax.ppermute(buf, self.axis, perm))
         allbuf = parts[0] if len(parts) == 1 \
             else jnp.concatenate(parts, axis=0)
-        # rounds with max_r == 0 were skipped; src_slot offsets account for
-        # every round, so recompute compacted slots only if needed
-        slot = jnp.take(jnp.asarray(self.t.src_slot[key]), d, axis=0)
+        slot = jnp.take(jnp.asarray(route.src_slot), d, axis=0)
         return jnp.take(allbuf, slot, axis=0)
 
-    # -- physical-BC masks ----------------------------------------------
-    def local_mask(self, key: str):
+    # -- per-block host tables ------------------------------------------
+    def local_rows(self, tab: np.ndarray, pad_edge: bool):
+        if tab.ndim < 1 or tab.shape[0] not in (self.nmb, self.nmb_pad):
+            return tab
+        if tab.shape[0] == self.nmb and self.nmb_pad > self.nmb:
+            npad = self.nmb_pad - self.nmb
+            fill = np.broadcast_to(tab[:1], (npad,) + tab.shape[1:]) \
+                if pad_edge else np.zeros((npad,) + tab.shape[1:],
+                                          dtype=tab.dtype)
+            tab = np.concatenate([tab, fill], axis=0)
         d = lax.axis_index(self.axis)
-        return jnp.take(jnp.asarray(self.t.local_masks[key]), d, axis=0)
+        full = jnp.asarray(tab.reshape((self.ndev, self.L)
+                                       + tab.shape[1:]))
+        return jnp.take(full, d, axis=0)
 
     # -- reductions ------------------------------------------------------
     def pmin(self, x):
@@ -196,28 +198,33 @@ class ShardComm:
 def supports_shard_cycle(driver, state) -> bool:
     """Whether the explicit shard_map cycle covers this configuration.
 
-    Excluded configurations fall back to the NamedSharding gather path
-    (still multi-device-correct, higher comm volume): multilevel meshes,
-    GR (per-block metric closures sized [nmb_total]), and modules with
-    global-array state (FFT gravity, turbulence normalization, particles,
-    shearing box, two-fluid ImEx).
+    Covered: uniform and statically-refined (SMR) Newtonian/SR/GR
+    hydro and MHD, with diffusion/srcterms/FOFC.  Excluded configurations
+    fall back to the NamedSharding gather path (still multi-device-
+    correct, higher comm volume): adaptive meshes (the ppermute tables
+    are rebuilt per tree epoch by the AMR driver, not here), and modules
+    with global-array state (FFT gravity, turbulence normalization,
+    particles, shearing box, two-fluid ImEx, Z4c/dyngr, radiation).
     """
     phys = driver.phys
-    if getattr(phys, "multilevel", False):
+    if type(phys).__name__ not in ("Hydro", "MHD"):
+        # Radiation/Z4c/DynGRMHD/IonNeutral carry module state the route
+        # tables don't cover yet
         return False
     if getattr(driver.mesh, "adaptive", False):
-        # AMR rebuilds the neighbor tables per tree update; the ppermute
-        # tables here are built once — fall back to the gather path
-        return False
-    if getattr(phys, "is_gr", False):
         return False
     if hasattr(phys, "imex_cycle"):
         return False
     for mod in ("pturb", "ppart", "psbox", "pgrav"):
         if getattr(phys, mod, None) is not None:
             return False
-    if getattr(phys, "bvals", None) is None \
-            or phys.bvals.user_bc_func is not None:
+    if getattr(phys, "bvals", None) is None:
+        return False
+    ubc = phys.bvals.user_bc_func
+    if ubc is not None and not getattr(ubc, "shard_safe", False):
+        # user BCs closing over [nmb_total] arrays break under shard_map
+        # unless they localize their tables (comm.local_blocks) and
+        # declare it with `fn.shard_safe = True` (e.g. pgen/gr_bondi.py)
         return False
     nmb = driver.mesh.nmb_total
     ok_dims = {nmb}
@@ -230,11 +237,10 @@ def supports_shard_cycle(driver, state) -> bool:
 
 def build_shard_cycle(driver, dmesh: DeviceMesh, state_template):
     """shard_map-wrapped cycle: explicit ppermute halo + pmin dt + psum
-    counters.  Returns (fn(state, dt) -> (state, dtnew, counters), tables).
+    counters.  Returns (fn(state, dt) -> (state, dtnew, counters), comm).
     """
     ndev = dmesh.devices.size
-    tables = HaloPermTables(driver.mesh, ndev)
-    comm = ShardComm(tables, BLOCK_AXIS)
+    comm = ShardComm(driver.mesh, ndev, BLOCK_AXIS)
     inner = driver.make_cycle_fn()
 
     def local_cycle(state, dt):
@@ -255,4 +261,4 @@ def build_shard_cycle(driver, dmesh: DeviceMesh, state_template):
         in_specs=(state_spec, P()),
         out_specs=(state_spec, P(), P()),
         check_vma=False)
-    return fn, tables
+    return fn, comm

@@ -20,8 +20,12 @@ _REGISTRY = {
     "advection": "athenak_tpu.pgen.advection",
     "orszag_tang": "athenak_tpu.pgen.orszag_tang",
     "blast": "athenak_tpu.pgen.blast",
+    "cpaw": "athenak_tpu.pgen.cpaw",
+    "alfven_wave": "athenak_tpu.pgen.cpaw",
     "diffusion_test": "athenak_tpu.pgen.diffusion_test",
     "gr_bondi": "athenak_tpu.pgen.gr_bondi",
+    "gravity": "athenak_tpu.pgen.jeans_wave",
+    "jeans": "athenak_tpu.pgen.jeans_wave",
     "turb": "athenak_tpu.pgen.turb",
     "twofluid": "athenak_tpu.pgen.twofluid",
     "z4c_linear_wave": "athenak_tpu.pgen.z4c_linear_wave",

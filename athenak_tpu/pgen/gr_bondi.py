@@ -197,13 +197,21 @@ def init(pin, mesh, phys):
         u = phys.prim_to_cons(wj)
 
     # fixed-inflow user BC: ghost zones on physical boundaries held at the
-    # analytic conserved state (reference: FixedBondiInflow)
-    mask = jnp.asarray(_ghost_mask(mesh))
-    u_fixed = u
+    # analytic conserved state (reference: FixedBondiInflow).  The
+    # closures are kept as host arrays and localized per device so the
+    # hook also runs inside the shard_map cycle (comm.local_blocks).
+    import numpy as _hostnp
+
+    mask_np = _hostnp.asarray(_ghost_mask(mesh))
+    u_fixed_np = _hostnp.asarray(u)
 
     def bondi_bc(uu, bv):
-        return jnp.where(mask, u_fixed, uu)
+        from ..comm import local_blocks
+        m = jnp.asarray(local_blocks(mask_np))
+        uf = jnp.asarray(local_blocks(u_fixed_np, pad_edge=True))
+        return jnp.where(m, uf, uu)
 
+    bondi_bc.shard_safe = True
     phys.bvals.user_bc_func = bondi_bc
     if getattr(phys, "is_mhd", False):
         return phys.make_state(u, wj, bfc)

@@ -202,9 +202,10 @@ class Hydro:
             from ..ops.eos_gr import cons_to_prim_gr_hydro
             gl, gu = self.geom.metric("cc")
             cd = self.coord.coord_data
+            from ..comm import local_blocks
             return cons_to_prim_gr_hydro(
                 u, self.eos, gl, gu,
-                excise_mask=self.excise_mask,
+                excise_mask=local_blocks(self.excise_mask),
                 dexcise=cd.dexcise, pexcise=cd.pexcise)
         if self.is_sr:
             from ..ops.eos_sr import cons_to_prim_sr_hydro
@@ -275,10 +276,12 @@ class Hydro:
         """u0 <- gam0*u0 + gam1*u1 - beta*dt*divF
         (reference: src/hydro/hydro_update.cpp:52-80).  Computed over the
         whole array; ghost zones are refilled immediately after."""
+        from ..comm import local_blocks
         divf = None
         for name, axis, _ivx, dx in self.dirs:
             f = flx[name]
-            d = (jnp.roll(f, -1, axis=axis) - f) / dx
+            d = (jnp.roll(f, -1, axis=axis) - f) / local_blocks(
+                dx, pad_edge=True)
             divf = d if divf is None else divf + d
         return gam0 * u0 + gam1 * u1 - beta_dt * divf
 
@@ -294,7 +297,8 @@ class Hydro:
             _, u_fixed, _ = self.cons_to_prim(utest)
             flag = jnp.any(u_fixed != utest, axis=1)
         if self.fofc_excise_mask is not None:
-            em = jnp.asarray(self.fofc_excise_mask)
+            from ..comm import local_blocks
+            em = jnp.asarray(local_blocks(self.fofc_excise_mask))
             flag = em if flag is None else (flag | em)
         if flag is None:
             return flx, jnp.asarray(0)
@@ -406,9 +410,13 @@ class Hydro:
 
         ms = self.mesh.mesh_size
         if self.multilevel:
-            dx1 = self.mesh.mb_size["dx1"].reshape(-1, 1, 1, 1)
-            dx2 = self.mesh.mb_size["dx2"].reshape(-1, 1, 1, 1)
-            dx3 = self.mesh.mb_size["dx3"].reshape(-1, 1, 1, 1)
+            from ..comm import local_blocks
+            dx1 = local_blocks(self.mesh.mb_size["dx1"],
+                               pad_edge=True).reshape(-1, 1, 1, 1)
+            dx2 = local_blocks(self.mesh.mb_size["dx2"],
+                               pad_edge=True).reshape(-1, 1, 1, 1)
+            dx3 = local_blocks(self.mesh.mb_size["dx3"],
+                               pad_edge=True).reshape(-1, 1, 1, 1)
         else:
             dx1, dx2, dx3 = ms.dx1, ms.dx2, ms.dx3
         dt = jnp.min(dx1 / jnp.maximum(dv1, 1e-300))

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as _np
 
 from ..bvals import BoundaryValues, _AXIS_OF
+from ..comm import gather_blocks, local_blocks
 from ..indices import IDN, IEN, IVX, IVY, IVZ, RECON_NGHOST
 from ..mesh import Mesh
 from ..ops import recon as recon_ops
@@ -108,6 +109,12 @@ class MHD:
             self.dirs.append(("x3", 2, IVZ, _dx("x3", 5)))
         # 4D (no-var-axis) per-block dx for the CT curl and new_dt
         self._dx4 = {n: _dx(n, 4) for n in ("x1", "x2", "x3")}
+
+        # per-block dx localized to the device's rows inside shard_map
+        def _ldx4(name):
+            return local_blocks(self._dx4[name], pad_edge=True)
+
+        self._ldx4 = _ldx4
 
         self.time_evolution = pin.get_string("time", "evolution") \
             if pin.does_block_exist("time") else "dynamic"
@@ -268,7 +275,7 @@ class MHD:
             cd = self.coord.coord_data
             return cons_to_prim_gr_mhd(
                 u, bcc, self.eos, gl, gu,
-                excise_mask=self.excise_mask,
+                excise_mask=local_blocks(self.excise_mask),
                 dexcise=cd.dexcise, pexcise=cd.pexcise)
         if self.is_sr:
             from ..ops.eos_sr import cons_to_prim_sr_mhd
@@ -353,7 +360,7 @@ class MHD:
         divf = None
         for name, axis, _ivx, dx in self.dirs:
             f = flx[name]
-            d = (_sh(f, 1, axis) - f) / dx
+            d = (_sh(f, 1, axis) - f) / local_blocks(dx, pad_edge=True)
             divf = d if divf is None else divf + d
         return gam0 * u0 + gam1 * u1 - beta_dt * divf
 
@@ -495,28 +502,28 @@ class MHD:
         # data and refilled by the exchange.
         b1 = gam0 * bfc["x1f"] + gam1 * bfc_old["x1f"]
         if multi_d:
-            de3 = (_sh(e3, 1, JA) - e3) / self._dx4["x2"]
+            de3 = (_sh(e3, 1, JA) - e3) / self._ldx4("x2")
             b1 = b1 - beta_dt * self._to_face(de3, axis=3)
             if three_d:
-                de2 = (_sh(e2, 1, KA) - e2) / self._dx4["x3"]
+                de2 = (_sh(e2, 1, KA) - e2) / self._ldx4("x3")
                 b1 = b1 + beta_dt * self._to_face(de2, axis=3)
         new["x1f"] = b1
 
         # --- B2 faces (+1 on x2 axis)
         b2 = gam0 * bfc["x2f"] + gam1 * bfc_old["x2f"]
-        de3 = (_sh(e3, 1, IA) - e3) / self._dx4["x1"]
+        de3 = (_sh(e3, 1, IA) - e3) / self._ldx4("x1")
         b2 = b2 + beta_dt * self._to_face(de3, axis=2)
         if three_d:
-            de1 = (_sh(e1, 1, KA) - e1) / self._dx4["x3"]
+            de1 = (_sh(e1, 1, KA) - e1) / self._ldx4("x3")
             b2 = b2 - beta_dt * self._to_face(de1, axis=2)
         new["x2f"] = b2
 
         # --- B3 faces (+1 on x3 axis)
         b3 = gam0 * bfc["x3f"] + gam1 * bfc_old["x3f"]
-        de2 = (_sh(e2, 1, IA) - e2) / self._dx4["x1"]
+        de2 = (_sh(e2, 1, IA) - e2) / self._ldx4("x1")
         b3 = b3 - beta_dt * self._to_face(de2, axis=1)
         if multi_d:
-            de1 = (_sh(e1, 1, JA) - e1) / self._dx4["x2"]
+            de1 = (_sh(e1, 1, JA) - e1) / self._ldx4("x2")
             b3 = b3 + beta_dt * self._to_face(de1, axis=1)
         new["x3f"] = b3
         return new
@@ -568,7 +575,8 @@ class MHD:
             # values so corner rings outside the override write regions
             # keep what earlier sweeps copied (the same-level gather is
             # self-garbage for these blocks)
-            mlm4 = (t["fine_mask"] | t["coarse_mask"]).reshape(
+            mlm4 = local_blocks(
+                t["fine_mask"] | t["coarse_mask"]).reshape(
                 (-1,) + (1,) * 3)
             if normal:
                 gslc = [slice(None)] * 4
@@ -595,7 +603,7 @@ class MHD:
                     slab = take(src_arr, dn_planes, axis4)
                     parts = []
                     for q in range(t["fine"].shape[1]):
-                        d = jnp.take(slab, t["fine"][:, q], axis=0)
+                        d = gather_blocks(slab, t["fine"][:, q])
                         d = restrict_cc(d, [_AXIS_OF[a] - 5 for a in tn])
                         parts.append(d)
                     for a2 in tn:
@@ -624,7 +632,7 @@ class MHD:
                             assembled, _np.arange(ng - h, ng - h + nxt), ta)
                         region[ta] = slice(ng, ng + nxt)
                     region = tuple(region)
-                    fmask = t["fine_mask"].reshape((-1,) + (1,) * 3)
+                    fmask = local_blocks(t["fine_mask"]).reshape((-1,) + (1,) * 3)
                     arr = arr.at[region].set(
                         jnp.where(fmask, assembled, arr[region]))
                 else:
@@ -638,7 +646,7 @@ class MHD:
                     slab = take(src_arr, dnc, axis4)
                     parts = []
                     for q in range(t["fine"].shape[1]):
-                        d = jnp.take(slab, t["fine"][:, q], axis=0)
+                        d = gather_blocks(slab, t["fine"][:, q])
                         # pair-average along the sweep axis (cells)
                         d = restrict_cc(d, [axis4 - 4])
                         parts.append(d)
@@ -680,13 +688,13 @@ class MHD:
                         ta = _AXIS_OF[a2] - 1
                         region[ta] = slice(h, arr.shape[ta] - h)
                     region = tuple(region)
-                    fmask = t["fine_mask"].reshape((-1,) + (1,) * 3)
+                    fmask = local_blocks(t["fine_mask"]).reshape((-1,) + (1,) * 3)
                     arr = arr.at[region].set(
                         jnp.where(fmask, assembled, arr[region]))
 
             # ---------------- prolongation from a coarser donor ------------
             if t["any_coarse"]:
-                cmask = t["coarse_mask"].reshape((-1,) + (1,) * 3)
+                cmask = local_blocks(t["coarse_mask"]).reshape((-1,) + (1,) * 3)
                 # corner-strip guard: where the diagonal neighbor is
                 # same-level or finer the sweeps already copied the true
                 # values there; prolongation must not overwrite them
@@ -697,8 +705,8 @@ class MHD:
                     shp = [1] * 4
                     shp[ta] = ncc
                     pos = _np.arange(ncc).reshape(shp)
-                    km = t["pkeep"][a2]["m"].reshape((-1,) + (1,) * 3)
-                    kp = t["pkeep"][a2]["p"].reshape((-1,) + (1,) * 3)
+                    km = local_blocks(t["pkeep"][a2]["m"]).reshape((-1,) + (1,) * 3)
+                    kp = local_blocks(t["pkeep"][a2]["p"]).reshape((-1,) + (1,) * 3)
                     cmask = cmask & ((pos >= ng) | km) \
                         & ((pos < ncc - ng) | kp)
 
@@ -712,7 +720,7 @@ class MHD:
                     d0 = jnp.take(d, _np.arange(s0, s0 + ln), axis=ta)
                     d1 = jnp.take(d, _np.arange(s0 + half, s0 + half + ln),
                                   axis=ta)
-                    sel = t["par"][a2].astype(bool).reshape(
+                    sel = local_blocks(t["par"][a2].astype(bool)).reshape(
                         (-1,) + (1,) * 3)
                     return jnp.where(sel, d1, d0)
 
@@ -728,7 +736,7 @@ class MHD:
                         off = lambda f: f - ng - nxa   # noqa: E731
                         pidx = lambda m: m             # noqa: E731
                     d = take(src_arr, win, axis4)
-                    d = jnp.take(d, t["coarse"], axis=0)
+                    d = gather_blocks(d, t["coarse"])
                     for a2 in tn:
                         d = window(d, a2, 1)
                     pro = prolong_cc(d, [_AXIS_OF[a2] - 5 for a2 in tn])
@@ -758,7 +766,7 @@ class MHD:
                         cells = slice(n4 - ng, n4)
                         dnc = _np.arange(ng - 1, ng + h + 1)
                     d = take(src_arr, dnc, axis4)
-                    d = jnp.take(d, t["coarse"], axis=0)
+                    d = gather_blocks(d, t["coarse"])
                     cell_axes = [axis4 - 4]
                     for a2 in tn:
                         ta = _AXIS_OF[a2] - 1
@@ -772,7 +780,7 @@ class MHD:
                             d1 = jnp.take(
                                 d, _np.arange(s0 + half, s0 + half + ln),
                                 axis=ta)
-                            sel = t["par"][a2].astype(bool).reshape(
+                            sel = local_blocks(t["par"][a2].astype(bool)).reshape(
                                 (-1,) + (1,) * 3)
                             d = jnp.where(sel, d1, d0)
                         else:
@@ -845,8 +853,8 @@ class MHD:
                         region[ac] = slice(ng, ng + nx_of[c])
                         dregion[ac] = region[ac]
                     region = tuple(region)
-                    donor = jnp.take(e[tuple(dregion)], t["same"], axis=0)
-                    mb = msk.reshape((-1,) + (1,) * 3)
+                    donor = gather_blocks(e[tuple(dregion)], t["same"])
+                    mb = local_blocks(msk).reshape((-1,) + (1,) * 3)
                     sum_e = sum_e.at[region].add(jnp.where(mb, donor, 0.0))
                     cnt = cnt.at[region].add(
                         jnp.where(mb, jnp.ones_like(donor), 0.0))
@@ -874,9 +882,9 @@ class MHD:
                             region[ac] = slice(ng, ng + nx_of[c])
                             dregion[ac] = region[ac]
                         region = tuple(region)
-                        donor = jnp.take(e[tuple(dregion)],
-                                         t["same_gid"], axis=0)
-                        mb = t["same_mask"].reshape((-1,) + (1,) * 3)
+                        donor = gather_blocks(e[tuple(dregion)],
+                                              t["same_gid"])
+                        mb = local_blocks(t["same_mask"]).reshape((-1,) + (1,) * 3)
                         sum_e = sum_e.at[region].add(
                             jnp.where(mb, donor, 0.0))
                         cnt = cnt.at[region].add(
@@ -905,14 +913,14 @@ class MHD:
                     continue
                 my_idx = ng if side == "m" else ng + nxa
                 dn_idx = ng + nxa if side == "m" else ng
-                fmask = t["fine_mask"].reshape((-1,) + (1,) * 3)
+                fmask = local_blocks(t["fine_mask"]).reshape((-1,) + (1,) * 3)
                 for c in ("x1", "x2", "x3"):
                     if c == d:
                         continue
                     axis_c = _AXIS_OF[c] - 1
                     e = es[c]
                     plane = jnp.take(e, _np.asarray([dn_idx]), axis=axis_d)
-                    parts = [jnp.take(plane, t["fine"][:, q], axis=0)
+                    parts = [gather_blocks(plane, t["fine"][:, q])
                              for q in range(t["fine"].shape[1])]
                     region = [slice(None)] * 4
                     region[axis_d] = slice(my_idx, my_idx + 1)
@@ -978,7 +986,7 @@ class MHD:
                     region[a2] = slice(my2, my2 + 1)
                     line = jnp.take(e, _np.asarray([dn1]), axis=a1)
                     line = jnp.take(line, _np.asarray([dn2]), axis=a2)
-                    parts = [jnp.take(line, t["fine"][:, q], axis=0)
+                    parts = [gather_blocks(line, t["fine"][:, q])
                              for q in range(t["fine"].shape[1])]
                     if c in active:
                         nxc = nx_of[c]
@@ -993,7 +1001,7 @@ class MHD:
                     else:
                         assembled = parts[0]
                     region = tuple(region)
-                    mask = t["mask"].reshape((-1,) + (1,) * 3)
+                    mask = local_blocks(t["mask"]).reshape((-1,) + (1,) * 3)
                     es[c] = e.at[region].set(
                         jnp.where(mask, assembled, e[region]))
         return es["x1"], es["x2"], es["x3"]
@@ -1117,9 +1125,9 @@ class MHD:
                         if t.get("any_same"):
                             drg = [slice(None)] * 4
                             drg[a1], drg[a2] = dn[a1], dn[a2]
-                            donor = jnp.take(arr[tuple(drg)],
-                                             t["same_gid"], axis=0)
-                            mb = t["same_mask"].reshape((-1,) + (1,) * 3)
+                            donor = gather_blocks(arr[tuple(drg)],
+                                                  t["same_gid"])
+                            mb = local_blocks(t["same_mask"]).reshape((-1,) + (1,) * 3)
                             rg = tuple(region)
                             arr = arr.at[rg].set(
                                 jnp.where(mb, donor, arr[rg]))
@@ -1135,8 +1143,8 @@ class MHD:
                                     caxes.append(ar)
                             parts = []
                             for q in range(t["fine"].shape[1]):
-                                d = jnp.take(arr[tuple(drg)],
-                                             t["fine"][:, q], axis=0)
+                                d = gather_blocks(arr[tuple(drg)],
+                                                  t["fine"][:, q])
                                 if rrest is not None and rrest == cax:
                                     # edge axis is the face axis:
                                     # even-face subsample over the
@@ -1164,7 +1172,7 @@ class MHD:
                             else:
                                 assembled = parts[0]
                             rg = tuple(rg)
-                            mb = t["mask"].reshape((-1,) + (1,) * 3)
+                            mb = local_blocks(t["mask"]).reshape((-1,) + (1,) * 3)
                             arr = arr.at[rg].set(
                                 jnp.where(mb, assembled, arr[rg]))
             if len(act) == 3:
@@ -1195,9 +1203,10 @@ class MHD:
                                 drg = [slice(None)] * 4
                                 for a in axs:
                                     drg[a] = dn[a]
-                                donor = jnp.take(arr[tuple(drg)],
-                                                 t["same_gid"], axis=0)
-                                mb = t["same_mask"].reshape(
+                                donor = gather_blocks(arr[tuple(drg)],
+                                                      t["same_gid"])
+                                mb = local_blocks(
+                                    t["same_mask"]).reshape(
                                     (-1,) + (1,) * 3)
                                 arr = arr.at[region].set(
                                     jnp.where(mb, donor, arr[region]))
@@ -1205,11 +1214,12 @@ class MHD:
                                 drg = [slice(None)] * 4
                                 for a in axs:
                                     drg[a] = fn[a]
-                                d = jnp.take(arr[tuple(drg)],
-                                             t["fine_gid"], axis=0)
+                                d = gather_blocks(arr[tuple(drg)],
+                                                  t["fine_gid"])
                                 d = restrict_cc(
                                     d, [a - 4 for a in axs if a != cax])
-                                mb = t["fine_mask"].reshape(
+                                mb = local_blocks(
+                                    t["fine_mask"]).reshape(
                                     (-1,) + (1,) * 3)
                                 arr = arr.at[region].set(
                                     jnp.where(mb, d, arr[region]))
@@ -1297,7 +1307,7 @@ class MHD:
             _, u_fixed, _ = self.cons_to_prim(utest, bcc)
             flag = jnp.any(u_fixed != utest, axis=1)
         if self.fofc_excise_mask is not None:
-            em = jnp.asarray(self.fofc_excise_mask)
+            em = jnp.asarray(local_blocks(self.fofc_excise_mask))
             flag = em if flag is None else (flag | em)
         if flag is None:
             return flx, emf, jnp.asarray(0)
@@ -1447,11 +1457,11 @@ class MHD:
             dv2 = jnp.abs(wa[:, IVY]) + cf2
             dv3 = jnp.abs(wa[:, IVZ]) + cf3
 
-        dt = jnp.min(self._dx4["x1"] / dv1)
+        dt = jnp.min(self._ldx4("x1") / dv1)
         if mbi.nx2 > 1:
-            dt = jnp.minimum(dt, jnp.min(self._dx4["x2"] / dv2))
+            dt = jnp.minimum(dt, jnp.min(self._ldx4("x2") / dv2))
         if mbi.nx3 > 1:
-            dt = jnp.minimum(dt, jnp.min(self._dx4["x3"] / dv3))
+            dt = jnp.minimum(dt, jnp.min(self._ldx4("x3") / dv3))
         return dt
 
     # ------------------------------------------------- state-dict interface

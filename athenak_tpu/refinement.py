@@ -22,6 +22,8 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
+from .comm import gather_blocks, local_blocks
+
 # transverse axes (in mesh naming) for each sweep axis; the first entry
 # is the fast quadrant index
 _TRANSVERSE = {"x1": ("x2", "x3"), "x2": ("x1", "x3"), "x3": ("x1", "x2")}
@@ -477,8 +479,8 @@ def flux_correct_cc(flx, mesh, dir_names):
             dn_slab = f[slc(dn_idx)]
             # restrict transverse-only (the flux lives ON the face)
             t_axes = [_CC_AXIS[a] - 5 for a in t["t_names"]]
-            parts = [restrict_cc(jnp.take(dn_slab, t["fine"][:, q], axis=0),
-                                 t_axes)
+            parts = [restrict_cc(
+                gather_blocks(dn_slab, t["fine"][:, q]), t_axes)
                      for q in range(t["fine"].shape[1])]
             # quadrant assembly over my transverse INTERIOR: the restricted
             # donor interior [h, h+nx_t/2) tiles it exactly
@@ -499,7 +501,8 @@ def flux_correct_cc(flx, mesh, dir_names):
             for a2 in t["t_names"]:
                 region[_CC_AXIS[a2] - (5 - nd)] = slice(ng, ng + nx_of[a2])
             region = tuple(region)
-            fmask = t["fine_mask"].reshape((-1,) + (1,) * (nd - 1))
+            fmask = local_blocks(
+                t["fine_mask"]).reshape((-1,) + (1,) * (nd - 1))
             my_slab = my_slab.at[region].set(
                 jnp.where(fmask, assembled, my_slab[region]))
             pre = [slice(None)] * nd

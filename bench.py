@@ -9,7 +9,7 @@ Honest timing: cycles run as one on-device lax.scan per window and the
 clock stops on a *value fetch* (jax.block_until_ready returns early on
 the tunneled axon backend, so fetch-based sync is the only reliable
 barrier).  Reports the hero single-block number plus a multi-block
-configuration (8 x 60^3) that exercises the block halo-exchange path.
+configuration (8 x 62^3) that exercises the block halo-exchange path.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -65,7 +65,8 @@ b_amb = 0.1
 """
 
 
-def run_config(nx: int, mbx: int, ncycles: int, npasses: int) -> float:
+def run_config(nx: int, mbx: int, ncycles: int, npasses: int,
+               coalesce: bool = True) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -73,6 +74,8 @@ def run_config(nx: int, mbx: int, ncycles: int, npasses: int) -> float:
     from athenak_tpu.main import build
 
     pin = ParameterInput.from_string(DECK.format(nx=nx, mbx=mbx))
+    if not coalesce:
+        pin.set_value("mesh", "coalesce", "false")
     mesh, phys, pgen, driver, state = build(pin)
     state = driver.initialize(state)
     dt = jnp.asarray(driver.mesh.dt, dtype=state["u"].dtype)
@@ -114,17 +117,25 @@ def main() -> int:
 
     zcps = run_config(nx, mbx, ncycles, npasses)
 
-    # multi-block secondary metric: 8 blocks of 60^3 (ghost-padded 64 —
-    # lane-aligned), exercising the block-axis halo gathers real
-    # SMR/torus decks hit
-    mb_zcps = None
+    # multi-block secondary metrics: 8 blocks of 62^3 (the hero 124^3
+    # mesh split in half along each axis).  The default
+    # driver path coalesces this uniform mesh into one superblock
+    # (parallel/coalesce.py) — that is what a user's run does — while
+    # the "pool" variant forces the true block-pool halo-exchange path
+    # real SMR/AMR/multi-chip decks hit.
+    mb_zcps = mb_pool_zcps = None
     if os.environ.get("BENCH_MULTIBLOCK", "1") != "0":
-        try:
-            mb_zcps = run_config(120, 60, max(ncycles // 2, 5), 1)
-        except Exception as e:
-            print(f"multi-block bench failed: {type(e).__name__}: {e}",
-                  file=sys.stderr)
-            mb_zcps = None
+        for name, kw in (("coalesced", {}), ("pool", {"coalesce": False})):
+            try:
+                v = run_config(124, 62, max(ncycles // 2, 5), 1, **kw)
+            except Exception as e:
+                print(f"multi-block ({name}) bench failed: "
+                      f"{type(e).__name__}: {e}", file=sys.stderr)
+                v = None
+            if name == "coalesced":
+                mb_zcps = v
+            else:
+                mb_pool_zcps = v
 
     out = {
         "metric": "zone_cycles_per_second_3d_mhd_blast",
@@ -133,7 +144,9 @@ def main() -> int:
         "vs_baseline": zcps / 1.0e9,
     }
     if mb_zcps is not None:
-        out["multi_block_8x60_value"] = mb_zcps
+        out["multi_block_8x62_value"] = mb_zcps
+    if mb_pool_zcps is not None:
+        out["multi_block_8x62_pool_value"] = mb_pool_zcps
     print(json.dumps(out))
     return 0
 

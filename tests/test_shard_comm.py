@@ -66,6 +66,9 @@ b_amb = 0.1
 
 def _run(deck, dmesh, ncyc=3):
     pin = ParameterInput.from_string(deck)
+    # keep the block pool: the single-device reference must match the
+    # sharded pool shape (coalescing is its own transform, test_coalesce)
+    pin.set_value("mesh", "coalesce", "false")
     mesh, phys, pgen, driver, state = build(pin)
     driver.dmesh = dmesh
     state = driver.initialize(state)
@@ -133,3 +136,180 @@ def test_driver_execute_uses_shard_path():
     state = driver.execute(state)
     assert state["u"].shape[0] == mesh.nmb_total
     assert np.all(np.isfinite(np.asarray(state["u"])))
+
+
+# ---------------------------------------------------------------------------
+# mixed-level (SMR) and GR coverage: the route tables must handle
+# fine/coarse donor maps (reference: bvals.hpp:61-101 index triples) and
+# per-block metric/geometry tables (reference: coordinates.cpp)
+# ---------------------------------------------------------------------------
+SMR_DECK = """
+<job>
+basename = shard_smr
+
+<mesh>
+nghost = 2
+nx1 = 32
+x1min = -0.5
+x1max = 0.5
+nx2 = 32
+x2min = -0.5
+x2max = 0.5
+nx3 = 32
+x3min = -0.5
+x3max = 0.5
+
+<meshblock>
+nx1 = 16
+nx2 = 16
+nx3 = 16
+
+<mesh_refinement>
+refinement = static
+
+<refined_region1>
+level = 1
+x1min = -0.25
+x1max = 0.25
+x2min = -0.25
+x2max = 0.25
+x3min = -0.25
+x3max = 0.25
+
+<time>
+evolution = dynamic
+integrator = rk2
+cfl_number = 0.3
+tlim = 1.0
+
+<{phys}>
+eos = ideal
+gamma = 1.6666666666666667
+reconstruct = plm
+rsolver = {rsolver}
+
+<problem>
+pgen_name = blast
+inner_radius = 0.1
+outer_radius = 0.25
+prat = 100.0
+b_amb = 0.1
+"""
+
+GR_DECK = """
+<job>
+basename = shard_gr
+
+<mesh>
+nghost = 2
+nx1 = 32
+x1min = -8.0
+x1max = 8.0
+ix1_bc = outflow
+ox1_bc = outflow
+nx2 = 16
+x2min = -4.0
+x2max = 4.0
+ix2_bc = outflow
+ox2_bc = outflow
+nx3 = 16
+x3min = -4.0
+x3max = 4.0
+ix3_bc = outflow
+ox3_bc = outflow
+
+<meshblock>
+nx1 = 8
+nx2 = 8
+nx3 = 8
+
+<coord>
+general_rel = true
+a = 0.3
+excise = true
+dexcise = 1.0e-8
+pexcise = 0.333e-12
+
+<time>
+evolution = dynamic
+integrator = rk2
+cfl_number = 0.3
+tlim = 1.0
+
+<hydro>
+eos = ideal
+reconstruct = plm
+rsolver = hlle
+gamma = 1.3333333333333
+
+<problem>
+pgen_name = gr_bondi
+k_adi = 1.0
+r_crit = 8.0
+"""
+
+
+def _assert_state_match(sh, ref, nmb):
+    np.testing.assert_array_equal(sh["u"][:nmb], ref["u"])
+    np.testing.assert_array_equal(sh["w"][:nmb], ref["w"])
+    if "bfc" in ref:
+        for c in ("x1f", "x2f", "x3f"):
+            np.testing.assert_array_equal(sh["bfc"][c][:nmb],
+                                          ref["bfc"][c])
+
+
+def test_shard_cycle_smr_hydro_bit_matches():
+    """SMR: 15 blocks (8 coarse - 1 + 8 fine) across 5 devices; the
+    mixed-level restriction/prolongation donors and flux correction run
+    through the ppermute route tables."""
+    deck = SMR_DECK.format(phys="hydro", rsolver="hllc")
+    d1, ref, rdt = _run(deck, None)
+    assert d1.phys.multilevel
+    d2, sh, sdt = _run(deck, make_device_mesh(5))
+    assert np.isclose(rdt, sdt, rtol=1e-12)
+    _assert_state_match(sh, ref, d1.mesh.nmb_total)
+
+
+def test_shard_cycle_smr_mhd_bit_matches():
+    """SMR MHD: face-field mixed-level exchange + EMF corrections via
+    the route tables (reference: flux_correction_fc.cpp)."""
+    deck = SMR_DECK.format(phys="mhd", rsolver="hlld")
+    d1, ref, rdt = _run(deck, None)
+    d2, sh, sdt = _run(deck, make_device_mesh(5))
+    assert np.isclose(rdt, sdt, rtol=1e-12)
+    _assert_state_match(sh, ref, d1.mesh.nmb_total)
+
+
+def test_shard_cycle_gr_matches():
+    """GR hydro (Kerr-Schild, excision): per-block metric tables are
+    localized per device (comm.local_blocks).
+
+    Tolerance (not bit) match: tracing the cycle under shard_map changes
+    XLA fusion/FMA decisions, and the GR c2p cancellation chains near
+    the excision boundary amplify that ULP noise to ~1e-10/cycle (the
+    same offsets appear with a 1-device shard_map, ruling out any
+    routing difference).  A routing bug would produce O(field) errors."""
+    d1, ref, rdt = _run(GR_DECK, None)
+    assert d1.phys.is_gr
+    d2, sh, sdt = _run(GR_DECK, make_device_mesh(8))
+    assert np.isclose(rdt, sdt, rtol=1e-12)
+    nmb = d1.mesh.nmb_total
+    np.testing.assert_allclose(sh["u"][:nmb], ref["u"],
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(sh["w"][:nmb], ref["w"],
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_shard_cycle_smr_hlo_no_allgather():
+    """The mixed-level exchange must also move ng-slabs point-to-point:
+    collective-permutes, no all-gathers (comm volume check)."""
+    pin = ParameterInput.from_string(
+        SMR_DECK.format(phys="mhd", rsolver="hlld"))
+    mesh, phys, pgen, driver, state = build(pin)
+    driver.dmesh = make_device_mesh(5)
+    state = driver.initialize(state)
+    fn = jax.jit(driver.make_shard_cycle_fn(state))
+    dt = jnp.asarray(driver.mesh.dt, dtype=state["u"].dtype)
+    txt = fn.lower(state, dt).compile().as_text()
+    assert txt.count("collective-permute") > 0
+    assert "all-gather" not in txt

@@ -59,6 +59,7 @@ b_amb = 0.1
 
 def _run_cycles(dmesh, ncyc=3):
     pin = ParameterInput.from_string(DECK)
+    pin.set_value("mesh", "coalesce", "false")
     mesh, phys, pgen, driver, state = build(pin)
     driver.dmesh = dmesh
     state = driver.initialize(state)
