@@ -1553,12 +1553,15 @@ class MHD:
         if self.multilevel:
             from ..refinement import flux_correct_cc
             flx = flux_correct_cc(flx, self.mesh, [d[0] for d in self.dirs])
-        u = self.rk_update(u, saved["u1"], flx, gam0, gam1, beta_dt)
-        if self.is_gr:
-            u = self.coord_src_terms(u, w, bcc, beta_dt)
+        # gravity is solved from the pre-update state: the reference runs
+        # MGGravityDriver::Solve before the stagen task list
+        # (reference: driver.cpp:406-408)
         phi = None
         if self.pgrav is not None:
             phi = self.pgrav.solve(u, self.bvals)
+        u = self.rk_update(u, saved["u1"], flx, gam0, gam1, beta_dt)
+        if self.is_gr:
+            u = self.coord_src_terms(u, w, bcc, beta_dt)
         if self.srcterms is not None and self.srcterms.any_enabled:
             u = self.srcterms.apply(u, w, beta_dt, flx=flx, phi=phi)
         if self.psbox is not None:
