@@ -356,6 +356,15 @@ class Driver:
         outputs = outputs or []
         wall0 = _time.perf_counter()
 
+        # multigrid defect diagnostics: one host-side verbose solve on
+        # the current state (reference prints these inside every stage
+        # solve, multigrid_driver.cpp:788-860; the jitted cycle solves
+        # silently, so the diagnostic solve runs here)
+        pgrav = getattr(self.phys, "pgrav", None)
+        if pgrav is not None and getattr(pgrav, "show_defect", 0) > 0 \
+                and hasattr(pgrav, "solve_verbose"):
+            pgrav.solve_verbose(self._unpadded(state)["u"])
+
         # initial-condition outputs (skipped on restart, reference:
         # Driver::Initialize res_flag, driver.cpp:341)
         if not getattr(self, "res_flag", False):

@@ -22,6 +22,23 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def make_gravity(pin, mesh):
+    """Solver selection: global-FFT Poisson on uniform periodic meshes
+    (the TPU fast path), FAS multigrid otherwise or when requested
+    (reference: MGGravityDriver, src/gravity/mg_gravity.cpp)."""
+    uniform = not getattr(mesh, "multilevel", False) \
+        and not getattr(mesh, "adaptive", False)
+    periodic = all(v == "periodic" for v in mesh.mesh_bcs.values())
+    default = "fft" if (uniform and periodic) else "multigrid"
+    solver = pin.get_or_add_string("gravity", "solver", default)
+    if solver == "fft":
+        return SelfGravity(pin, mesh)
+    if solver == "multigrid":
+        from .multigrid import MGPoisson
+        return MGPoisson(pin, mesh)
+    raise ValueError(f"gravity/solver={solver} (fft|multigrid)")
+
+
 class SelfGravity:
     def __init__(self, pin, mesh) -> None:
         self.mesh = mesh
@@ -83,7 +100,7 @@ class SelfGravity:
         return f[self._inv_order]
 
     # ------------------------------------------------------------------
-    def solve(self, u, bvals):
+    def solve(self, u, bvals, phi0=None):
         """phi with filled ghosts, [nmb, 1, n3, n2, n1].
 
         Solves lap(phi) = four_pi_G (rho - rho_mean) on the global grid

@@ -153,6 +153,11 @@ def maybe_coalesce(pin, mesh, phys, dmesh=None) -> Optional[Coalescer]:
     if getattr(mesh, "multilevel", False) or getattr(mesh, "adaptive",
                                                     False):
         return None
+    if type(phys).__name__ not in ("Hydro", "MHD"):
+        # Z4c/DynGRMHD/Radiation/IonNeutral carry per-block module
+        # tables (wave-extraction spheres, tetrads, two-fluid pairing)
+        # that the superblock repack does not rewrite
+        return None
     if getattr(phys, "ppart", None) is not None:
         return None
     bv = getattr(phys, "bvals", None)

@@ -19,6 +19,7 @@ _REGISTRY = {
     "shock_tube": "athenak_tpu.pgen.shock_tube",
     "advection": "athenak_tpu.pgen.advection",
     "orszag_tang": "athenak_tpu.pgen.orszag_tang",
+    "binary_gravity": "athenak_tpu.pgen.binary_gravity",
     "blast": "athenak_tpu.pgen.blast",
     "cpaw": "athenak_tpu.pgen.cpaw",
     "alfven_wave": "athenak_tpu.pgen.cpaw",

@@ -208,8 +208,8 @@ class MHD:
 
         # self-gravity (reference: src/gravity/ + src/multigrid/; FFT
         # Poisson on uniform periodic meshes, SURVEY.md section 7 step 8)
-        from ..gravity import SelfGravity
-        self.pgrav = SelfGravity(pin, mesh) \
+        from ..gravity import make_gravity
+        self.pgrav = make_gravity(pin, mesh) \
             if pin.does_block_exist("gravity") else None
         self.srcterms_func = None
 
@@ -233,12 +233,16 @@ class MHD:
                                and supports_mega_stage(self, mesh))
 
         if self.multilevel:
+            from ..multigrid import MGPoisson
             blockers = {
                 "viscosity/resistivity/conduction":
                     self.pvisc or self.presist or self.pcond,
                 "turbulence driving": self.pturb,
                 "particles": self.ppart,
-                "self-gravity": self.pgrav,
+                # multigrid gravity handles refined meshes; the FFT
+                # fast path does not
+                "self-gravity (fft)": self.pgrav
+                if not isinstance(self.pgrav, MGPoisson) else None,
                 "shearing box": self.psbox,
             }
             for what, on in blockers.items():
@@ -1474,6 +1478,11 @@ class MHD:
             state.update(self.ppart.init_state_entries(u.dtype))
         if self.psbox is not None:
             state["t"] = jnp.asarray(0.0, dtype=u.dtype)
+        from ..multigrid import MGPoisson
+        if isinstance(self.pgrav, MGPoisson):
+            # warm-start carrier for the per-stage multigrid solve
+            state["phi"] = jnp.zeros((u.shape[0], 1) + u.shape[2:],
+                                     dtype=u.dtype)
         return state
 
     def save_state(self, state):
@@ -1555,10 +1564,12 @@ class MHD:
             flx = flux_correct_cc(flx, self.mesh, [d[0] for d in self.dirs])
         # gravity is solved from the pre-update state: the reference runs
         # MGGravityDriver::Solve before the stagen task list
-        # (reference: driver.cpp:406-408)
+        # (reference: driver.cpp:406-408); multigrid warm-starts from the
+        # previous stage's potential carried in state["phi"]
         phi = None
         if self.pgrav is not None:
-            phi = self.pgrav.solve(u, self.bvals)
+            phi = self.pgrav.solve(u, self.bvals,
+                                   phi0=state.get("phi"))
         u = self.rk_update(u, saved["u1"], flx, gam0, gam1, beta_dt)
         if self.is_gr:
             u = self.coord_src_terms(u, w, bcc, beta_dt)
@@ -1593,6 +1604,8 @@ class MHD:
             counters = dict(counters, nfofc=nfofc)
         out = dict(state)
         out.update({"u": u, "w": w, "bfc": bfc, "bcc": bcc})
+        if phi is not None and "phi" in state:
+            out["phi"] = phi
         return out, counters
 
     def dt_from_state(self, state):

@@ -158,11 +158,22 @@ class SourceTerms:
         ms = self.mesh.mesh_size
         mbi = self.mesh.mb_indcs
         p = phi[:, 0]
-        dirs = [(4, ms.dx1, "x1", IM1)]
+        if getattr(self.mesh, "multilevel", False):
+            from .comm import local_blocks
+            import numpy as _np
+
+            def _dx(name):
+                return local_blocks(
+                    _np.asarray(self.mesh.mb_size[name]).reshape(
+                        -1, 1, 1, 1), pad_edge=True)
+            dx1, dx2, dx3 = _dx("dx1"), _dx("dx2"), _dx("dx3")
+        else:
+            dx1, dx2, dx3 = ms.dx1, ms.dx2, ms.dx3
+        dirs = [(4, dx1, "x1", IM1)]
         if mbi.nx2 > 1:
-            dirs.append((3, ms.dx2, "x2", IM2))
+            dirs.append((3, dx2, "x2", IM2))
         if mbi.nx3 > 1:
-            dirs.append((2, ms.dx3, "x3", IM3))
+            dirs.append((2, dx3, "x3", IM3))
         for axis, dx, name, imom in dirs:
             a = axis - 1  # axis in 4D phi/channel arrays
             dpl = -(p - jnp.roll(p, 1, axis=a))       # phi(i) - phi(i-1)

@@ -96,3 +96,24 @@ def test_jeans_unstable_convergence(tmp_path):
     assert e_hi < 0.03, f"unstable omega error {e_hi:g} exceeds 0.03"
     assert e_hi / e_lo < 0.35, \
         f"unstable convergence ratio {e_hi / e_lo:g} exceeds 0.35"
+
+
+def test_jeans_multigrid_solver(tmp_path):
+    """The multigrid solver path reproduces the stable-wave frequency
+    (reference: test_mg_jeans3d_cpu.py 'mgi' mode, gravity/niteration=4)."""
+    pin = ParameterInput.from_string(DECK)
+    pin.modify_from_cmdline([
+        f"job/basename={tmp_path}/jeans_mg",
+        "mesh/nx1=32", "mesh/nx2=16", "mesh/nx3=16",
+        "problem/n_jeans=0.5",
+        "gravity/solver=multigrid",
+        "gravity/threshold=-1",
+        "gravity/niteration=4",
+        "gravity/npresmooth=2",
+        "gravity/npostsmooth=2",
+        "gravity/full_multigrid=true",
+    ])
+    mesh, phys, driver, state = run(pin)
+    out = jeans_wave.final(pin, mesh, phys, state)
+    rel = abs(out["omega_measured"] - out["omega"]) / out["omega"]
+    assert rel < 0.03, f"MG jeans omega error {rel:g} exceeds 0.03"

@@ -1,0 +1,276 @@
+"""Multigrid Poisson solver regressions, mirroring the reference suite
+(reference: tst/test_suite/multigrid/test_mg_poisson3d_cpu.py — defect
+threshold 1e-8 within 10 V-cycles at avg ratio <= 0.07, decomposition
+independence; test_mg_binary_gravity_cpu.py — SMR defect to 1e-9 within
+13 V-cycles at ratio <= 0.125, uniform/SMR defect consistency)."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from athenak_tpu.athinput import ParameterInput
+from athenak_tpu.main import run
+from athenak_tpu.mesh import Mesh
+from athenak_tpu.multigrid import MGPoisson
+
+DECK = """
+<job>
+basename = mgtest
+
+<mesh>
+nghost = 2
+nx1 = 32
+x1min = -0.5
+x1max = 0.5
+ix1_bc = periodic
+ox1_bc = periodic
+nx2 = 32
+x2min = -0.5
+x2max = 0.5
+ix2_bc = periodic
+ox2_bc = periodic
+nx3 = 32
+x3min = -0.5
+x3max = 0.5
+ix3_bc = periodic
+ox3_bc = periodic
+
+<meshblock>
+nx1 = 8
+nx2 = 8
+nx3 = 8
+
+<gravity>
+four_pi_G = 1.0
+threshold = 1e-8
+niteration = -1
+npresmooth = 2
+npostsmooth = 2
+full_multigrid = true
+show_defect = 2
+"""
+
+SMR = """
+<mesh_refinement>
+refinement = static
+
+<refined_region1>
+level = 1
+x1min = -0.25
+x1max = 0.25
+x2min = -0.25
+x2max = 0.25
+x3min = -0.25
+x3max = 0.25
+
+<refined_region2>
+level = 2
+x1min = -0.125
+x1max = 0.125
+x2min = -0.125
+x2max = 0.125
+x3min = -0.125
+x3max = 0.125
+"""
+
+
+def _setup(deck, **over):
+    pin = ParameterInput.from_string(deck)
+    for k, v in over.items():
+        blk, par = k.split("__")
+        pin.set_value(blk, par, str(v))
+    mesh = Mesh(pin)
+    mg = MGPoisson(pin, mesh)
+    mbi = mesh.mb_indcs
+    u = np.zeros((mesh.nmb_total, 5, mbi.ncells3, mbi.ncells2,
+                  mbi.ncells1))
+    for g in range(mesh.nmb_total):
+        x1v, x2v, x3v = mesh.cell_centers(g)
+        X3, X2, X1 = np.meshgrid(x3v[mbi.ks:mbi.ke + 1],
+                                 x2v[mbi.js:mbi.je + 1],
+                                 x1v[mbi.is_:mbi.ie + 1], indexing="ij")
+        r2 = (X1 - 0.01) ** 2 + X2 ** 2 + X3 ** 2
+        u[g, 0, mbi.ks:mbi.ke + 1, mbi.js:mbi.je + 1,
+          mbi.is_:mbi.ie + 1] = 1.0 + 50.0 * np.exp(-r2 / 0.002)
+    return pin, mesh, mg, jnp.asarray(u)
+
+
+def _check(hist, threshold, max_iters, max_ratio, label):
+    assert hist[-1] <= threshold, \
+        f"{label}: final defect {hist[-1]:g} > {threshold:g}"
+    n_vc = len(hist) - 1
+    assert n_vc <= max_iters, f"{label}: {n_vc} V-cycles > {max_iters}"
+    ratios = [hist[i + 1] / hist[i] for i in range(n_vc) if hist[i] > 0]
+    gm = math.exp(sum(math.log(r) for r in ratios) / len(ratios))
+    assert gm <= max_ratio, \
+        f"{label}: avg convergence ratio {gm:g} > {max_ratio:g}"
+
+
+def test_mg_uniform_defect_convergence():
+    """Uniform 32^3: defect to 1e-8 in <= 10 V-cycles, ratio <= 0.07."""
+    _, _, mg, u = _setup(DECK)
+    hist = mg.solve_verbose(u)
+    _check(hist, 1e-8, 10, 0.07, "uniform")
+
+
+def test_mg_decomposition_consistency():
+    """Final defect must not depend on the meshblock decomposition
+    (16^3 mesh to keep CPU compile time down; the 32^3 uniform case is
+    covered by test_mg_uniform_defect_convergence)."""
+    finals = []
+    for mb in (4, 16):
+        _, _, mg, u = _setup(DECK, mesh__nx1=16, mesh__nx2=16,
+                             mesh__nx3=16, meshblock__nx1=mb,
+                             meshblock__nx2=mb, meshblock__nx3=mb)
+        finals.append(mg.solve_verbose(u)[-1])
+    spread = (max(finals) - min(finals)) / max(finals)
+    assert spread < 1e-4, f"defect spread {spread:g} across decompositions"
+
+
+def test_mg_smr_defect_convergence():
+    """2-level nested SMR: defect to 1e-9 in <= 13 V-cycles, ratio
+    <= 0.125 (reference binary-gravity SMR bounds)."""
+    _, _, mg, u = _setup(DECK + SMR, gravity__threshold="1e-9")
+    assert len(mg.boxes) == 2
+    hist = mg.solve_verbose(u)
+    _check(hist, 1e-9, 13, 0.125, "smr")
+
+
+def test_mg_matches_fft_on_uniform():
+    """MG and the FFT fast path must agree on a uniform periodic mesh
+    (both solve the same 2nd-order FD Poisson equation)."""
+    from athenak_tpu.bvals import BoundaryValues
+    from athenak_tpu.gravity import SelfGravity
+
+    pin, mesh, mg, u = _setup(DECK, gravity__threshold="1e-12")
+    bvals = BoundaryValues(mesh)
+    phi_mg = np.asarray(mg.solve(u, bvals))
+    fft = SelfGravity(pin, mesh)
+    phi_fft = np.asarray(fft.solve(u, bvals))
+    mbi = mesh.mb_indcs
+    act = (slice(None), 0, slice(mbi.ks, mbi.ke + 1),
+           slice(mbi.js, mbi.je + 1), slice(mbi.is_, mbi.ie + 1))
+    np.testing.assert_allclose(phi_mg[act], phi_fft[act],
+                               rtol=0, atol=5e-10)
+
+
+BINARY_DECK = """
+<job>
+basename = binary
+
+<mesh>
+nghost = 2
+nx1 = 16
+x1min = -0.5
+x1max = 0.5
+ix1_bc = periodic
+ox1_bc = periodic
+nx2 = 16
+x2min = -0.5
+x2max = 0.5
+ix2_bc = periodic
+ox2_bc = periodic
+nx3 = 16
+x3min = -0.5
+x3max = 0.5
+ix3_bc = periodic
+ox3_bc = periodic
+
+<meshblock>
+nx1 = 4
+nx2 = 4
+nx3 = 4
+
+<mesh_refinement>
+refinement = static
+
+<refined_region1>
+level = 1
+x1min = -0.25
+x1max = 0.25
+x2min = -0.25
+x2max = 0.25
+x3min = -0.25
+x3max = 0.25
+
+<refined_region2>
+level = 2
+x1min = -0.125
+x1max = 0.125
+x2min = -0.125
+x2max = 0.125
+x3min = -0.125
+x3max = 0.125
+
+<time>
+evolution = dynamic
+integrator = rk2
+cfl_number = 0.2
+nlim = 1
+tlim = 1.0
+ndiag = 1
+
+<hydro>
+eos = isothermal
+reconstruct = plm
+rsolver = llf
+iso_sound_speed = 1.0
+
+<gravity>
+four_pi_G = 1.0
+threshold = 1e-9
+niteration = -1
+npresmooth = 2
+npostsmooth = 2
+full_multigrid = true
+show_defect = 2
+
+<hydro_srcterms>
+self_gravity = true
+
+<problem>
+pgen_name = binary_gravity
+radius = 0.09
+m1 = 2.0
+m2 = 1.0
+x1 = 0.15
+x2 = -0.15
+"""
+
+
+def test_binary_gravity_smr(tmp_path, capsys):
+    """Binary two-sphere deck on a 2-level SMR mesh: the MG defect
+    reaches threshold on the pgen state and the error report matches
+    the reference's format (reference: test_mg_binary_gravity_cpu.py,
+    defect-only asserts)."""
+    from athenak_tpu.main import build
+    from athenak_tpu.pgen import binary_gravity
+
+    pin = ParameterInput.from_string(BINARY_DECK)
+    pin.set_value("job", "basename", f"{tmp_path}/binary")
+    mesh, phys, pgen, driver, state = build(pin)
+    hist = phys.pgrav.solve_verbose(state["u"])
+    out = capsys.readouterr().out
+    assert "MG initial defect" in out
+    assert hist[-1] <= 1e-9 and len(hist) - 1 <= 13
+    res = binary_gravity.final(pin, mesh, phys, state,
+                               phi=phys.pgrav._last_phi)
+    # loose guard only: the reference CPU suite asserts defect, not
+    # accuracy (the isolated-sphere analytic ignores periodic images)
+    assert np.isfinite(res["acc_l2"]) and res["acc_l2"] < 1.0
+
+
+def test_binary_gravity_coupled_run(tmp_path):
+    """One coupled hydro+MG-gravity cycle on the SMR mesh executes
+    (fixed niteration keeps the in-jit solve trace small)."""
+    pin = ParameterInput.from_string(BINARY_DECK)
+    pin.modify_from_cmdline([
+        f"job/basename={tmp_path}/binary_run",
+        "gravity/threshold=-1", "gravity/niteration=2",
+        "gravity/full_multigrid=false", "gravity/show_defect=0",
+    ])
+    mesh, phys, driver, state = run(pin)
+    assert mesh.ncycle == 1
+    assert np.all(np.isfinite(np.asarray(state["u"])))
