@@ -21,6 +21,8 @@ import os
 import sys
 import time as _time
 
+import numpy as np
+
 
 def setup_precision(pin) -> None:
     """Enable f64 unless <job>/precision=single.
@@ -89,15 +91,17 @@ def make_physics(pin, mesh, bvals):
     return phys
 
 
-def build(pin):
-    """Construct mesh -> physics -> pgen -> driver (reference main.cpp order)."""
+def build(pin, leaves=None):
+    """Construct mesh -> physics -> pgen -> driver (reference main.cpp
+    order).  ``leaves`` rebuilds an evolved tree on restart
+    (reference: Mesh::BuildTreeFromRestart, mesh/build_tree.cpp)."""
     from .bvals import BoundaryValues
     from .driver import Driver
     from .mesh import Mesh
     from .pgen import get_pgen
 
     setup_precision(pin)
-    mesh = Mesh(pin)
+    mesh = Mesh(pin, leaves=leaves)
     bvals = BoundaryValues(mesh)
     phys = make_physics(pin, mesh, bvals)
 
@@ -139,12 +143,19 @@ def run_restart(restart_file: str, overrides=None, verbose: bool = False):
     from .athinput import ParameterInput
     from .outputs import load_restart, make_outputs
 
-    params, time, dt, ncycle, rstate = load_restart(restart_file)
+    params, time, dt, ncycle, rstate, extras = load_restart(
+        restart_file, with_extras=True)
     pin = ParameterInput.from_string(params)
     if overrides:
         pin.modify_from_cmdline(overrides)
 
-    mesh, phys, pgen, driver, state = build(pin)
+    # rebuild the EVOLVED tree, not the deck's initial tree
+    # (reference: BuildTreeFromRestart reads the stored lloc list)
+    mesh, phys, pgen, driver, state = build(
+        pin, leaves=extras.get("tree_leaves"))
+    if driver.pamr is not None and "amr_ncyc_since_ref" in extras:
+        driver.pamr.ncyc_since_ref = np.asarray(
+            extras["amr_ncyc_since_ref"]).copy()
     # replace pgen ICs with the checkpointed state; pgen.init already ran
     # so any user callbacks (BCs, srcterms) are enrolled
     state = {k: (v if not isinstance(v, dict)
@@ -164,6 +175,8 @@ def run_restart(restart_file: str, overrides=None, verbose: bool = False):
 
     state = driver.initialize(state)
     state = driver.execute(state, outputs=outputs, verbose=verbose)
+    # AMR rebuilds mesh/phys during execute; report against the final tree
+    mesh, phys = driver.mesh, driver.phys
     if hasattr(pgen, "final"):
         pgen.final(pin, mesh, phys, state)
     return mesh, phys, driver, state

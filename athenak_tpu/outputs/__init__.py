@@ -386,6 +386,17 @@ class RestartOutput(BaseOutput):
             "dt": np.float64(mesh.dt),
             "ncycle": np.int64(mesh.ncycle),
         }
+        # evolved tree: the lloc list rebuilds the mesh on resume
+        # (reference: restart.cpp:207-310 writes lloc_eachmb/cost lists,
+        # BuildTreeFromRestart reconstructs the tree)
+        if getattr(mesh, "leaves", None) is not None:
+            payload["tree_leaves"] = np.array(
+                [[l1, l2, l3, lv] for (l1, l2, l3, lv) in mesh.leaves],
+                dtype=np.int64)
+        drv = getattr(self, "driver", None)
+        if drv is not None and getattr(drv, "pamr", None) is not None:
+            payload["amr_ncyc_since_ref"] = np.asarray(
+                drv.pamr.ncyc_since_ref, dtype=np.int64)
         flat, treedef = _flatten_state(state)
         payload["treedef"] = np.frombuffer(treedef.encode(), dtype=np.uint8)
         for i, leaf in enumerate(flat):
@@ -424,8 +435,10 @@ def unflatten_state(keys_json, leaves):
     return out
 
 
-def load_restart(fname):
-    """Read a .rst file -> (params_text, time, dt, ncycle, state_arrays)."""
+def load_restart(fname, with_extras: bool = False):
+    """Read a .rst file -> (params_text, time, dt, ncycle, state_arrays
+    [, extras]).  extras carries the evolved tree (``tree_leaves``) and
+    AMR bookkeeping when present."""
     import jax.numpy as jnp
     z = np.load(fname)
     params = bytes(z["params"]).decode()
@@ -436,7 +449,18 @@ def load_restart(fname):
         leaves.append(jnp.asarray(z[f"leaf{i}"]))
         i += 1
     state = unflatten_state(treedef, leaves)
-    return params, float(z["time"]), float(z["dt"]), int(z["ncycle"]), state
+    out = (params, float(z["time"]), float(z["dt"]), int(z["ncycle"]),
+           state)
+    if with_extras:
+        extras = {}
+        if "tree_leaves" in z:
+            extras["tree_leaves"] = [tuple(int(x) for x in row)
+                                     for row in z["tree_leaves"]]
+        if "amr_ncyc_since_ref" in z:
+            extras["amr_ncyc_since_ref"] = np.asarray(
+                z["amr_ncyc_since_ref"])
+        return out + (extras,)
+    return out
 
 
 class VtkOutput(BaseOutput):

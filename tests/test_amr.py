@@ -374,3 +374,39 @@ def test_amr_lwave2d_convergence(tmp_path):
     # (error level set by the coarse region; ratio < 0.45 = converging)
     assert e64 < 1.2e-7, f"64-zone AMR error {e64:g}"
     assert e64 / e32 < 0.45, f"AMR convergence ratio {e64 / e32:g}"
+
+
+# ---------------------------------------------------------------------------
+# AMR-aware restart: the evolved tree is checkpointed and rebuilt
+# (reference: restart.cpp:207-310 lloc lists + BuildTreeFromRestart)
+# ---------------------------------------------------------------------------
+def test_amr_restart_bit_exact_continuation(tmp_path):
+    from athenak_tpu.main import run_restart
+
+    # uninterrupted run to nlim=40 (tree refines along the way)
+    pin1 = ParameterInput.from_string(HYDRO_DECK)
+    pin1.modify_from_cmdline([f"job/basename={tmp_path}/full"])
+    mesh1, phys1, drv1, st1 = run(pin1)
+    assert drv1.pamr.nmb_created > 0
+
+    # interrupted at nlim=20 with a restart dump, then resumed
+    deck2 = HYDRO_DECK + """
+<output1>
+file_type = rst
+dcycle = 20
+"""
+    pin2 = ParameterInput.from_string(deck2)
+    pin2.modify_from_cmdline([f"job/basename={tmp_path}/half",
+                              "time/nlim=20"])
+    mesh2a, _, drv2a, _ = run(pin2)
+    assert int(mesh2a.mb_lev.max()) >= 1, "tree must be refined by nlim=20"
+    import glob
+    rst = sorted(glob.glob(f"{tmp_path}/half.*.rst"))[-1]
+    mesh2, phys2, drv2, st2 = run_restart(rst, overrides=["time/nlim=40"])
+
+    # the evolved tree was restored, not the deck's flat root tree
+    assert mesh2.nmb_total == mesh1.nmb_total
+    assert list(map(tuple, mesh2.leaves)) == list(map(tuple, mesh1.leaves))
+    assert np.isclose(mesh1.time, mesh2.time, rtol=1e-14)
+    np.testing.assert_allclose(np.asarray(st2["u"]), np.asarray(st1["u"]),
+                               rtol=1e-13, atol=1e-15)
