@@ -23,6 +23,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Parity testing hook: tests/test_pallas_parity.py flips this to run the
+# kernels in Pallas interpret mode on CPU and compare against the
+# general jnp path.
+INTERPRET = False
+
+
+def _pcall(*args, **kwargs):
+    return pl.pallas_call(*args, interpret=INTERPRET, **kwargs)
+
+
+
 _NG = 2
 
 
@@ -63,7 +74,7 @@ def periodic_fill_cc(u):
     def kern(in_ref, out_ref):
         out_ref[0] = _wrap_plane(in_ref[0], n2 - 2 * _NG, n1 - 2 * _NG)
 
-    return pl.pallas_call(
+    return _pcall(
         kern, grid=(nmb, n3),
         in_specs=[pl.BlockSpec((1, C, 1, n2, n1),
                                lambda m, p: (m, 0, s3(p), 0, 0),
@@ -98,7 +109,7 @@ def periodic_fill_fc(bfc):
         def kern(in_ref, out_ref, n2=n2, n1=n1, nint=nint):
             out_ref[0] = _wrap_plane(in_ref[0], nint[2], nint[3])
 
-        out[comp] = pl.pallas_call(
+        out[comp] = _pcall(
             kern, grid=(nmb, n3),
             in_specs=[pl.BlockSpec((1, 1, n2, n1),
                                    lambda m, p, s3=s3: (m, s3(p), 0, 0),

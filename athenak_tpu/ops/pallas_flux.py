@@ -19,6 +19,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Parity testing hook: tests/test_pallas_parity.py flips this to run the
+# kernels in Pallas interpret mode on CPU and compare against the
+# general jnp path.
+INTERPRET = False
+
+
+def _pcall(*args, **kwargs):
+    return pl.pallas_call(*args, interpret=INTERPRET, **kwargs)
+
+
+
 from ..indices import IDN, IEN
 from .eos import EOSData
 from . import rsolvers_mhd
@@ -118,7 +129,7 @@ def fused_plm_hlld_lanes(w, bcc, bx, eos: EOSData, ivx: int,
         jax.ShapeDtypeStruct(bx.shape, w.dtype),
         jax.ShapeDtypeStruct(bx.shape, w.dtype),
     )
-    return pl.pallas_call(
+    return _pcall(
         _make_kernel(eos, ivx, dfloor, efloor),
         grid=grid,
         in_specs=in_specs,

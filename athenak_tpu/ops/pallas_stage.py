@@ -30,6 +30,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Parity testing hook: tests/test_pallas_parity.py flips this to run the
+# kernels in Pallas interpret mode on CPU and compare against the
+# general jnp path.
+INTERPRET = False
+
+
+def _pcall(*args, **kwargs):
+    return pl.pallas_call(*args, interpret=INTERPRET, **kwargs)
+
+
+
 from ..indices import IDN
 from .eos import EOSData
 from . import rsolvers_mhd
@@ -238,14 +249,14 @@ def fused_stage3d(w, bcc, bfc, u0, u1, eos: EOSData,
         return k1
 
     if gam0 == 0.0:
-        acc, fd1, ey1, ez1 = pl.pallas_call(
+        acc, fd1, ey1, ez1 = _pcall(
             mk_k1(False), grid=grid,
             in_specs=in1 + [blk(nv)],
             out_specs=(blk(nv), blk(None), blk(None), blk(None)),
             out_shape=out_sds,
         )(*ops1, u1)
     else:
-        acc, fd1, ey1, ez1 = pl.pallas_call(
+        acc, fd1, ey1, ez1 = _pcall(
             mk_k1(True), grid=grid,
             in_specs=in1 + [blk(nv), blk(nv)],
             out_specs=(blk(nv), blk(None), blk(None), blk(None)),
@@ -255,7 +266,7 @@ def fused_stage3d(w, bcc, bfc, u0, u1, eos: EOSData,
     # ---- x2 (sublanes): accumulator aliased through
     bd2 = jnp.asarray(beta_dt / dxs["x2"], dt).reshape(1, 1)
     k2 = _mk_roll_kernel(eos, 2, -2, dfloor, efloor)
-    acc, fd2, ey2, ez2 = pl.pallas_call(
+    acc, fd2, ey2, ez2 = _pcall(
         k2, grid=grid,
         in_specs=[smem_spec(), blk(nv), blk(3), blk(None), blk(nv)],
         out_specs=(blk(nv), blk(None), blk(None), blk(None)),
@@ -297,7 +308,7 @@ def fused_stage3d(w, bcc, bfc, u0, u1, eos: EOSData,
 
     grid3 = (nmb, (n3 - 4) // TK) if full_tj \
         else (nmb, (n3 - 4) // TK, n2 // TJ)
-    acc, fd3, ey3, ez3 = pl.pallas_call(
+    acc, fd3, ey3, ez3 = _pcall(
         k3, grid=grid3,
         in_specs=[smem_spec(),
                   e_blk(nv, TK + 4, 0), e_blk(3, TK + 4, 0),
@@ -466,7 +477,7 @@ def fused_ct3d(w, bcc, fden, emf, bfc, bfc_old, gam0: float, gam1: float,
     grid = (nmb, (n3 - 4) // KC)
     smem = pl.BlockSpec((1, 3), lambda *a: (0, 0),
                         memory_space=pltpu.SMEM)
-    nb1, nb2, nb3 = pl.pallas_call(
+    nb1, nb2, nb3 = _pcall(
         kern, grid=grid,
         in_specs=[smem,
                   cwin(nv), cwin(3),                      # w, bcc
@@ -685,7 +696,7 @@ def fused_mega_stage3d(w, bcc, bfc, u0, u1, bfc_old, eos: EOSData,
     grid = (nmb, (n3 - 4) // K)
     smem = pl.BlockSpec((1, 3), lambda *a: (0, 0),
                         memory_space=pltpu.SMEM)
-    acc, nb1, nb2, nb3 = pl.pallas_call(
+    acc, nb1, nb2, nb3 = _pcall(
         kern, grid=grid,
         in_specs=[smem,
                   win(nv, K + 4, 0), win(3, K + 4, 0),         # w, bcc
@@ -809,7 +820,7 @@ def fused_aux3d(u, bfc, eos: EOSData):
             lambda m, s: (m, s * KP, 0, 0),
             memory_space=pltpu.VMEM)
 
-    u_fixed, w, bcc, cnt = pl.pallas_call(
+    u_fixed, w, bcc, cnt = _pcall(
         kern, grid=(nmb, n3 // KP),
         in_specs=[cwin(nv),
                   fwin(KP, ni=n1 + 1), fwin(KP, nj=n2 + 1),

@@ -1,0 +1,161 @@
+"""Parity of the Pallas fused TPU kernels vs the general jnp path.
+
+The fused stage/CT/mega/fill kernels are the production path on TPU
+(mhd.use_pallas) but the CPU suite never executes them; these tests run
+them in Pallas interpret mode on CPU (ops/pallas_*.INTERPRET) and
+require near-f32-exact agreement with the jnp path over full cycles, so
+a regression in the kernels cannot silently change benchmark physics.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from athenak_tpu.athinput import ParameterInput
+from athenak_tpu.main import build
+from athenak_tpu.ops import pallas_fill, pallas_flux, pallas_stage
+
+DECK = """
+<job>
+basename = pallas_parity
+precision = single
+
+<mesh>
+nghost = 2
+nx1 = 28
+x1min = -0.5
+x1max = 0.5
+ix1_bc = periodic
+ox1_bc = periodic
+nx2 = 28
+x2min = -0.5
+x2max = 0.5
+ix2_bc = periodic
+ox2_bc = periodic
+nx3 = 28
+x3min = -0.5
+x3max = 0.5
+ix3_bc = periodic
+ox3_bc = periodic
+
+<meshblock>
+nx1 = 28
+nx2 = 28
+nx3 = 28
+
+<time>
+evolution = dynamic
+integrator = rk2
+cfl_number = 0.3
+tlim = 1.0
+nlim = 2
+ndiag = 10000
+
+<mhd>
+eos = ideal
+reconstruct = plm
+rsolver = hlld
+gamma = 1.6666666666666667
+
+<problem>
+pgen_name = blast
+inner_radius = 0.1
+outer_radius = 0.25
+prat = 100.0
+b_amb = 0.1
+"""
+
+
+@pytest.fixture
+def f32_interpret():
+    """f32 + Pallas interpret mode, restored afterwards."""
+    jax.config.update("jax_enable_x64", False)
+    pallas_stage.INTERPRET = True
+    pallas_fill.INTERPRET = True
+    pallas_flux.INTERPRET = True
+    yield
+    pallas_stage.INTERPRET = False
+    pallas_fill.INTERPRET = False
+    pallas_flux.INTERPRET = False
+    jax.config.update("jax_enable_x64", True)
+
+
+def _cycles(driver, state, n=2):
+    fn = jax.jit(driver.make_cycle_fn())
+    dt = jnp.asarray(driver.mesh.dt, dtype=state["u"].dtype)
+    for _ in range(n):
+        state, dtnew, _ = fn(state, dt)
+    return jax.tree_util.tree_map(np.asarray, state)
+
+
+def _run(force_pallas: bool, mega: bool = True):
+    pin = ParameterInput.from_string(DECK)
+    pin.set_value("mesh", "coalesce", "false")
+    if force_pallas:
+        pin.set_value("mhd", "use_pallas", "true")
+    else:
+        pin.set_value("mhd", "use_pallas", "false")
+    mesh, phys, pgen, driver, state = build(pin)
+    if force_pallas:
+        assert phys.use_pallas, "pallas path did not engage"
+        if not mega:
+            phys.use_mega_stage = False
+            assert phys.use_fused_stage and phys.use_fused_ct
+        # the single-block periodic ghost fill is TPU-gated; force it so
+        # interpret mode covers ops/pallas_fill.py too
+        phys.bvals.use_pallas_fill = True
+    state = driver.initialize(state)
+    return driver, _cycles(driver, state)
+
+
+def _compare(ref, got):
+    """Two-tier f32 parity: virtually all cells at reassociation-noise
+    level, every cell within a strict bound.  (At the blast shock front
+    HLLD wave-speed branches flip on f32 ULPs, so a handful of cells
+    legitimately differ by more than fused-vs-jnp rounding.)"""
+    def tiers(a, b, label, scale=None):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        if scale is None:
+            scale = np.abs(b).max(axis=(-3, -2, -1), keepdims=True)
+        err = np.abs(a - b) / scale
+        frac_tight = float((err < 3e-5).mean())
+        # a few % of cells sit on the blast shell where solver branches
+        # flip on f32 ULPs (verified: every >3e-5 cell lies at shell
+        # radii); a systematic kernel bug would blow both bounds
+        assert frac_tight > 0.95, \
+            f"{label}: only {frac_tight:.4f} of cells within 3e-5"
+        assert err.max() < 5e-3, \
+            f"{label}: max scale-relative err {err.max():g}"
+
+    # interiors only: the fused paths fill ghosts lazily (the next
+    # cycle's fill overwrites them), so ghost contents differ by design
+    ng = 2
+    act = (slice(None), slice(None), slice(ng, -ng), slice(ng, -ng),
+           slice(ng, -ng))
+    actf = (slice(None), slice(ng, -ng), slice(ng, -ng), slice(ng, -ng))
+    tiers(got["u"][act], ref["u"][act], "u")
+    # B components share one scale: a zero-background component's
+    # max is itself noise-sized, not a meaningful normalizer
+    bscale = max(float(np.abs(np.asarray(ref["bfc"][c])).max())
+                 for c in ("x1f", "x2f", "x3f"))
+    for c in ("x1f", "x2f", "x3f"):
+        tiers(got["bfc"][c][actf], ref["bfc"][c][actf], f"bfc[{c}]",
+              scale=bscale)
+
+
+def test_fused_stage_ct_parity(f32_interpret):
+    """fused_stage3d + fused_ct3d + pallas ghost fill vs the jnp path."""
+    _, ref = _run(False)
+    drv, got = _run(True, mega=False)
+    assert not drv.phys.use_mega_stage
+    _compare(ref, got)
+
+
+def test_mega_stage_parity(f32_interpret):
+    """fused_mega_stage3d (single-kernel full stage) vs the jnp path."""
+    _, ref = _run(False)
+    drv, got = _run(True, mega=True)
+    assert drv.phys.use_mega_stage, "mega-stage gate did not engage"
+    _compare(ref, got)
