@@ -185,6 +185,15 @@ def run_restart(restart_file: str, overrides=None, verbose: bool = False):
 def main(argv=None) -> int:
     from .athinput import ParameterInput
 
+    # Pin the JAX backend before first use.  The env var JAX_PLATFORMS
+    # can be overridden by out-of-tree device plugins; the config update
+    # is authoritative (e.g. ATHENAK_PLATFORM=cpu for a CPU run on a
+    # TPU host).
+    plat = os.environ.get("ATHENAK_PLATFORM")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
+
     ap = argparse.ArgumentParser(prog="athenak_tpu")
     ap.add_argument("-i", dest="input", help="input athinput file")
     ap.add_argument("-r", dest="restart", help="restart (.rst) file",

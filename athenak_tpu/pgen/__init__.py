@@ -24,6 +24,9 @@ _REGISTRY = {
     "cpaw": "athenak_tpu.pgen.cpaw",
     "alfven_wave": "athenak_tpu.pgen.cpaw",
     "diffusion_test": "athenak_tpu.pgen.diffusion_test",
+    "field_loop": "athenak_tpu.pgen.field_loop",
+    "implode": "athenak_tpu.pgen.lw_implode",
+    "lw_implode": "athenak_tpu.pgen.lw_implode",
     "gr_bondi": "athenak_tpu.pgen.gr_bondi",
     "gravity": "athenak_tpu.pgen.jeans_wave",
     "jeans": "athenak_tpu.pgen.jeans_wave",
