@@ -6,13 +6,13 @@ Policy-based design mirroring the reference
 fast logs) behind a vectorized Kastaun-style con-to-prim solver.
 """
 
-from .policies import (CompOSEPS, IdealGasPS, NQTLogs, NormalLogs,
+from .policies import (CompOSEPS, HybridPS, IdealGasPS, NQTLogs, NormalLogs,
                        PiecewisePolytropePS, make_policy)
 from .primitive_solver import (PrimitiveSolverPS, lower, raise_, contract,
                                spatial_det, spatial_inv, sym6)
 
 __all__ = [
-    "CompOSEPS", "IdealGasPS", "NQTLogs", "NormalLogs",
+    "CompOSEPS", "HybridPS", "IdealGasPS", "NQTLogs", "NormalLogs",
     "PiecewisePolytropePS", "make_policy", "PrimitiveSolverPS",
     "lower", "raise_", "contract", "spatial_det", "spatial_inv", "sym6",
 ]

@@ -407,6 +407,133 @@ class CompOSEPS:
                             self.logs.log2(jnp.maximum(p, 1e-300)), Y)
 
 
+# ------------------------------------------------------------------ hybrid
+class HybridPS:
+    """Cold 1D tabulated EOS (CompOSE-style, uniform in log2 n) plus a
+    thermal Gamma-law component (reference: eos_hybrid.hpp).
+
+    P(n,T) = P_cold(n) + n T,   e(n,T) = e_cold(n) + n T / (G_th - 1),
+    cs^2   = (H_cold cs_cold^2 + G_th T) / (H_cold + G_th T/(G_th - 1))
+    with the cold curves linearly interpolated in log2 n
+    (reference: eos_hybrid.hpp eval_at_ln / SoundSpeed).
+    """
+
+    name = "hybrid"
+
+    def __init__(self, log2_n, log2_P, log2_e, cs, mb: float = 1.0,
+                 gamma_thermal: float = 5.0 / 3.0,
+                 use_nqt: bool = False) -> None:
+        self.mb = mb
+        self.logs = NQTLogs() if use_nqt else NormalLogs()
+        g = min(max(gamma_thermal, 1.00001), 2.0)  # reference clamp
+        self.gamma_th = g
+        self.gth_m1 = g - 1.0
+        self.ln = np.asarray(log2_n, dtype=np.float64)
+        self.tab_lp = np.asarray(log2_P, dtype=np.float64)
+        self.tab_le = np.asarray(log2_e, dtype=np.float64)
+        self.tab_cs = np.asarray(cs, dtype=np.float64)
+        self.min_n = float(2.0 ** self.ln[0])
+        self.max_n = float(2.0 ** self.ln[-1])
+        self.min_T = 0.0
+        self.max_T = _BIG
+        # minimum enthalpy over the cold table (reference caches m_min_h
+        # on table read)
+        nvals = 2.0 ** self.ln
+        h = (2.0 ** self.tab_le + 2.0 ** self.tab_lp) / nvals
+        self._min_h = float(h.min())
+
+    @classmethod
+    def from_cold_policy(cls, policy, n_lo, n_hi, nn=256,
+                         gamma_thermal=5.0 / 3.0, use_nqt=False):
+        """Sample another policy's T=0 curves onto a log2-n grid (the
+        unit-test path, mirroring CompOSEPS.from_function)."""
+        ln = np.linspace(np.log2(n_lo), np.log2(n_hi), nn)
+        n = jnp.asarray(2.0 ** ln)
+        T0 = jnp.zeros_like(n)
+        P = np.asarray(policy.pressure(n, T0))
+        e = np.asarray(policy.energy(n, T0))
+        cs = np.asarray(policy.sound_speed(n, T0))
+        return cls(ln, np.log2(P), np.log2(e), cs, mb=policy.mb,
+                   gamma_thermal=gamma_thermal, use_nqt=use_nqt)
+
+    @classmethod
+    def from_npz(cls, fname, gamma_thermal=5.0 / 3.0, use_nqt=False):
+        d = np.load(fname)
+        return cls(d["log2_n"], d["log2_P"], d["log2_e"], d["cs"],
+                   mb=float(d["mb"]), gamma_thermal=gamma_thermal,
+                   use_nqt=use_nqt)
+
+    @classmethod
+    def from_input(cls, pin, block: str):
+        fname = pin.get_string(block, "eos_file")
+        return cls.from_npz(
+            fname,
+            gamma_thermal=pin.get_or_add_real(block, "gamma_thermal",
+                                              5.0 / 3.0),
+            use_nqt=pin.get_or_add_boolean(block, "use_nqt", False))
+
+    # -- cold-curve interpolation (eval_at_ln, eos_hybrid.hpp:255-270)
+    def _eval(self, table, n):
+        ln = self.logs.log2(jnp.clip(n, self.min_n, self.max_n))
+        dx = self.ln[1] - self.ln[0]
+        f = (ln - self.ln[0]) / dx
+        i0 = jnp.clip(jnp.floor(f).astype(jnp.int32), 0, len(self.ln) - 2)
+        w = jnp.clip(f - i0, 0.0, 1.0)
+        tab = jnp.asarray(table)
+        return (1.0 - w) * jnp.take(tab, i0) + w * jnp.take(tab, i0 + 1)
+
+    def _cold_p(self, n):
+        return self.logs.exp2(self._eval(self.tab_lp, n))
+
+    def _cold_e(self, n):
+        return self.logs.exp2(self._eval(self.tab_le, n))
+
+    def _cold_cs(self, n):
+        return self._eval(self.tab_cs, n)
+
+    # -- thermodynamics (vectorized eos_hybrid.hpp:82-146)
+    def temperature_from_e(self, n, e, Y=None):
+        return jnp.maximum(
+            self.gth_m1 * (e - self._cold_e(n)) / n, self.min_T)
+
+    def temperature_from_p(self, n, p, Y=None):
+        return jnp.maximum((p - self._cold_p(n)) / n, self.min_T)
+
+    def energy(self, n, T, Y=None):
+        return self._cold_e(n) + n * T / self.gth_m1
+
+    def pressure(self, n, T, Y=None):
+        return self._cold_p(n) + n * T
+
+    def enthalpy(self, n, T, Y=None):
+        return (self.energy(n, T, Y) + self.pressure(n, T, Y)) / n
+
+    def min_enthalpy(self) -> float:
+        return self._min_h
+
+    def sound_speed(self, n, T, Y=None):
+        h_cold = (self._cold_p(n) + self._cold_e(n)) / n
+        h_th = self.gamma_th * T / self.gth_m1
+        hcs2_cold = self._cold_cs(n) ** 2 * h_cold
+        hcs2_th = self.gamma_th * T
+        return jnp.sqrt((hcs2_cold + hcs2_th) / (h_cold + h_th))
+
+    # -- host/numpy cold curves for initial-data integrators (TOV)
+    def cold_pressure_np(self, rho):
+        n = np.asarray(rho, dtype=np.float64) / self.mb
+        return 2.0 ** np.interp(np.log2(np.clip(n, self.min_n, self.max_n)),
+                                self.ln, self.tab_lp)
+
+    def cold_energy_np(self, rho):
+        n = np.asarray(rho, dtype=np.float64) / self.mb
+        return 2.0 ** np.interp(np.log2(np.clip(n, self.min_n, self.max_n)),
+                                self.ln, self.tab_le)
+
+    def cold_rho_from_p_np(self, p):
+        lp = np.log2(np.maximum(np.asarray(p, dtype=np.float64), 1e-300))
+        return 2.0 ** np.interp(lp, self.tab_lp, self.ln) * self.mb
+
+
 def make_policy(pin, block: str):
     """Factory keyed on <block>/dyn_eos (reference: BuildDynGRMHD,
     dyn_grmhd.cpp:78-120)."""
@@ -417,5 +544,7 @@ def make_policy(pin, block: str):
         return PiecewisePolytropePS.from_input(pin, block)
     if kind == "compose":
         return CompOSEPS.from_input(pin, block)
+    if kind == "hybrid":
+        return HybridPS.from_input(pin, block)
     raise ValueError(f"{block}/dyn_eos={kind} not implemented "
-                     "(ideal, piecewise_poly, compose)")
+                     "(ideal, piecewise_poly, compose, hybrid)")

@@ -12,7 +12,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from athenak_tpu.eos_ps import (CompOSEPS, IdealGasPS,
+from athenak_tpu.eos_ps import (CompOSEPS, HybridPS, IdealGasPS,
                                 PiecewisePolytropePS, PrimitiveSolverPS,
                                 NQTLogs, spatial_inv)
 
@@ -99,6 +99,39 @@ def test_compose_interp_matches_analytic():
     assert np.max(np.abs(p_tab - p_ref) / p_ref) < 1e-3
     t_inv = np.asarray(comp.temperature_from_p(n, comp.pressure(n, T)))
     assert np.max(np.abs(t_inv - np.asarray(T)) / np.asarray(T)) < 1e-3
+
+
+def test_hybrid_roundtrip():
+    """Hybrid (cold table + thermal gamma) through the full c2p chain
+    (reference: eos_hybrid.hpp)."""
+    pp = PiecewisePolytropePS([1e-9, 1e-4, 1e-2], [1.4, 5.0 / 3.0, 2.0],
+                              P0=1e-7)
+    hyb = HybridPS.from_cold_policy(pp, 1e-9, 1e1, nn=512,
+                                    gamma_thermal=1.8)
+    _roundtrip(hyb, 1e-6, 1e-3)
+
+
+def test_hybrid_matches_analytic_cold_plus_thermal():
+    """P/e/T inversions agree with the analytic cold curve + gamma-law
+    thermal decomposition it was built from."""
+    pp = PiecewisePolytropePS([1e-9, 1e-4, 1e-2], [1.4, 5.0 / 3.0, 2.0],
+                              P0=1e-7, gamma_thermal=1.8)
+    hyb = HybridPS.from_cold_policy(pp, 1e-9, 1e1, nn=2048,
+                                    gamma_thermal=1.8)
+    rng = np.random.default_rng(5)
+    n = jnp.asarray(10.0 ** rng.uniform(-8, 0, 500))
+    T = jnp.asarray(10.0 ** rng.uniform(-6, 1, 500))
+    for fn_h, fn_a in ((hyb.pressure, pp.pressure),
+                       (hyb.energy, pp.energy),
+                       (hyb.sound_speed, pp.sound_speed)):
+        a = np.asarray(fn_h(n, T))
+        b = np.asarray(fn_a(n, T))
+        assert np.max(np.abs(a - b) / np.abs(b)) < 2e-3, fn_a.__name__
+    # exact thermal inversions on top of the interpolated cold curve
+    t_p = np.asarray(hyb.temperature_from_p(n, hyb.pressure(n, T)))
+    t_e = np.asarray(hyb.temperature_from_e(n, hyb.energy(n, T)))
+    np.testing.assert_allclose(t_p, np.asarray(T), rtol=1e-10)
+    np.testing.assert_allclose(t_e, np.asarray(T), rtol=1e-10)
 
 
 def test_nqt_logs_invertible():
