@@ -238,7 +238,86 @@ def make_outputs(pin, mesh, phys) -> List[BaseOutput]:
             if cls is None:
                 continue  # unimplemented output types are skipped, not fatal
             outs.append(cls(pin, mesh, phys, block))
+    # CCE worldtubes and horizon cube dumps are enabled by their own deck
+    # blocks, not <outputN> (reference: z4c.cpp:195-233 constructs them
+    # from <cce>/<z4c> params; task-list cadence in z4c_tasks.cpp:345,555)
+    if pin.does_block_exist("z4c"):
+        if pin.does_block_exist("cce") and \
+                pin.get_or_add_integer("cce", "num_radii", 0) > 0:
+            outs.append(CCEOutput(pin, mesh, phys))
+        if pin.does_parameter_exist("z4c", "dump_horizon_0"):
+            outs.append(HorizonDumpOutput(pin, mesh, phys))
     return outs
+
+
+class CCEOutput:
+    """Cadenced CCE worldtube dumps (reference: Z4c::CCEDump,
+    z4c_tasks.cpp:345-360 — float32 time comparison, all worldtubes per
+    dump time)."""
+
+    driver = None
+
+    def __init__(self, pin, mesh, phys) -> None:
+        from ..z4c.cce import CCE
+        self.phys = phys
+        self.cce_dt = pin.get_or_add_real("cce", "cce_dt", 1.0)
+        ncce = pin.get_integer("cce", "num_radii")
+        self.worldtubes = [CCE(pin, mesh, i) for i in range(ncce)]
+        self.last = -100.0  # reference cce_dump_last_output_time
+
+    def maybe_write(self, mesh, u, w, force=False, state=None):
+        if not (force or np.float32(mesh.time)
+                >= np.float32(self.last + self.cce_dt)):
+            return
+        z4c_mod = getattr(self.phys, "z4c", self.phys)
+        z = state["z"] if (state is not None and "z" in state) else u
+        for wt in self.worldtubes:
+            wt.dump(mesh, z4c_mod, z)
+        self.last = float(np.float32(mesh.time))
+
+
+class HorizonDumpOutput:
+    """Cadenced horizon cube dumps following compact-object trackers
+    (reference: Z4c::DumpHorizons, z4c_tasks.cpp:554-575)."""
+
+    driver = None
+
+    def __init__(self, pin, mesh, phys) -> None:
+        from ..z4c.cce import HorizonDump
+        from ..z4c.weyl import CompactObjectTracker
+        from ..z4c.z4c import I_BETAX
+        self.phys = phys
+        self.mesh = mesh
+        self.dumps = []
+        n = 0
+        while pin.get_or_add_boolean("z4c", f"dump_horizon_{n}", False):
+            self.dumps.append(HorizonDump(pin, mesh, n))
+            n += 1
+        self.trackers = [
+            CompactObjectTracker(list(hd.pos), I_BETAX)
+            for hd in self.dumps]
+        self.last = 0.0
+        self._wrote_t0 = False
+
+    def maybe_write(self, mesh, u, w, force=False, state=None):
+        if not self.dumps:
+            return
+        z = state["z"] if (state is not None and "z" in state) else u
+        # trackers integrate every cycle (reference: tracker task)
+        if mesh.ncycle > 0:
+            zn = np.asarray(z)
+            for trk in self.trackers:
+                trk.update(mesh, zn, mesh.dtold)
+        t32 = np.float32(mesh.time)
+        due = (t32 >= np.float32(self.last + self.dumps[0].horizon_dt)
+               or (mesh.time == 0.0 and not self._wrote_t0))
+        if not (force or due):
+            return
+        z4c_mod = getattr(self.phys, "z4c", self.phys)
+        for hd, trk in zip(self.dumps, self.trackers):
+            hd.dump(mesh, z4c_mod, z, center=trk.pos)
+        self.last = float(t32)
+        self._wrote_t0 = True
 
 
 class BinaryOutput(BaseOutput):
