@@ -148,6 +148,12 @@ def resolve(variable: str, phys, state, mesh
                 bcc[:, 0] ** 2 + bcc[:, 1] ** 2 + bcc[:, 2] ** 2)[:, None]
         if key == "divb":
             return ["divb"], _divb_cc(state["bfc"], mesh)[:, None]
+        if key in ("curv", "curv_alt", "k_jxb", "curv_perp"):
+            return _mhd_curvature(key, bcc, mesh, ndim)
+        if key == "dynamo_ks":
+            return _dynamo_ks(w, bcc, state["bfc"], mesh)
+        if key == "sgs":
+            return _sgs(phys_name, u, bcc)
         raise ValueError(f"output variable '{variable}' not implemented")
 
     if name.startswith("z4c"):
@@ -173,16 +179,30 @@ def resolve(variable: str, phys, state, mesh
     if name.startswith("con"):
         zmod = phys if not hasattr(phys, "z4c") else phys.z4c
         z = state.get("z", state.get("u"))
-        H, M2 = zmod.adm_constraints(z)
         if name == "con_H":
+            H, _ = zmod.adm_constraints(z)
             return ["con_H"], H[:, None]
         if name == "con_M":
+            _, M2 = zmod.adm_constraints(z)
             return ["con_M"], jnp.sqrt(M2)[:, None]
+        con = zmod.adm_constraints(z, full=True)
+        if name == "con_C":
+            return ["con_C"], con["C"][:, None]
+        if name == "con_Z":
+            return ["con_Z"], con["Z"][:, None]
+        if name in ("con_Mx", "con_My", "con_Mz"):
+            a = {"con_Mx": 0, "con_My": 1, "con_Mz": 2}[name]
+            return [name], con["M_d"][a][:, None]
         if name == "con":
-            return ["con_H", "con_M"], jnp.stack(
-                [H, jnp.sqrt(M2)], axis=1)
+            # full monitor set (reference: z4c.hpp:61-67 I_CON_* order)
+            fields = [con["C"], con["H"], jnp.sqrt(con["M2"]),
+                      con["Z"]] + list(con["M_d"])
+            return (["con_C", "con_H", "con_M", "con_Z",
+                     "con_Mx", "con_My", "con_Mz"],
+                    jnp.stack(fields, axis=1))
         raise ValueError(f"constraint variable '{name}' not implemented "
-                         "(available: con, con_H, con_M)")
+                         "(available: con, con_C, con_H, con_M, con_Z, "
+                         "con_Mx, con_My, con_Mz)")
 
     if name.startswith("weyl"):
         from ..z4c.weyl import weyl_scalars
@@ -218,7 +238,187 @@ def resolve(variable: str, phys, state, mesh
         phi = phys.pgrav.solve(state["u"], phys.bvals)
         return ["phi"], phi[:, None]
 
+    if name == "prtcl_d":
+        return ["prtcl_d"], _prtcl_density(phys, state, mesh)[:, None]
+
     raise ValueError(f"output variable '{variable}' unknown")
+
+
+def _grad_cc(f, mesh, ndim):
+    """Centered-difference gradient tuple (d/dx1, d/dx2, d/dx3) of a
+    cell-centered field (valid in the interior)."""
+    dx1 = np.asarray(mesh.mb_size["dx1"]).reshape(-1, 1, 1, 1)
+    dx2 = np.asarray(mesh.mb_size["dx2"]).reshape(-1, 1, 1, 1)
+    dx3 = np.asarray(mesh.mb_size["dx3"]).reshape(-1, 1, 1, 1)
+
+    def d(ax, dx):
+        return (jnp.roll(f, -1, axis=ax) - jnp.roll(f, 1, axis=ax)) \
+            / (2.0 * dx)
+
+    return (d(3, dx1),
+            d(2, dx2) if ndim >= 2 else jnp.zeros_like(f),
+            d(1, dx3) if ndim == 3 else jnp.zeros_like(f))
+
+
+def _mhd_curvature(key, bcc, mesh, ndim):
+    """Field-line curvature diagnostics (reference:
+    derived_variables.cpp:208-359,781-900): curv = |(B.grad B)_perp|/B^2,
+    curv_alt = |bhat.grad bhat|, k_jxb = |J x B|/B^2, curv_perp =
+    |J x B / B^2 - bhat.grad bhat|."""
+    bx, by, bz = bcc[:, 0], bcc[:, 1], bcc[:, 2]
+    b2 = jnp.maximum(bx * bx + by * by + bz * bz, 1e-300)
+    grads = [_grad_cc(c, mesh, ndim) for c in (bx, by, bz)]
+
+    def bdotgrad(c):
+        gx, gy, gz = grads[c]
+        return bx * gx + by * gy + bz * gz
+
+    if key == "curv":
+        # (B.grad B) projected perpendicular to bhat, over B^2
+        k = [bdotgrad(c) for c in range(3)]
+        bdk = (bx * k[0] + by * k[1] + bz * k[2]) / b2
+        p = [k[c] - bdk * (bx, by, bz)[c] for c in range(3)]
+        val = jnp.sqrt(p[0] ** 2 + p[1] ** 2 + p[2] ** 2) / b2
+        return ["curv"], val[:, None]
+
+    bmag = jnp.sqrt(b2)
+    ux, uy, uz = bx / bmag, by / bmag, bz / bmag
+    ugrads = [_grad_cc(c, mesh, ndim) for c in (ux, uy, uz)]
+    kappa = [ux * g[0] + uy * g[1] + uz * g[2] for g in ugrads]
+    if key == "curv_alt":
+        val = jnp.sqrt(kappa[0] ** 2 + kappa[1] ** 2 + kappa[2] ** 2)
+        return ["curv_alt"], val[:, None]
+
+    # current J = curl B (cell-centered)
+    j1, j2, j3 = _curl_cc(bx, by, bz, mesh, ndim)
+    jxb = ((j2 * bz - j3 * by) / b2,
+           (j3 * bx - j1 * bz) / b2,
+           (j1 * by - j2 * bx) / b2)
+    if key == "k_jxb":
+        val = jnp.sqrt(jxb[0] ** 2 + jxb[1] ** 2 + jxb[2] ** 2)
+        return ["k_jxb"], val[:, None]
+    # curv_perp
+    val = jnp.sqrt(sum((jxb[c] - kappa[c]) ** 2 for c in range(3)))
+    return ["curv_perp"], val[:, None]
+
+
+def _dynamo_ks(w, bcc, bfc, mesh):
+    """Dynamo wavenumber-scale moments (reference:
+    derived_variables.cpp:945-1040 mhd_dynamo_ks): 8 channels of B/U
+    magnitudes and gradient contractions whose volume averages give the
+    characteristic wavenumbers of the field."""
+    bx, by, bz = bcc[:, 0], bcc[:, 1], bcc[:, 2]
+    b2 = bx * bx + by * by + bz * bz
+    dx = np.asarray(mesh.mb_size["dx1"]).reshape(-1, 1, 1, 1)
+    dx2_sq = dx * dx
+
+    def dc(f, ax):  # un-normalized centered difference (reference form)
+        return 0.5 * (jnp.roll(f, -1, axis=ax) - jnp.roll(f, 1, axis=ax))
+
+    def df(face, ax):  # face difference across the cell
+        sl = [slice(None)] * face.ndim
+        sl[ax] = slice(1, None)
+        hi = face[tuple(sl)]
+        sl[ax] = slice(0, -1)
+        lo = face[tuple(sl)]
+        return hi - lo
+
+    dbx = (df(bfc["x1f"], 3), dc(bx, 2), dc(bx, 1))
+    dby = (dc(by, 3), df(bfc["x2f"], 2), dc(by, 1))
+    dbz = (dc(bz, 3), dc(bz, 2), df(bfc["x3f"], 1))
+    grad2 = sum(d ** 2 for trip in (dbx, dby, dbz) for d in trip) / dx2_sq
+    bdb = [(bx * d[0] + by * d[1] + bz * d[2]) for d in (dbx, dby, dbz)]
+    bdb2 = (bdb[0] ** 2 + bdb[1] ** 2 + bdb[2] ** 2) / dx2_sq
+    jx = dc(bz, 2) - dc(by, 1)
+    jy = dc(bx, 1) - dc(bz, 3)
+    jz = dc(by, 3) - dc(bx, 2)
+    bxj2 = ((by * jz - bz * jy) ** 2 + (bz * jx - bx * jz) ** 2
+            + (bx * jy - by * jx) ** 2) / dx2_sq
+    bdj2 = (bx * jx + by * jy + bz * jz) ** 2 / dx2_sq
+    vx, vy, vz = w[:, IVX], w[:, IVY], w[:, IVZ]
+    u2 = vx * vx + vy * vy + vz * vz
+    du2 = sum(dc(v, ax) ** 2 for v in (vx, vy, vz)
+              for ax in (3, 2, 1)) / dx2_sq
+    labels = ["B2", "B4", "dB2", "BdB2", "BxJ2", "BdJ2", "U2", "dU2"]
+    return labels, jnp.stack(
+        [b2, b2 * b2, grad2, bdb2, bxj2, bdj2, u2, du2], axis=1)
+
+
+def _sgs(phys_name, u, bcc):
+    """Subgrid-scale analysis products (reference:
+    derived_variables.cpp:528-700 mhd_sgs/hydro_sgs): state variables
+    plus all quadratic/cubic flux products used to measure SGS terms —
+    23 channels for hydro, 59 for MHD (same ordering)."""
+    rho = u[:, IDN]
+    mx, my, mz = u[:, 1], u[:, 2], u[:, 3]
+    eint = u[:, IEN]
+    chans = [rho, mx, my, mz, eint]
+    labels = ["rho", "mx", "my", "mz", "eint"]
+    if phys_name == "mhd":
+        bx, by, bz = bcc[:, 0], bcc[:, 1], bcc[:, 2]
+        chans += [bx, by, bz]
+        labels += ["Bx", "By", "Bz"]
+    ms = [mx, my, mz]
+    mlab = ["x", "y", "z"]
+    for a in range(3):
+        for b in range(a, 3):
+            chans.append(ms[a] * ms[b] / rho)
+            labels.append(f"mv{mlab[a]}{mlab[b]}")
+    if phys_name == "mhd":
+        bs = [bx, by, bz]
+        for a in range(3):
+            for b in range(a, 3):
+                chans.append(bs[a] * bs[b])
+                labels.append(f"BB{mlab[a]}{mlab[b]}")
+        for a in range(3):
+            for b in range(3):
+                chans.append(ms[a] * bs[b] / rho)
+                labels.append(f"vB{mlab[a]}{mlab[b]}")
+    for a in range(3):
+        chans.append(ms[a] * eint / rho)
+        labels.append(f"vT{mlab[a]}")
+    for a in range(3):
+        for b in range(3):
+            chans.append(ms[a] * ms[b] * ms[b] / (rho * rho))
+            labels.append(f"vvv{mlab[a]}{mlab[b]}")
+    if phys_name == "mhd":
+        for a in range(3):
+            for b in range(3):
+                chans.append(ms[a] * bs[b] * bs[b] / rho)
+                labels.append(f"vBB{mlab[a]}{mlab[b]}")
+        for a in range(3):
+            for b in range(3):
+                chans.append(ms[a] * bs[a] * bs[b] / rho)
+                labels.append(f"vBiBj{mlab[a]}{mlab[b]}")
+    return labels, jnp.stack(chans, axis=1)
+
+
+def _prtcl_density(phys, state, mesh):
+    """Particle number density deposited NGP onto cells (reference:
+    'prtcl_d' row, outputs.hpp:151-152)."""
+    mbi = mesh.mb_indcs
+    x = state["prtcl_x"]
+    ppart = phys.ppart
+    gid = ppart.gids(x)
+    ms = mesh.mesh_size
+    mins = np.stack([np.asarray(mesh.mb_size["x1min"]),
+                     np.asarray(mesh.mb_size["x2min"]),
+                     np.asarray(mesh.mb_size["x3min"])], axis=1)
+    dxs = np.array([ms.dx1, ms.dx2, ms.dx3])
+    nx = np.array([mbi.nx1, max(mbi.nx2, 1), max(mbi.nx3, 1)])
+    lo = jnp.take(jnp.asarray(mins), gid, axis=0)
+    ijk = jnp.clip(((x - lo) / jnp.asarray(dxs)).astype(jnp.int32),
+                   0, jnp.asarray(nx - 1))
+    shape = (mesh.nmb_total, mbi.ncells3, mbi.ncells2, mbi.ncells1)
+    off = np.array([mbi.is_, mbi.js if mbi.nx2 > 1 else 0,
+                    mbi.ks if mbi.nx3 > 1 else 0])
+    flat = ((gid * shape[1] + ijk[:, 2] + off[2]) * shape[2]
+            + ijk[:, 1] + off[1]) * shape[3] + ijk[:, 0] + off[0]
+    dens = jnp.zeros(int(np.prod(shape)),
+                     dtype=x.dtype).at[flat].add(1.0)
+    vol = float(ms.dx1) * (float(ms.dx2) if mbi.nx2 > 1 else 1.0) \
+        * (float(ms.dx3) if mbi.nx3 > 1 else 1.0)
+    return dens.reshape(shape) / vol
 
 
 def _adm_fields(phys, state) -> Dict:

@@ -508,10 +508,13 @@ class Z4c:
         return u
 
     # ------------------------------------------------------------------
-    def adm_constraints(self, u):
+    def adm_constraints(self, u, full: bool = False):
         """Hamiltonian and momentum constraint monitors
         (reference: z4c_calculate_adm_constraints.cpp).  Returns (H, M2)
-        fields (M2 = norm-squared of the momentum constraint)."""
+        fields (M2 = norm-squared of the momentum constraint); with
+        ``full`` a dict additionally carrying the covariant momentum
+        components M_d, the Z violation (z4c_adm.cpp:511-517) and the
+        C^2 monitor H^2 + M^2 + Theta^2 + 4Z (z4c_adm.cpp:519-520)."""
         opt = self.opt
         ng = self.ng
         idx = self.idx
@@ -609,7 +612,12 @@ class Z4c:
             v = v - (2.0 / 3.0) * (dkhat[a] + 2.0 * dtheta[a])
             M.append(v)
         M2 = sum(gu[a][b] * M[a] * M[b] for a in range(3) for b in range(3))
-        return H, M2
+        if not full:
+            return H, M2
+        Z = 0.25 * sum(g[a][b] * (gam[a] - gam_c[a]) * (gam[b] - gam_c[b])
+                       for a in range(3) for b in range(3))
+        C = H * H + M2 + theta * theta + 4.0 * Z
+        return {"H": H, "M2": M2, "M_d": M, "Z": Z, "C": C}
 
     # ------------------------------------------------- state-dict interface
     def make_state(self, u):
