@@ -27,7 +27,9 @@ _REGISTRY = {
     "field_loop": "athenak_tpu.pgen.field_loop",
     "implode": "athenak_tpu.pgen.lw_implode",
     "lw_implode": "athenak_tpu.pgen.lw_implode",
+    "mri3d": "athenak_tpu.pgen.mri3d",
     "gr_bondi": "athenak_tpu.pgen.gr_bondi",
+    "gr_monopole": "athenak_tpu.pgen.gr_monopole",
     "gravity": "athenak_tpu.pgen.jeans_wave",
     "jeans": "athenak_tpu.pgen.jeans_wave",
     "turb": "athenak_tpu.pgen.turb",
