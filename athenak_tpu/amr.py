@@ -369,7 +369,7 @@ def _prov_tables(prov) -> Dict[str, np.ndarray]:
     return {"mode": mode, "src": src, "octant": octant, "child": child}
 
 
-def remap_cc(arr, tbl, mbi, act_axes):
+def remap_cc(arr, tbl, mbi, act_axes, force=False):
     """Remap a cell-centered array [nmb_old, C, n3, n2, n1] onto the new
     tree (reference: RefineCC + DerefineCCSameRank,
     mesh_refinement.cpp:560-740)."""
@@ -383,7 +383,8 @@ def remap_cc(arr, tbl, mbi, act_axes):
     cand = jnp.take(arr, tbl["src"], axis=0)
 
     # ---- refined: min-mod prolongation of the parent octant
-    if (mode == 1).any():
+    # (force=True traces both modes for the fixed-capacity pool remap)
+    if force or (mode == 1).any():
         par = cand  # refined slots hold the parent gid
         win = par
         for ax in act_axes:
@@ -403,7 +404,7 @@ def remap_cc(arr, tbl, mbi, act_axes):
         cand = jnp.where(m, pro, cand)
 
     # ---- derefined: restrict + quadrant-assemble the old children
-    if (mode == 2).any():
+    if force or (mode == 2).any():
         caxes = [_AXIS5[ax] - 5 for ax in act_axes]
         parts = [restrict_cc(jnp.take(arr, tbl["child"][:, q], axis=0),
                              caxes)
@@ -434,7 +435,7 @@ _FC_NORMAL = {"x1f": "x1", "x2f": "x2", "x3f": "x3"}
 _AXIS4 = {"x1": 3, "x2": 2, "x3": 1}
 
 
-def remap_fc(bfc, tbl, mbi, act_axes):
+def remap_fc(bfc, tbl, mbi, act_axes, force=False):
     """Remap staggered face fields onto the new tree: area-average
     restriction on coarse faces, min-mod shared-face prolongation +
     Toth & Roe internal reconstruction on refined blocks (reference:
@@ -446,8 +447,8 @@ def remap_fc(bfc, tbl, mbi, act_axes):
     nc_of = {"x1": mbi.ncells1, "x2": mbi.ncells2, "x3": mbi.ncells3}
     mode = tbl["mode"]
     out = {}
-    refined_any = bool((mode == 1).any())
-    deref_any = bool((mode == 2).any())
+    refined_any = force or bool((mode == 1).any())
+    deref_any = force or bool((mode == 2).any())
 
     for comp, arr in bfc.items():
         nrm = _FC_NORMAL[comp]
@@ -702,6 +703,8 @@ class AMR:
             "mesh_refinement", "ncycle_check", 1))
         self.refinement_interval = int(pin.get_or_add_real(
             "mesh_refinement", "refinement_interval", 5))
+        user_max_nmb = pin.does_parameter_exist("mesh_refinement",
+                                                "max_nmb_per_rank")
         self.max_nmb = pin.get_or_add_integer(
             "mesh_refinement", "max_nmb_per_rank", 2 ** 16)
         self.criteria = [Criterion(pin, b) for b in pin.blocks
@@ -716,12 +719,36 @@ class AMR:
         self.nmb_created = 0
         self.nmb_deleted = 0
         self._flag_fn = None
+        # fixed-capacity block pool (amr_pool.py): one compiled cycle for
+        # the whole run (reference nmb_maxperrank, mesh.hpp:121)
+        self.use_pool = bool(getattr(mesh, "amr_pool", False))
+        self.capacity = 0
+        if self.use_pool:
+            # capacity ladder: start tight (low padding waste), double
+            # when the tree outgrows it — at most log2(max/initial)
+            # recompiles over the whole run
+            if user_max_nmb:
+                hard = self.max_nmb
+            else:
+                ndim = (1 + (mesh.mb_indcs.nx2 > 1)
+                        + (mesh.mb_indcs.nx3 > 1))
+                nroot = mesh.tree_nrbx[0] \
+                    * (mesh.tree_nrbx[1] if mesh.mb_indcs.nx2 > 1 else 1) \
+                    * (mesh.tree_nrbx[2] if mesh.mb_indcs.nx3 > 1 else 1)
+                hard = nroot * (2 ** ndim) ** mesh.max_allowed_level
+                self.max_nmb = hard
+            self.capacity = min(hard, max(2 * mesh.nmb_total, 16))
+        self.pool_T = None          # device table pytree (current tree)
+        self._pool_cycle = None     # jitted (state, dt, T) cycle
+        self._pool_dt = None        # jitted (state, T) dt
+        self._pool_remap = None     # jitted (state, tbl, T, mask) remap
 
     # ------------------------------------------------------------------
     def check_flags(self, state, mesh, phys) -> np.ndarray:
         if self._flag_fn is None:
             self._flag_fn = make_flag_fn(self.criteria, phys, mesh)
         flags = np.asarray(self._flag_fn(state)).copy()
+        flags = flags[:mesh.nmb_total]  # drop block-pool pad slots
         for crit in self.criteria:
             if crit.method == "location":
                 loc = location_flags(crit, mesh)
@@ -731,6 +758,7 @@ class AMR:
                     raise ValueError("<amr_criterion> method=user needs an "
                                      "enrolled user_ref_func")
                 uf = np.asarray(self.user_ref_func(state, mesh))
+                uf = uf[:mesh.nmb_total]
                 flags = np.where(uf != 0, uf, flags)
         # vetoes (reference: CheckForRefinement tail,
         # mesh_refinement.cpp:244-256)
@@ -739,6 +767,114 @@ class AMR:
         flags[(lev == 0) & (flags < 0)] = 0
         flags[self.ncyc_since_ref < self.refinement_interval] = 0
         return flags
+
+    # ---------------------------------------------------- block pool mode
+    def init_pool(self, driver, state):
+        """Pad the state to capacity and stage the current tree's tables
+        (amr_pool.py; reference: nmb_maxperrank preallocation)."""
+        from .amr_pool import extract_tables, pool_pad_state
+
+        mesh, phys = driver.mesh, driver.phys
+        self.pool_T = jax.device_put(
+            extract_tables(mesh, phys.bvals, self.capacity))
+        driver._npad = self.capacity - mesh.nmb_total
+        return pool_pad_state(state, mesh.nmb_total, self.capacity)
+
+    def pool_dt(self, driver, state) -> float:
+        """Post-update dt through the pooled (compile-once) dt fn."""
+        from .amr_pool import installed
+
+        if self._pool_dt is None:
+            mesh, phys = driver.mesh, driver.phys
+            bvals = phys.bvals
+
+            def fn(s, T):
+                with installed(mesh, bvals, T, phys):
+                    return phys.dt_from_state(s)
+
+            self._pool_dt = jax.jit(fn)
+        return float(self._pool_dt(state, self.pool_T))
+
+    def rebuild_pool(self, driver, state, new_leaves, prov, outputs=()):
+        """Tree update without recompilation: rebuild the host objects,
+        refresh the table pytree, and remap through one jitted
+        (state, prov-tables, new-tables) function."""
+        from .bvals import BoundaryValues
+        from .main import make_physics
+        from .mesh import Mesh
+        from .amr_pool import (extract_tables, installed,
+                               prov_tables_padded)
+
+        old_mesh = driver.mesh
+        old_phys = driver.phys
+        mesh = Mesh(self.pin, leaves=new_leaves)
+        mesh.time = old_mesh.time
+        mesh.dt = old_mesh.dt
+        mesh.dtold = old_mesh.dtold
+        mesh.ncycle = old_mesh.ncycle
+        bvals = BoundaryValues(mesh)
+        phys = make_physics(self.pin, mesh, bvals)
+        bvals.inflow_state = old_phys.bvals.inflow_state
+        bvals.user_bc_func = old_phys.bvals.user_bc_func
+        if hasattr(old_phys, "srcterms_func"):
+            phys.srcterms_func = old_phys.srcterms_func
+
+        mbi = mesh.mb_indcs
+        act_axes = ["x1"]
+        if mbi.nx2 > 1:
+            act_axes.append("x2")
+        if mbi.nx3 > 1:
+            act_axes.append("x3")
+        nquad = 2 ** len(act_axes)
+        while mesh.nmb_total > self.capacity:
+            # climb the capacity ladder (shape change -> one recompile)
+            self.capacity = min(2 * self.capacity, self.max_nmb)
+        tbl = prov_tables_padded(prov, old_mesh.nmb_total, self.capacity,
+                                 nquad)
+        T_new = jax.device_put(extract_tables(mesh, bvals, self.capacity))
+
+        if self._pool_remap is None:
+            def remap(st, tb, T):
+                new_state = dict(st)
+                for key in ("u", "w"):
+                    if key in st:
+                        new_state[key] = remap_cc(st[key], tb, mbi,
+                                                  act_axes, force=True)
+                if "bfc" in st:
+                    refined = tb["mode"] == 1
+                    bfc = remap_fc(st["bfc"], tb, mbi, act_axes,
+                                   force=True)
+                    bfc = fc_internal(bfc, mbi, act_axes, refined)
+                    new_state["bfc"] = bfc
+                with installed(mesh, bvals, T, phys):
+                    new_state = phys.init_ghosts(new_state)
+                    if "bfc" in new_state:
+                        bfc = fc_internal(new_state["bfc"], mbi, act_axes,
+                                          tb["mode"] == 1)
+                        new_state = phys.init_ghosts(
+                            dict(new_state, bfc=bfc))
+                return new_state
+
+            self._pool_remap = jax.jit(remap, donate_argnums=(0,))
+
+        state = self._pool_remap(state, tbl, T_new)
+        self.pool_T = T_new
+
+        driver.mesh = mesh
+        driver.phys = phys
+        driver._npad = self.capacity - mesh.nmb_total
+        for out in outputs:
+            if hasattr(out, "phys"):
+                out.phys = phys
+            if hasattr(out, "mesh"):
+                out.mesh = mesh
+
+        counts = np.zeros(mesh.nmb_total, dtype=np.int64)
+        for i, p in enumerate(prov):
+            if p[0] == "same":
+                counts[i] = self.ncyc_since_ref[p[1]]
+        self.ncyc_since_ref = counts
+        return state
 
     # ------------------------------------------------------------------
     def step(self, driver, state, outputs=()):
@@ -764,7 +900,12 @@ class AMR:
                 f"AMR grew to {len(new_leaves)} blocks > "
                 f"<mesh_refinement>/max_nmb_per_rank={self.max_nmb}")
 
-        state = self.rebuild(driver, state, new_leaves, prov, outputs)
+        if self.use_pool:
+            state = self.rebuild_pool(driver, state, new_leaves, prov,
+                                      outputs)
+        else:
+            state = self.rebuild(driver, state, new_leaves, prov,
+                                 outputs)
         n_same = sum(1 for p in prov if p[0] == "same")
         self.nmb_created += len(prov) - n_same
         self.nmb_deleted += len(leaves) - n_same

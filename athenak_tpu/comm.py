@@ -36,7 +36,9 @@ def gather_blocks(slab, idx):
 
     if _CURRENT is None:
         import jax.numpy as jnp
-        return jnp.take(slab, np.asarray(idx), axis=0)
+        if isinstance(idx, np.ndarray):
+            idx = np.asarray(idx)  # host table baked as an HLO literal
+        return jnp.take(slab, idx, axis=0)
     return _CURRENT.gather(slab, np.asarray(idx))
 
 
@@ -55,6 +57,8 @@ def local_blocks(tab, pad_edge: bool = False):
         return tab
     if not hasattr(tab, "ndim") or tab.ndim == 0:
         return tab
+    if not isinstance(tab, np.ndarray):
+        return tab  # traced table (AMR block pool): already pool-shaped
     return _CURRENT.local_rows(np.asarray(tab), pad_edge)
 
 

@@ -151,6 +151,7 @@ class Driver:
         # (non-divisible nmb; reference allows any nmb >= nranks,
         # src/mesh/load_balance.cpp:55-63)
         self._npad = 0
+        self._layout = None
         # block coalescing (uniform single-device meshes run as one
         # superblock; see parallel/coalesce.py)
         self.use_coalesce = pin.get_or_add_boolean(
@@ -225,6 +226,25 @@ class Driver:
         return self.make_cycle_fn()
 
     def _build_cycle(self, state=None) -> Callable:
+        if self.pamr is not None and self.pamr.use_pool:
+            # fixed-capacity block pool: ONE compiled cycle(state, dt,
+            # tables) for the whole adaptive run; tree updates only swap
+            # table values (amr_pool.py)
+            if self.pamr._pool_cycle is None:
+                from .amr_pool import installed
+                raw = self.make_cycle_fn()
+                mesh, bvals = self.mesh, self.phys.bvals
+
+                phys = self.phys
+
+                def fn(s, dt, T):
+                    with installed(mesh, bvals, T, phys):
+                        return raw(s, dt)
+
+                self.pamr._pool_cycle = jax.jit(fn, donate_argnums=(0,))
+            pc = self.pamr._pool_cycle
+            pamr = self.pamr
+            return lambda s, dt: pc(s, dt, pamr.pool_T)
         return jax.jit(self._raw_cycle(state), donate_argnums=(0,))
 
     # ------------------------------------------------------------------
@@ -308,15 +328,17 @@ class Driver:
             if self.mesh.time < self.tlim and \
                     self.mesh.time + self.mesh.dt > self.tlim:
                 self.mesh.dt = self.tlim - self.mesh.time
+        if self.pamr is not None and self.pamr.use_pool:
+            state = self.pamr.init_pool(self, state)
         if self.dmesh is not None:
             from .parallel import shard_state
-            from .parallel.shard_comm import (pad_state, padded_nmb,
+            from .parallel.shard_comm import (pad_state, shard_layout,
                                               supports_shard_cycle)
             if supports_shard_cycle(self, state):
-                nmb = self.mesh.nmb_total
-                nmb_pad = padded_nmb(nmb, self.dmesh.devices.size)
-                self._npad = nmb_pad - nmb
-                state = pad_state(state, nmb, nmb_pad)
+                lay = shard_layout(self.mesh, self.dmesh.devices.size)
+                self._npad = lay.nmb_pad - lay.nmb
+                self._layout = lay
+                state = pad_state(state, lay)
             state = shard_state(state, self.dmesh)
         return state
 
@@ -341,7 +363,8 @@ class Driver:
         if self._npad == 0:
             return state
         from .parallel.shard_comm import unpad_state
-        return unpad_state(state, self.mesh.nmb_total)
+        return unpad_state(state, getattr(self, "_layout", None)
+                           or self.mesh.nmb_total)
 
     # ------------------------------------------------------------------
     def execute(self, state, outputs=None, verbose: bool = False):
@@ -453,10 +476,15 @@ class Driver:
                                                 outputs=outputs)
                 if changed:
                     mesh = self.mesh
-                    self._cycle_fn = self._build_cycle(state)
+                    if self.pamr.use_pool:
+                        # same compiled cycle; only the tables changed
+                        dtnew = self.pamr.pool_dt(self, state)
+                    else:
+                        self._cycle_fn = self._build_cycle(state)
+                        dtnew = float(
+                            jax.jit(self.phys.dt_from_state)(state))
                     # respect the finer CFL immediately (reference:
                     # NewTimeStep calls after RedistAndRefine)
-                    dtnew = float(jax.jit(self.phys.dt_from_state)(state))
                     mesh.dt = min(mesh.dt, self.cfl_no * dtnew)
 
             if outputs:
@@ -482,8 +510,18 @@ class Driver:
 
     # ------------------------------------------------------------------
     def finalize_report(self) -> str:
-        """zone-cycles/s report (reference: Driver::Finalize,
-        src/driver/driver.cpp:465-525)."""
-        return (f"zone-cycles/cpu_second = {self.zcps:.6e}\n"
-                f"cycles = {self.mesh.ncycle}, wall = "
-                f"{self.wall_seconds:.3f} s")
+        """zone-cycles/s report + load-balance telemetry (reference:
+        Driver::Finalize, src/driver/driver.cpp:465-525 and the per-rank
+        cost print, src/mesh/mesh.cpp:392-422)."""
+        lines = [f"zone-cycles/cpu_second = {self.zcps:.6e}",
+                 f"cycles = {self.mesh.ncycle}, wall = "
+                 f"{self.wall_seconds:.3f} s"]
+        lay = getattr(self, "_layout", None)
+        if self.dmesh is not None and lay is not None:
+            c = lay.cost_eachrank
+            lines.append(
+                f"ranks = {lay.ndev}, "
+                f"load balancing efficiency = {lay.lb_efficiency:.3f}, "
+                f"max/min cost = {c.max() / max(c.min(), 1e-30):.3f}, "
+                f"blocks/rank = {lay.nmb_eachrank.tolist()}")
+        return "\n".join(lines)

@@ -50,27 +50,106 @@ def padded_nmb(nmb_total: int, ndev: int) -> int:
     return ndev * math.ceil(nmb_total / ndev)
 
 
-def pad_state(state, nmb_total: int, nmb_pad: int):
-    """Pad every [nmb, ...] leaf with clones of block 0.
+class ShardLayout:
+    """gid <-> block-pool-slot mapping for one device count.
 
-    Pad blocks evolve as isolated periodic boxes (their wrapped neighbor
-    map is the identity), so they stay finite and contribute the same dt
-    as the real block 0 — no active-mask plumbing needed in the kernels.
+    With uniform block costs this is the identity layout (gids in order,
+    pads at the pool tail).  With non-uniform ``mesh.cost_eachmb`` the
+    reference's cost-weighted contiguous assignment
+    (reference: src/mesh/load_balance.cpp:38-90) decides how many blocks
+    each device owns; every device's range is padded to the common
+    capacity L = max(nmb_eachrank) so shard_map keeps equal shards.
     """
-    if nmb_pad == nmb_total:
+
+    def __init__(self, mesh, ndev: int) -> None:
+        from ..mesh import load_balance
+
+        nmb = mesh.nmb_total
+        cost = np.asarray(getattr(mesh, "cost_eachmb",
+                                  np.ones(nmb, np.float32)),
+                          dtype=np.float64)
+        self.nmb = nmb
+        self.ndev = ndev
+        uniform = bool(np.all(cost == cost[0]))
+        if uniform:
+            self.rank_eachmb = np.minimum(
+                np.arange(nmb) // math.ceil(nmb / ndev), ndev - 1)
+            self.L = math.ceil(nmb / ndev)
+            self.nmb_pad = self.L * ndev
+            # identity layout: gids in order, pads at the global tail
+            self.slot_of_gid = np.arange(nmb, dtype=np.int64)
+            self.identity = True
+        else:
+            self.rank_eachmb, gids_each, nmb_each = load_balance(cost, ndev)
+            self.L = int(nmb_each.max())
+            self.nmb_pad = self.L * ndev
+            self.slot_of_gid = (self.rank_eachmb * self.L
+                                + np.arange(nmb, dtype=np.int64)
+                                - gids_each[self.rank_eachmb])
+            self.identity = False
+        self.gid_of_slot = np.full(self.nmb_pad, -1, dtype=np.int64)
+        self.gid_of_slot[self.slot_of_gid] = np.arange(nmb)
+        self.nmb_eachrank = np.bincount(self.rank_eachmb, minlength=ndev)
+        self.cost_eachrank = np.bincount(
+            self.rank_eachmb, weights=cost, minlength=ndev)
+        # reference lb-efficiency figure (driver.cpp:425-432): fraction
+        # of ideal throughput set by the heaviest rank
+        total = float(self.cost_eachrank.sum())
+        self.lb_efficiency = total / (ndev * float(
+            self.cost_eachrank.max())) if total > 0 else 1.0
+
+
+def shard_layout(mesh, ndev: int) -> ShardLayout:
+    """Cached per-mesh layout (the driver and ShardComm must agree)."""
+    cache = getattr(mesh, "_shard_layouts", None)
+    if cache is None:
+        cache = mesh._shard_layouts = {}
+    lay = cache.get(ndev)
+    if lay is None:
+        lay = cache[ndev] = ShardLayout(mesh, ndev)
+    return lay
+
+
+def pad_state(state, layout: ShardLayout):
+    """Arrange every [nmb, ...] leaf into the [nmb_pad] block pool.
+
+    Pad slots are clones of block 0: pad blocks evolve as isolated
+    periodic boxes (their wrapped neighbor map is the identity), so they
+    stay finite and contribute the same dt as the real block 0 — no
+    active-mask plumbing needed in the kernels.
+    """
+    if layout.nmb_pad == layout.nmb and layout.identity:
         return state
+    rows = np.where(layout.gid_of_slot >= 0, layout.gid_of_slot, 0)
 
     def pad(a):
         if not hasattr(a, "shape") or a.ndim < 1 \
-                or a.shape[0] != nmb_total:
+                or a.shape[0] != layout.nmb:
             return a
-        reps = jnp.broadcast_to(a[:1], (nmb_pad - nmb_total,) + a.shape[1:])
-        return jnp.concatenate([a, reps], axis=0)
+        if layout.identity:
+            reps = jnp.broadcast_to(
+                a[:1], (layout.nmb_pad - layout.nmb,) + a.shape[1:])
+            return jnp.concatenate([a, reps], axis=0)
+        return jnp.take(a, jnp.asarray(rows), axis=0)
 
     return jax.tree_util.tree_map(pad, state)
 
 
-def unpad_state(state, nmb_total: int):
+def unpad_state(state, layout_or_nmb):
+    """Strip pool padding back to gid order."""
+    if isinstance(layout_or_nmb, ShardLayout):
+        lay = layout_or_nmb
+        if lay.identity:
+            return jax.tree_util.tree_map(
+                lambda a: a[:lay.nmb]
+                if hasattr(a, "shape") and a.ndim >= 1
+                and a.shape[0] == lay.nmb_pad else a, state)
+        idx = jnp.asarray(lay.slot_of_gid)
+        return jax.tree_util.tree_map(
+            lambda a: jnp.take(a, idx, axis=0)
+            if hasattr(a, "shape") and a.ndim >= 1
+            and a.shape[0] == lay.nmb_pad else a, state)
+    nmb_total = layout_or_nmb
     return jax.tree_util.tree_map(
         lambda a: a[:nmb_total] if hasattr(a, "shape") and a.ndim >= 1
         else a, state)
@@ -86,10 +165,13 @@ class _Route:
     rounds         device offsets with any traffic
     """
 
-    def __init__(self, idx: np.ndarray, nmb_pad: int, ndev: int) -> None:
+    def __init__(self, idx: np.ndarray, layout: ShardLayout) -> None:
+        nmb_pad, ndev = layout.nmb_pad, layout.ndev
         L = nmb_pad // ndev
+        # gid-space donor map -> slot-space; pads self-donate
         perm = np.arange(nmb_pad, dtype=np.int64)
-        perm[: idx.shape[0]] = idx  # pads keep identity (self-donor)
+        real = layout.gid_of_slot >= 0
+        perm[real] = layout.slot_of_gid[idx[layout.gid_of_slot[real]]]
 
         dest_dev = perm // L       # owner device of the donor slab
         owner_of = perm % L
@@ -142,9 +224,10 @@ class ShardComm:
     trace time inside a shard_map region (see athenak_tpu/comm.py)."""
 
     def __init__(self, mesh, ndev: int, axis: str = BLOCK_AXIS) -> None:
+        self.layout = shard_layout(mesh, ndev)
         self.nmb = mesh.nmb_total
         self.ndev = ndev
-        self.nmb_pad = padded_nmb(self.nmb, ndev)
+        self.nmb_pad = self.layout.nmb_pad
         self.L = self.nmb_pad // ndev
         self.axis = axis
         self._routes: Dict[bytes, _Route] = {}
@@ -156,7 +239,7 @@ class ShardComm:
         key = idx.tobytes()
         route = self._routes.get(key)
         if route is None:
-            route = _Route(idx.astype(np.int64), self.nmb_pad, self.ndev)
+            route = _Route(idx.astype(np.int64), self.layout)
             self._routes[key] = route
         d = lax.axis_index(self.axis)
         parts = [slab]
@@ -177,11 +260,15 @@ class ShardComm:
         if tab.ndim < 1 or tab.shape[0] not in (self.nmb, self.nmb_pad):
             return tab
         if tab.shape[0] == self.nmb and self.nmb_pad > self.nmb:
-            npad = self.nmb_pad - self.nmb
-            fill = np.broadcast_to(tab[:1], (npad,) + tab.shape[1:]) \
-                if pad_edge else np.zeros((npad,) + tab.shape[1:],
-                                          dtype=tab.dtype)
-            tab = np.concatenate([tab, fill], axis=0)
+            gos = self.layout.gid_of_slot
+            rows = np.where(gos >= 0, gos, 0)
+            tab = tab[rows]
+            if not pad_edge:
+                tab = np.where(
+                    (gos >= 0).reshape((-1,) + (1,) * (tab.ndim - 1)),
+                    tab, np.zeros_like(tab))
+        elif tab.shape[0] == self.nmb and not self.layout.identity:
+            tab = tab[self.layout.gid_of_slot]
         d = lax.axis_index(self.axis)
         full = jnp.asarray(tab.reshape((self.ndev, self.L)
                                        + tab.shape[1:]))
@@ -229,7 +316,8 @@ def supports_shard_cycle(driver, state) -> bool:
     nmb = driver.mesh.nmb_total
     ok_dims = {nmb}
     if driver.dmesh is not None:
-        ok_dims.add(padded_nmb(nmb, driver.dmesh.devices.size))
+        ok_dims.add(shard_layout(driver.mesh,
+                                 driver.dmesh.devices.size).nmb_pad)
     return all(hasattr(leaf, "shape") and leaf.ndim >= 1
                and leaf.shape[0] in ok_dims
                for leaf in jax.tree_util.tree_leaves(state))

@@ -274,6 +274,10 @@ def test_amr_mhd_divb_3d(tmp_path):
         "meshblock/nx1=8", "meshblock/nx2=8", "meshblock/nx3=8",
         "mesh_refinement/num_levels=2",
         "time/nlim=12",
+        # rebuild-per-epoch path (the fixed-capacity pool is exercised
+        # by the 2-D AMR tests; tracing every 3-D mixed-level branch at
+        # pool capacity makes this test ~4x slower on the CPU backend)
+        "mesh_refinement/block_pool=false",
     ])
     mesh, phys, driver, state = run(pin)
     assert driver.pamr.nmb_created > 0
