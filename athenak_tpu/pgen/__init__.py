@@ -45,6 +45,7 @@ _REGISTRY = {
     "rad_linear_wave": "athenak_tpu.pgen.rad_linear_wave",
     "rad_beam": "athenak_tpu.pgen.rad_beam",
     "z4c_two_punctures": "athenak_tpu.pgen.z4c_two_punctures",
+    "z4c_boosted_puncture": "athenak_tpu.pgen.z4c_boosted_puncture",
     "tov": "athenak_tpu.pgen.dyngr_tov",
     "dyngr_tov": "athenak_tpu.pgen.dyngr_tov",
 }
