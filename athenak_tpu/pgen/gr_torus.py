@@ -191,6 +191,7 @@ def init(pin, mesh, phys):
 
     if not getattr(phys, "is_mhd", False):
         u = phys.prim_to_cons(wj)
+        _enroll_torus_fluxes(pin, mesh, phys)
         return phys.make_state(u, wj)
 
     # ---- magnetized torus: A_phi ~ max(rho/rho_max - cutoff, 0) on cell
@@ -241,4 +242,136 @@ def init(pin, mesh, phys):
     bfcj = {k: jnp.asarray(v, dtype=dtype) for k, v in bfc.items()}
     bcc = phys.compute_bcc(bfcj)
     u = phys.prim_to_cons(wj, bcc)
+    _enroll_torus_fluxes(pin, mesh, phys)
     return phys.make_state(u, wj, bfcj)
+
+
+# ---------------------------------------------------------------------
+# Accretion fluxes through constant-KS-radius spheres (reference:
+# TorusFluxes, gr_torus.cpp:1723-1906): mdot / edot / ldot (+Phi_BH for
+# MHD) from primitives interpolated to Gauss-Legendre x uniform-phi
+# sphere grids, written as user history columns.
+# ---------------------------------------------------------------------
+def _enroll_torus_fluxes(pin, mesh, phys, ntheta: int = 16):
+    from ..z4c.weyl import interp_to_points
+
+    a = phys.coord.coord_data.bh_spin
+    is_mhd = bool(getattr(phys, "is_mhd", False))
+    gamma = phys.eos.gamma
+
+    # default radii: horizon + 12, 24 (gr_torus.cpp:171-178), clipped
+    # to spheres that fit the domain; override with problem/flux_radii
+    ms = mesh.mesh_size
+    rmax_fit = min(abs(ms.x1min), ms.x1max, abs(ms.x2min), ms.x2max,
+                   abs(ms.x3min), ms.x3max)
+    spec = pin.get_or_add_string("problem", "flux_radii", "")
+    if spec:
+        radii = [float(s) for s in spec.replace(",", " ").split()]
+    else:
+        radii = [r for r in (1.0 + math.sqrt(1.0 - a * a), 12.0, 24.0)
+                 if r < rmax_fit]
+
+    # quadrature nodes: Gauss-Legendre in cos(theta), uniform phi
+    nphi = 2 * ntheta
+    xgl, wgl = np.polynomial.legendre.leggauss(ntheta)
+    theta = np.arccos(xgl)
+    phi = (np.arange(nphi) + 0.5) * (2.0 * np.pi / nphi)
+    TH, PH = np.meshgrid(theta, phi, indexing="ij")
+    domega = np.broadcast_to((wgl * 2.0 * np.pi / nphi)[:, None],
+                             TH.shape).ravel()
+    sth, cth = np.sin(TH).ravel(), np.cos(TH).ravel()
+    sph, cph = np.sin(PH).ravel(), np.cos(PH).ravel()
+
+    grids = []
+    for R in radii:
+        # CKS embedding of the constant KS-radius sphere:
+        # x = (R cos(phi) - a sin(phi)) sin(theta), z = R cos(theta)
+        x = (R * cph - a * sph) * sth
+        y = (R * sph + a * cph) * sth
+        z = R * cth
+        pts = np.stack([x, y, z], axis=1)
+        from ..gr import cks
+        gl, gu = cks.metric(jnp.asarray(x), jnp.asarray(y),
+                            jnp.asarray(z), a)
+        gl = [[np.asarray(gl[i][j], dtype=np.float64) + 0.0 * x
+               for j in range(4)] for i in range(4)]
+        gu = [[np.asarray(gu[i][j], dtype=np.float64) + 0.0 * x
+               for j in range(4)] for i in range(4)]
+        rad2 = x * x + y * y + z * z
+        den = 2.0 * R * R - rad2 + a * a
+        drd = (R * x / den, R * y / den,
+               (R * z + a * a * z / R) / den)
+        # covariant-phi projection vectors (d x^i / d phi)
+        dxdph = (-R * sph - a * cph) * sth
+        dydph = (R * cph - a * sph) * sth
+        sqrtmdet = R * R + (a * cth) ** 2
+        grids.append((R, pts, gl, gu, drd, dxdph, dydph, sqrtmdet))
+
+    nflux = 4 if is_mhd else 3
+    labels = []
+    for R, *_ in grids:
+        rs = f"{R:.1f}"
+        labels += [f"mdot_{rs}", f"edot_{rs}", f"ldot_{rs}"]
+        if is_mhd:
+            labels.append(f"phi_{rs}")
+
+    def hist(mesh_now, state):
+        w = state["w"]
+        vals = []
+        for (R, pts, gl, gu, drd, dxdph, dydph, smdet) in grids:
+            ch = {}
+            for name, c in (("dn", IDN), ("vx", IM1), ("vy", IM2),
+                            ("vz", IM3), ("ie", IEN)):
+                ch[name] = interp_to_points(
+                    mesh_now, np.asarray(w[:, c]), pts)
+            if is_mhd:
+                bcc = state["bcc"]
+                bx = interp_to_points(mesh_now, np.asarray(bcc[:, 0]), pts)
+                by = interp_to_points(mesh_now, np.asarray(bcc[:, 1]), pts)
+                bz = interp_to_points(mesh_now, np.asarray(bcc[:, 2]), pts)
+            vx, vy, vz = ch["vx"], ch["vy"], ch["vz"]
+            q = (gl[1][1] * vx * vx + gl[2][2] * vy * vy
+                 + gl[3][3] * vz * vz
+                 + 2.0 * (gl[1][2] * vx * vy + gl[1][3] * vx * vz
+                          + gl[2][3] * vy * vz))
+            alp = np.sqrt(-1.0 / gu[0][0])
+            lor = np.sqrt(1.0 + q)
+            u0 = lor / alp
+            u1 = vx - alp * lor * gu[0][1]
+            u2 = vy - alp * lor * gu[0][2]
+            u3 = vz - alp * lor * gu[0][3]
+            uvec = (u0, u1, u2, u3)
+            ul = [sum(gl[i][j] * uvec[j] for j in range(4))
+                  for i in range(4)]
+            if is_mhd:
+                b0 = ul[1] * bx + ul[2] * by + ul[3] * bz
+                b1 = (bx + b0 * u1) / u0
+                b2 = (by + b0 * u2) / u0
+                b3 = (bz + b0 * u3) / u0
+                bvec = (b0, b1, b2, b3)
+                bl = [sum(gl[i][j] * bvec[j] for j in range(4))
+                      for i in range(4)]
+                bsq = sum(bvec[i] * bl[i] for i in range(4))
+            else:
+                b1 = b2 = b3 = b0 = 0.0
+                bl = [0.0] * 4
+                bsq = 0.0
+            ur = drd[0] * u1 + drd[1] * u2 + drd[2] * u3
+            br = drd[0] * b1 + drd[1] * b2 + drd[2] * b3
+            u_ph = dxdph * ul[1] + dydph * ul[2]
+            b_ph = dxdph * bl[1] + dydph * bl[2]
+
+            wtot = ch["dn"] + gamma * ch["ie"] + bsq
+            mdot = float(np.sum(-ch["dn"] * ur * smdet * domega))
+            edot = float(np.sum(-(wtot * ur * ul[0] - br * bl[0])
+                                * smdet * domega))
+            ldot = float(np.sum((wtot * ur * u_ph - br * b_ph)
+                                * smdet * domega))
+            vals += [mdot, edot, ldot]
+            if is_mhd:
+                vals.append(float(np.sum(
+                    0.5 * np.abs(br * u0 - b0 * ur) * smdet * domega)))
+        return labels, vals
+
+    if grids:
+        phys.user_hist_func = hist

@@ -104,3 +104,52 @@ def test_fm_torus_mhd_divb():
     state = driver.initialize(state)
     state = driver.execute(state)
     assert np.isfinite(np.asarray(state["w"])).all()
+
+
+# ---------------------------------------------------------------------
+# History regression: conserved-sum + accretion-flux time series vs
+# stored goldens (VERDICT item: replace finiteness checks with
+# quantitative bars; reference analogue: the hst columns TorusFluxes
+# writes, gr_torus.cpp:1723-1906).  Goldens captured on CPU/f64.
+# ---------------------------------------------------------------------
+GOLD_T = [0.0, 1.125, 2.25, 3.0, 4.0, 4.0]
+GOLD_MASS = [337.487, 337.487, 337.487, 337.487, 337.487, 337.487]
+GOLD_TOTE = [12.4416, 12.4331, 12.4240, 12.4168, 12.4064, 12.4064]
+GOLD_1KE = [9.76758, 9.76326, 9.75942, 9.75705, 9.75414, 9.75414]
+GOLD_MDOT = [1.28994e-07, 1.49469e-07, 1.69012e-07, 1.81708e-07,
+             1.98248e-07, 1.98248e-07]
+
+
+def test_fm_torus_hst_regression(tmp_path):
+    """Unmagnetized FM torus: mass/energy/KE/mdot history matches the
+    stored golden time series (not just finiteness)."""
+    import os
+    deck = DECK.format(phys="hydro", rsolver="hlle", tlim=4.0,
+                       extra="") + """
+<output1>
+file_type = hst
+dt = 1.0
+"""
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        pin = ParameterInput.from_string(deck)
+        mesh, phys, driver, state = run(pin)
+    finally:
+        os.chdir(cwd)
+    rows = np.loadtxt(str(tmp_path / "torus.hst"))
+    assert rows.shape[0] == len(GOLD_T)
+    # columns: time dt mass 1-mom 2-mom 3-mom tot-E 1-KE 2-KE 3-KE
+    #          mdot_2.0 edot_2.0 ldot_2.0
+    np.testing.assert_allclose(rows[:, 0], GOLD_T, atol=1e-10)
+    np.testing.assert_allclose(rows[:, 2], GOLD_MASS, rtol=1e-4)
+    np.testing.assert_allclose(rows[:, 6], GOLD_TOTE, rtol=1e-4)
+    np.testing.assert_allclose(rows[:, 7], GOLD_1KE, rtol=1e-4)
+    # y-symmetry of the equilibrium: 2-KE tracks 1-KE
+    np.testing.assert_allclose(rows[:, 8], rows[:, 7], rtol=1e-3)
+    # accretion of the floor atmosphere through r = r_horizon
+    np.testing.assert_allclose(rows[:, 10], GOLD_MDOT, rtol=1e-3)
+    # energy flux is inward (edot < 0 convention here) and small
+    assert np.all(np.abs(rows[:, 11]) < 1e-5)
+    # momentum stays at round-off of the initial symmetry
+    assert np.abs(rows[1:, 3:6]).max() < 1e-10
