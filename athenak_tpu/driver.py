@@ -134,6 +134,14 @@ class Driver:
         self.ecounters: Dict[str, int] = {}
         self.nmb_updated = 0
         self._cycle_fn = None
+        # mhd_jcon output needs the previous cycle's (w, bcc, dt) for
+        # the time-centered Faraday tensor (reference: pmhd->wbcc_saved,
+        # derived_variables.cpp:364-390)
+        self.save_wbcc = any(
+            b.startswith("output")
+            and pin.does_parameter_exist(b, "variable")
+            and "jcon" in pin.get_string(b, "variable")
+            for b in pin.blocks)
         # adaptive mesh refinement (reference: MeshRefinement is attached
         # to the mesh after physics construction, main.cpp:363-366)
         self.pamr = None
@@ -328,6 +336,12 @@ class Driver:
             if self.mesh.time < self.tlim and \
                     self.mesh.time + self.mesh.dt > self.tlim:
                 self.mesh.dt = self.tlim - self.mesh.time
+        if self.pamr is not None and self.pamr.use_pool \
+                and self.dmesh is not None:
+            # multi-device AMR redistributes + retraces per tree epoch
+            # (ppermute routes are trace-time constants; the pool's
+            # traced tables can't drive them) — see shard_comm docstring
+            self.pamr.use_pool = False
         if self.pamr is not None and self.pamr.use_pool:
             state = self.pamr.init_pool(self, state)
         if self.dmesh is not None:
@@ -360,11 +374,11 @@ class Driver:
         coalescing undone (for outputs/returns)."""
         if self._coal is not None:
             return self._coal.unpack(state)
-        if self._npad == 0:
+        lay = getattr(self, "_layout", None)
+        if self._npad == 0 and (lay is None or lay.identity):
             return state
         from .parallel.shard_comm import unpad_state
-        return unpad_state(state, getattr(self, "_layout", None)
-                           or self.mesh.nmb_total)
+        return unpad_state(state, lay or self.mesh.nmb_total)
 
     # ------------------------------------------------------------------
     def execute(self, state, outputs=None, verbose: bool = False):
@@ -449,6 +463,13 @@ class Driver:
             if verbose and mesh.ncycle % self.ndiag == 0:
                 print(f"cycle={mesh.ncycle} time={mesh.time:.6e} "
                       f"dt={mesh.dt:.6e}")
+            if self.save_wbcc and "bcc" in state:
+                sv = self._unpadded(state)
+                if sv is state:
+                    # the cycle donates its input buffers: keep copies
+                    sv = {"w": jnp.copy(state["w"]),
+                          "bcc": jnp.copy(state["bcc"])}
+                self.phys._jcon_prev = (sv["w"], sv["bcc"], mesh.dt)
 
             state, dtnew, counters = self._cycle_fn(
                 state, jnp.asarray(mesh.dt, dtype=dtype))
@@ -481,8 +502,10 @@ class Driver:
                         dtnew = self.pamr.pool_dt(self, state)
                     else:
                         self._cycle_fn = self._build_cycle(state)
-                        dtnew = float(
-                            jax.jit(self.phys.dt_from_state)(state))
+                        # dt on the gid-order view (physics per-block
+                        # tables are [nmb]; state may be pool-padded)
+                        dtnew = float(jax.jit(self.phys.dt_from_state)(
+                            self._unpadded(state)))
                     # respect the finer CFL immediately (reference:
                     # NewTimeStep calls after RedistAndRefine)
                     mesh.dt = min(mesh.dt, self.cfl_no * dtnew)

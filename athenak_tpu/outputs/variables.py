@@ -150,6 +150,8 @@ def resolve(variable: str, phys, state, mesh
             return ["divb"], _divb_cc(state["bfc"], mesh)[:, None]
         if key in ("curv", "curv_alt", "k_jxb", "curv_perp"):
             return _mhd_curvature(key, bcc, mesh, ndim)
+        if key == "jcon":
+            return _mhd_jcon(phys, w, bcc, mesh, ndim)
         if key == "dynamo_ks":
             return _dynamo_ks(w, bcc, state["bfc"], mesh)
         if key == "sgs":
@@ -224,11 +226,25 @@ def resolve(variable: str, phys, state, mesh
         i = _TMUNU_LABELS.index(name)
         return [name], fields[i][:, None]
 
-    if name == "rad_coord":
-        # coordinate-frame radiation moments R^00, R^0i (reference:
-        # derived_variables.cpp rad moments branch)
-        labels, moments = phys.coord_moments(state)
-        return labels, moments
+    if name in ("rad_coord", "rad_fluid", "rad_coord_fluid"):
+        # radiation moments R^{munu}: coordinate and/or fluid frame
+        # (reference: derived_variables.cpp:1076-1260)
+        rad = phys.rad if hasattr(phys, "rad") else phys
+        i0 = state["i0"] if "i0" in state else state["u"]
+        parts, labels = [], []
+        if name in ("rad_coord", "rad_coord_fluid"):
+            lc, mc = rad.coord_moments({"u": i0})
+            labels += lc
+            parts.append(mc)
+        if name in ("rad_fluid", "rad_coord_fluid"):
+            if w is None:
+                raise ValueError(f"{name}: fluid-frame moments need a "
+                                 "coupled fluid (w)")
+            lf, mf = rad.fluid_moments(i0, w)
+            labels += lf
+            parts.append(mf)
+        return labels, (parts[0] if len(parts) == 1
+                        else jnp.concatenate(parts, axis=1))
 
     if name == "turb_force":
         f = state["force"]
@@ -391,6 +407,128 @@ def _sgs(phys_name, u, bcc):
                 chans.append(ms[a] * bs[a] * bs[b] / rho)
                 labels.append(f"vBiBj{mlab[a]}{mlab[b]}")
     return labels, jnp.stack(chans, axis=1)
+
+
+def _build_eps4():
+    import itertools
+    eps = np.zeros((4, 4, 4, 4))
+    for p in itertools.permutations(range(4)):
+        s = 1
+        for i in range(4):
+            for j in range(i + 1, 4):
+                if p[i] > p[j]:
+                    s = -s
+        eps[p] = s
+    return eps
+
+
+_EPS4 = _build_eps4()
+
+
+def _ucov_bcov(w, bcc, gl, gu):
+    """Covariant 4-velocity and 4-magnetic field from primitives
+    (reference: ComputeUcBcFromPrimitive, derived_variables.cpp:36-70)."""
+    uu = (w[:, IVX], w[:, IVY], w[:, IVZ])
+    q = (gl[1][1] * uu[0] ** 2 + gl[2][2] * uu[1] ** 2
+         + gl[3][3] * uu[2] ** 2
+         + 2.0 * (gl[1][2] * uu[0] * uu[1] + gl[1][3] * uu[0] * uu[2]
+                  + gl[2][3] * uu[1] * uu[2]))
+    alp = jnp.sqrt(-1.0 / gu[0][0])
+    lor = jnp.sqrt(1.0 + q)
+    ucon = [lor / alp] + [uu[i] - alp * lor * gu[0][i + 1]
+                          for i in range(3)]
+    ucov = [sum(gl[m][n] * ucon[n] for n in range(4)) for m in range(4)]
+    bb = (bcc[:, 0], bcc[:, 1], bcc[:, 2])
+    b0 = sum(bb[i] * ucov[i + 1] for i in range(3))
+    bcon = [b0] + [(bb[i] + b0 * ucon[i + 1]) / ucon[0]
+                   for i in range(3)]
+    bcov = [sum(gl[m][n] * bcon[n] for n in range(4)) for m in range(4)]
+    return ucov, bcov
+
+
+def _detg_fcon(mu, nu, ucov, bcov):
+    """detg F^{mu nu} = -eps^{mu nu kap lam} u_kap b_lam
+    (reference: utils/current.hpp get_detg_Fcon)."""
+    out = 0.0
+    for kap in range(4):
+        for lam in range(4):
+            s = _EPS4[mu, nu, kap, lam]
+            if s:
+                out = out - s * ucov[kap] * bcov[lam]
+    return out
+
+
+def _mhd_jcon(phys, w, bcc, mesh, ndim):
+    """Contravariant 4-current j^mu = (1/(detg sqrt(4pi)))
+    d_nu (detg F^{nu mu}) with a time-centered Faraday tensor
+    (reference: derived_variables.cpp:364-527 'mhd_jcon').  Needs the
+    previous cycle's (w, bcc, dt) saved by the driver
+    (driver.save_wbcc); without a prior state returns zeros like the
+    reference's have_prior=False branch."""
+    if getattr(phys, "is_gr", False):
+        gl, gu = phys.geom.metric("cc")
+    else:
+        z = jnp.zeros_like(w[:, 0])
+        eta = [-1.0, 1.0, 1.0, 1.0]
+        gl = [[(eta[i] + z) if i == j else z for j in range(4)]
+              for i in range(4)]
+        gu = gl
+    prev = getattr(phys, "_jcon_prev", None)
+    labels = ["j0", "j1", "j2", "j3"]
+    if prev is None:
+        zero = jnp.zeros_like(w[:, :1])
+        return labels, jnp.concatenate([zero] * 4, axis=1)
+    w_old, bcc_old, dt_last = prev
+
+    uc_new, bc_new = _ucov_bcov(w, bcc, gl, gu)
+    uc_old, bc_old = _ucov_bcov(w_old, bcc_old, gl, gu)
+    w_mid = 0.5 * (w + w_old)
+    b_mid = 0.5 * (bcc + bcc_old)
+
+    dxs = [np.asarray(mesh.mb_size[f"dx{d}"]).reshape(-1, 1, 1, 1)
+           for d in (1, 2, 3)]
+    detg = jnp.sqrt(-1.0 / gu[0][0]) * jnp.sqrt(
+        _det3(gl))  # alpha * sqrt(det g_ij) = sqrt(-g)
+
+    axes = [3, 2, 1][:ndim]
+    out = []
+    for mu in range(4):
+        j = (_detg_fcon(mu, 0, uc_new, bc_new)
+             - _detg_fcon(mu, 0, uc_old, bc_old)) / dt_last
+        for d, ax in enumerate(axes):
+            # metric at the shifted cells: roll the time-centered
+            # fields AND evaluate u,b there with the local metric
+            glp = [[jnp.roll(gl[a][b], -1, axis=ax)
+                    if hasattr(gl[a][b], "ndim") and gl[a][b].ndim >= 3
+                    else gl[a][b] for b in range(4)] for a in range(4)]
+            glm = [[jnp.roll(gl[a][b], 1, axis=ax)
+                    if hasattr(gl[a][b], "ndim") and gl[a][b].ndim >= 3
+                    else gl[a][b] for b in range(4)] for a in range(4)]
+            gup = [[jnp.roll(gu[a][b], -1, axis=ax)
+                    if hasattr(gu[a][b], "ndim") and gu[a][b].ndim >= 3
+                    else gu[a][b] for b in range(4)] for a in range(4)]
+            gum = [[jnp.roll(gu[a][b], 1, axis=ax)
+                    if hasattr(gu[a][b], "ndim") and gu[a][b].ndim >= 3
+                    else gu[a][b] for b in range(4)] for a in range(4)]
+            wp = jnp.roll(w_mid, -1, axis=ax + 1)
+            wm = jnp.roll(w_mid, 1, axis=ax + 1)
+            bp = jnp.roll(b_mid, -1, axis=ax + 1)
+            bm = jnp.roll(b_mid, 1, axis=ax + 1)
+            ucp, bcp = _ucov_bcov(wp, bp, glp, gup)
+            ucm, bcm = _ucov_bcov(wm, bm, glm, gum)
+            j = j + (_detg_fcon(mu, d + 1, ucp, bcp)
+                     - _detg_fcon(mu, d + 1, ucm, bcm)) / (2.0 * dxs[d])
+        out.append(j / (detg * np.sqrt(4.0 * np.pi)))
+    return labels, jnp.stack(out, axis=1)
+
+
+def _det3(gl):
+    """det of the spatial part of a 4x4 metric list."""
+    a, b, c = gl[1][1], gl[1][2], gl[1][3]
+    d, e = gl[2][2], gl[2][3]
+    f = gl[3][3]
+    return a * (d * f - e * e) - b * (b * f - e * c) \
+        + c * (b * e - d * c)
 
 
 def _prtcl_density(phys, state, mesh):

@@ -237,6 +237,13 @@ class Radiation:
             self._n_mu = [sum(np.asarray(ecov[a][c])
                               * nh[:, a].reshape(1, -1, 1, 1, 1)
                               for a in range(4)) for c in range(4)]
+            # contravariant n^mu per angle (for the R^{munu} moments)
+            self._n_up = [sum(np.asarray(e[a][c])
+                              * nh[:, a].reshape(1, -1, 1, 1, 1)
+                              for a in range(4)) for c in range(4)]
+            # covariant tetrad components for frame projections
+            self._ecov = [[np.asarray(ecov[a][c]) for c in range(4)]
+                          for a in range(4)]
             n2t = norm_to_tet(X[:, 0], Y[:, 0], Z[:, 0],
                               self.spin, self.minkowski)
             self._n2t = [[np.asarray(n2t[a][nu]) for nu in range(4)]
@@ -400,12 +407,96 @@ class Radiation:
             F.append(jnp.zeros_like(E))
         return E, F
 
+    _SYM10 = [(0, 0), (0, 1), (0, 2), (0, 3), (1, 1), (1, 2), (1, 3),
+              (2, 2), (2, 3), (3, 3)]
+
     def coord_moments(self, state):
-        """(labels, [nmb, 4, ...]) coordinate-frame moments for the
-        rad_coord output variable."""
-        E, F = self.moments(state["u"] if "u" in state else state["i0"])
-        arr = jnp.stack([E] + list(F[:3]), axis=1)
-        return ["r00", "r01", "r02", "r03"], arr
+        """(labels, [nmb, 10, ...]) symmetric coordinate-frame moments
+        R^{munu} for the rad_coord output variable (reference:
+        derived_variables.cpp:1076-1143)."""
+        i0 = state["u"] if "u" in state else state["i0"]
+        R = self._moments10(i0)
+        labels = [f"r{a}{b}" for a, b in self._SYM10]
+        return labels, jnp.stack(R, axis=1)
+
+    def _moments10(self, i0):
+        """R^{munu} = sum_angles I n^mu n^nu dOmega, 10 sym channels."""
+        n0, n_0, _, _ = self.tet_quantities()
+        II = i0 / (n0 * n_0)
+        return [jnp.sum(self.sang * II * self._n_up[a] * self._n_up[b],
+                        axis=1) for a, b in self._SYM10]
+
+    def _metric_cc_lower(self):
+        """Cell-centered covariant metric (numpy, trace-time constant)."""
+        if getattr(self, "_gl_cc", None) is None:
+            from ..gr import cks
+            xv, yv, zv = self._coords[:3]
+            X, Y, Z = self._bcast(xv, yv, zv)
+            gl, _ = cks.metric(X[:, 0], Y[:, 0], Z[:, 0],
+                               self.spin, self.minkowski)
+            self._gl_cc = [[np.asarray(gl[i][j]) for j in range(4)]
+                           for i in range(4)]
+        return self._gl_cc
+
+    def fluid_moments(self, i0, w, gl=None):
+        """(labels, [nmb, 10, ...]) fluid-frame moments: coordinate
+        R^{munu} projected to the tetrad frame (tetcov, 0i sign flip)
+        then Lorentz-boosted into the fluid rest frame (reference:
+        derived_variables.cpp:1145-1260)."""
+        from ..indices import IVX, IVY, IVZ
+
+        Rs = self._moments10(i0)
+        idx = {p: c for c, p in enumerate(self._SYM10)}
+
+        def Rc(a, b):
+            return Rs[idx[(a, b) if a <= b else (b, a)]]
+
+        # tetrad-frame moments: R_tet[n1][n2] = ecov[n1].R.ecov[n2]
+        ec = self._ecov
+        Rt = {}
+        for c, (a, b) in enumerate(self._SYM10):
+            v = 0.0
+            for m1 in range(4):
+                for m2 in range(4):
+                    v = v + ec[a][m1] * ec[b][m2] * Rc(m1, m2)
+            if c in (1, 2, 3):
+                v = -v
+            Rt[(a, b)] = v
+
+        def Rtet(a, b):
+            return Rt[(a, b) if a <= b else (b, a)]
+
+        # fluid velocity in the tetrad frame
+        if gl is None:
+            gl = self._metric_cc_lower()
+        uu = (w[:, IVX], w[:, IVY], w[:, IVZ])
+        q = (gl[1][1] * uu[0] ** 2 + gl[2][2] * uu[1] ** 2
+             + gl[3][3] * uu[2] ** 2
+             + 2.0 * (gl[1][2] * uu[0] * uu[1] + gl[1][3] * uu[0] * uu[2]
+                      + gl[2][3] * uu[1] * uu[2]))
+        u4 = (jnp.sqrt(1.0 + q),) + uu
+        n2t = self._n2t
+        ut = [sum(n2t[a][nu] * u4[nu] for nu in range(4))
+              for a in range(4)]
+
+        # Lorentz boost tetrad -> fluid rest frame
+        L = [[None] * 4 for _ in range(4)]
+        L[0][0] = ut[0]
+        for a in range(1, 4):
+            L[0][a] = L[a][0] = -ut[a]
+            for b in range(a, 4):
+                L[a][b] = L[b][a] = ut[a] * ut[b] / (1.0 + ut[0]) \
+                    + (1.0 if a == b else 0.0)
+
+        out = []
+        for a, b in self._SYM10:
+            v = 0.0
+            for m1 in range(4):
+                for m2 in range(4):
+                    v = v + L[a][m1] * L[b][m2] * Rtet(m1, m2)
+            out.append(v)
+        labels = [f"fr{a}{b}" for a, b in self._SYM10]
+        return labels, jnp.stack(out, axis=1)
 
     def coord_energy_density(self, state):
         E, _ = self.moments(state.get("i0", state.get("u")))

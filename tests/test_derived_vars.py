@@ -173,3 +173,82 @@ pusher = drift
     vol = float(ms.dx1) * float(ms.dx2) * float(ms.dx3)
     total = dens.sum() * vol
     assert abs(total - phys.ppart.nprtcl) < 0.5
+
+
+def test_mhd_jcon_manufactured():
+    """4-current from a manufactured field: static fluid, B_z = a*x in
+    flat space => j^2 = a/sqrt(4pi), other components ~0 (reference:
+    derived_variables.cpp:364-527 with get_detg_Fcon)."""
+    import jax.numpy as jnp
+    mesh, phys, state = _mhd_state()
+    mbi = mesh.mb_indcs
+    a = 0.7
+    x1 = np.linspace(-0.5, 0.5, mbi.nx1, endpoint=False) + 0.5 / mbi.nx1
+    xg = np.concatenate([x1[:2] - 2 * (x1[1] - x1[0]), x1,
+                         x1[-2:] + 2 * (x1[1] - x1[0])])[:mbi.ncells1]
+    # rebuild padded coordinate (ng=2 ghosts each side)
+    dx = x1[1] - x1[0]
+    xg = np.arange(mbi.ncells1) * dx + (-0.5 - 2 * dx) + 0.5 * dx
+    w = np.zeros_like(np.asarray(state["w"]))
+    w[:, 0] = 1.0
+    w[:, 4] = 1.0
+    bcc = np.zeros_like(np.asarray(state["bcc"]))
+    bcc[:, 2] = a * xg[None, None, None, :]
+    w = jnp.asarray(w)
+    bcc = jnp.asarray(bcc)
+
+    # no prior state -> zeros (reference have_prior=False branch)
+    labels, j = resolve("mhd_jcon", phys, dict(state, w=w, bcc=bcc), mesh)
+    assert labels == ["j0", "j1", "j2", "j3"]
+    assert np.all(np.asarray(j) == 0.0)
+
+    # prior state identical (static): time term vanishes
+    phys._jcon_prev = (w, bcc, 0.1)
+    try:
+        labels, j = resolve("mhd_jcon", phys, dict(state, w=w, bcc=bcc),
+                            mesh)
+    finally:
+        phys._jcon_prev = None
+    j = np.asarray(j)
+    act = (slice(None), slice(None), slice(mbi.ks, mbi.ke + 1),
+           slice(mbi.js, mbi.je + 1), slice(mbi.is_ + 1, mbi.ie))
+    # Ampere: (curl B)_y = d_z B_x - d_x B_z = -a
+    expect = -a / np.sqrt(4.0 * np.pi)
+    np.testing.assert_allclose(j[:, 2][act[0], act[2], act[3], act[4]],
+                               expect, rtol=1e-10)
+    for c in (0, 1, 3):
+        assert np.abs(j[:, c][act[0], act[2], act[3], act[4]]).max() \
+            < 1e-12
+
+
+def test_rad_moments_10ch_and_fluid_frame():
+    """rad_coord gives the 10 symmetric R^{munu}; trace-free holds; a
+    static fluid's rad_fluid moments equal the coordinate moments in
+    flat space (reference: derived_variables.cpp:1076-1260)."""
+    import importlib.util
+    import sys as _sys
+    spec = importlib.util.spec_from_file_location(
+        "tr", "tests/test_radiation.py")
+    tr = importlib.util.module_from_spec(spec)
+    _sys.modules["tr"] = tr
+    spec.loader.exec_module(tr)
+    pin = ParameterInput.from_string(tr.DECK.format(opac=""))
+    mesh, phys, pgen, driver, state = build(pin)
+    state = driver.initialize(state)
+
+    labels, R = resolve("rad_coord", phys, state, mesh)
+    assert labels[0] == "r00" and len(labels) == 10
+    R = np.asarray(R)
+    r00, r11, r22, r33 = R[:, 0], R[:, 4], R[:, 7], R[:, 9]
+    assert (r00 > 0).any()
+    # R^mu_mu = 0 in flat space: -r00 + r11 + r22 + r33 = 0
+    np.testing.assert_allclose(r11 + r22 + r33, r00, rtol=1e-10)
+
+    # static fluid: fluid-frame == coordinate-frame in flat space
+    import jax.numpy as jnp
+    w = jnp.zeros(R[:, :5].shape, dtype=state["u"].dtype)
+    w = w.at[:, 0].set(1.0)
+    lf, Rf = phys.fluid_moments(state["u"], w)
+    assert lf[0] == "fr00"
+    np.testing.assert_allclose(np.asarray(Rf), R, rtol=1e-10,
+                               atol=1e-12)
