@@ -242,7 +242,12 @@ class Radiation:
                               * nh[:, a].reshape(1, -1, 1, 1, 1)
                               for a in range(4)) for c in range(4)]
             # covariant tetrad components for frame projections
-            self._ecov = [[np.asarray(ecov[a][c]) for c in range(4)]
+            # (drop the angle-broadcast axis; entries may be scalars)
+            def _sq(v):
+                v = np.asarray(v)
+                return v[:, 0] if v.ndim == 5 else v
+
+            self._ecov = [[_sq(ecov[a][c]) for c in range(4)]
                           for a in range(4)]
             n2t = norm_to_tet(X[:, 0], Y[:, 0], Z[:, 0],
                               self.spin, self.minkowski)
