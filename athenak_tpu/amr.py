@@ -744,11 +744,14 @@ class AMR:
         self._pool_remap = None     # jitted (state, tbl, T, mask) remap
 
     # ------------------------------------------------------------------
-    def check_flags(self, state, mesh, phys) -> np.ndarray:
+    def check_flags(self, state, mesh, phys, layout=None) -> np.ndarray:
         if self._flag_fn is None:
             self._flag_fn = make_flag_fn(self.criteria, phys, mesh)
         flags = np.asarray(self._flag_fn(state)).copy()
-        flags = flags[:mesh.nmb_total]  # drop block-pool pad slots
+        if layout is not None:
+            flags = flags[layout.slot_of_gid]  # slot order -> gid order
+        else:
+            flags = flags[:mesh.nmb_total]  # drop block-pool pad slots
         for crit in self.criteria:
             if crit.method == "location":
                 loc = location_flags(crit, mesh)
@@ -758,7 +761,8 @@ class AMR:
                     raise ValueError("<amr_criterion> method=user needs an "
                                      "enrolled user_ref_func")
                 uf = np.asarray(self.user_ref_func(state, mesh))
-                uf = uf[:mesh.nmb_total]
+                uf = uf[layout.slot_of_gid] if layout is not None \
+                    else uf[:mesh.nmb_total]
                 flags = np.where(uf != 0, uf, flags)
         # vetoes (reference: CheckForRefinement tail,
         # mesh_refinement.cpp:244-256)
@@ -878,13 +882,21 @@ class AMR:
 
     # ------------------------------------------------------------------
     def step(self, driver, state, outputs=()):
-        """One AMR pass.  Returns (state, changed)."""
+        """One AMR pass.  Returns (state, changed).
+
+        On a device mesh this is also the block-redistribution step
+        (reference: RedistAndRefineMeshBlocks + LoadBalance over the AMR
+        communicator, mesh_refinement.cpp:427-560): the padded/sharded
+        state is unpacked to gid order, remapped onto the new tree, and
+        re-packed into the new tree's cost-weighted ShardLayout; the
+        shard cycle (ppermute routes) is retraced for the new epoch."""
         mesh = driver.mesh
         phys = driver.phys
         self.ncyc_since_ref += 1
         if mesh.ncycle % self.ncycle_check != 0:
             return state, False
-        flags = self.check_flags(state, mesh, phys)
+        lay = getattr(driver, "_layout", None)
+        flags = self.check_flags(state, mesh, phys, layout=lay)
         wraps = {ax: mesh.mesh_bcs[f"i{ax}"] in ("periodic",
                                                  "shear_periodic")
                  for ax in ("x1", "x2", "x3")}
@@ -904,8 +916,25 @@ class AMR:
             state = self.rebuild_pool(driver, state, new_leaves, prov,
                                       outputs)
         else:
+            if lay is not None:
+                from .parallel.shard_comm import unpad_state
+                state = unpad_state(state, lay)  # slot -> gid order
             state = self.rebuild(driver, state, new_leaves, prov,
                                  outputs)
+            if driver.dmesh is not None:
+                from .parallel import shard_state
+                from .parallel.shard_comm import (pad_state, shard_layout,
+                                                  supports_shard_cycle)
+                if supports_shard_cycle(driver, state):
+                    lay2 = shard_layout(driver.mesh,
+                                        driver.dmesh.devices.size)
+                    driver._npad = lay2.nmb_pad - lay2.nmb
+                    driver._layout = lay2
+                    state = pad_state(state, lay2)
+                else:
+                    driver._npad = 0
+                    driver._layout = None
+                state = shard_state(state, driver.dmesh)
         n_same = sum(1 for p in prov if p[0] == "same")
         self.nmb_created += len(prov) - n_same
         self.nmb_deleted += len(leaves) - n_same

@@ -73,6 +73,12 @@ class BoundaryValues:
         # (Lagrange; required by Z4c/dyngr on refined meshes, reference:
         # prolongation.hpp HighOrderProlongCC)
         self.prolong_order = 2
+        # <mesh_refinement>/prolong_primitives: prolongate primitive
+        # instead of conserved variables at fine/coarse boundaries
+        # (reference: mesh_refinement.cpp:52-69, prolong_prims.cpp);
+        # set by the physics module constructors
+        self.prolong_prims = False
+        self._ghost_mask_cache = None
         # single-block fully-periodic 3-D fast path: the whole fill is
         # one Pallas pass (ops/pallas_fill.py) on TPU f32 arrays
         try:
@@ -129,6 +135,35 @@ class BoundaryValues:
         if self.user_bc_func is not None:
             u = self.user_bc_func(u, self)
         return u
+
+    # ------------------------------------------------------------------
+    def _ghost_mask(self):
+        """[1, 1, n3, n2, n1] bool, True in ghost cells (cached)."""
+        if self._ghost_mask_cache is None:
+            mbi = self.mesh.mb_indcs
+            m = np.ones((mbi.ncells3, mbi.ncells2, mbi.ncells1), bool)
+            sl = [slice(None)] * 3
+            if mbi.nx3 > 1:
+                sl[0] = slice(mbi.ks, mbi.ke + 1)
+            if mbi.nx2 > 1:
+                sl[1] = slice(mbi.js, mbi.je + 1)
+            sl[2] = slice(mbi.is_, mbi.ie + 1)
+            m[tuple(sl)] = False
+            self._ghost_mask_cache = m[None, None]
+        return self._ghost_mask_cache
+
+    def prolong_prims_fixup(self, u, w, p2c):
+        """Prolongation in primitive variables: refill w's ghosts (so the
+        mixed-level strips are prolonged from donor primitives) and
+        overwrite u's ghost cells with p2c(w) (reference:
+        prolong_prims.cpp ConsToPrimCoarseBndry/PrimToConsFineBndry).
+        Returns (u, w)."""
+        import jax.numpy as jnp
+
+        w = self.fill_ghosts(w)
+        ug = p2c(w)
+        m = jnp.asarray(self._ghost_mask())
+        return jnp.where(m, ug, u), w
 
     # ------------------------------------------------------------------
     def _fill_corners(self, u):

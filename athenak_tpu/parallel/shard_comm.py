@@ -285,20 +285,29 @@ class ShardComm:
 def supports_shard_cycle(driver, state) -> bool:
     """Whether the explicit shard_map cycle covers this configuration.
 
-    Covered: uniform and statically-refined (SMR) Newtonian/SR/GR
-    hydro and MHD, with diffusion/srcterms/FOFC.  Excluded configurations
-    fall back to the NamedSharding gather path (still multi-device-
-    correct, higher comm volume): adaptive meshes (the ppermute tables
-    are rebuilt per tree epoch by the AMR driver, not here), and modules
-    with global-array state (FFT gravity, turbulence normalization,
-    particles, shearing box, two-fluid ImEx, Z4c/dyngr, radiation).
+    Covered: uniform, statically-refined (SMR), and adaptive (AMR)
+    Newtonian/SR/GR hydro and MHD, with diffusion/srcterms/FOFC.  An
+    adaptive tree is an SMR tree between refinement epochs: the AMR
+    driver redistributes blocks to the cost-weighted layout and rebuilds
+    the ppermute routes after every tree update (amr.py step; the
+    reference analogue is RedistAndRefineMeshBlocks over the AMR
+    communicator, mesh_refinement.hpp:26-99).  The fixed-capacity block
+    pool is single-device-only (its tables are traced values; ppermute
+    routes must be trace-time constants), so the driver disables it when
+    a device mesh is present.  Excluded configurations fall back to the
+    NamedSharding gather path (still multi-device-correct, higher comm
+    volume): modules with global-array state (FFT gravity, turbulence
+    normalization, particles, shearing box, two-fluid ImEx, Z4c/dyngr,
+    radiation).
     """
     phys = driver.phys
     if type(phys).__name__ not in ("Hydro", "MHD"):
         # Radiation/Z4c/DynGRMHD/IonNeutral carry module state the route
         # tables don't cover yet
         return False
-    if getattr(driver.mesh, "adaptive", False):
+    if getattr(driver.mesh, "adaptive", False) \
+            and getattr(driver, "pamr", None) is not None \
+            and driver.pamr.use_pool:
         return False
     if hasattr(phys, "imex_cycle"):
         return False

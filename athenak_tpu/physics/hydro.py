@@ -84,6 +84,9 @@ class Hydro:
         # axis -> (array axis, ivx, dx); dx is scalar on uniform meshes,
         # per-block broadcastable [nmb,1,1,1,1] on multilevel meshes
         self.multilevel = bool(getattr(mesh, "multilevel", False))
+        if self.multilevel:
+            bvals.prolong_prims = pin.get_or_add_boolean(
+                "mesh_refinement", "prolong_primitives", False)
 
         def _dx(name):
             if self.multilevel:
@@ -458,6 +461,9 @@ class Hydro:
     def init_ghosts(self, state):
         u = self.bvals.fill_ghosts(state["u"])
         w, u, _ = self.cons_to_prim(u)
+        if self.bvals.prolong_prims:
+            u, w = self.bvals.prolong_prims_fixup(u, w,
+                                                  self.prim_to_cons)
         out = dict(state)
         out.update({"u": u, "w": w})
         return out
@@ -495,6 +501,9 @@ class Hydro:
         if self.psbox is not None:
             u = self.psbox.remap_ghosts(u, state["t"])
         w, u, counters = self.cons_to_prim(u)
+        if self.bvals.prolong_prims:
+            u, w = self.bvals.prolong_prims_fixup(u, w,
+                                                  self.prim_to_cons)
         if nfofc is not None:
             counters = dict(counters, nfofc=nfofc)
         out = dict(state)

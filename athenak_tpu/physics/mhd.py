@@ -45,6 +45,9 @@ class MHD:
         from ..coordinates import Coordinates
         self.mesh = mesh
         self.multilevel = bool(getattr(mesh, "multilevel", False))
+        if self.multilevel:
+            bvals.prolong_prims = pin.get_or_add_boolean(
+                "mesh_refinement", "prolong_primitives", False)
         self.bvals = bvals
         self.coord = Coordinates(pin)
         self.eos = EOSData.from_input(pin, "mhd")
@@ -1498,6 +1501,9 @@ class MHD:
         bfc = self.fill_ghosts_fc(state["bfc"])
         bcc = self.compute_bcc(bfc)
         w, u, _ = self.cons_to_prim(u, bcc)
+        if self.bvals.prolong_prims:
+            u, w = self.bvals.prolong_prims_fixup(
+                u, w, lambda w2: self.prim_to_cons(w2, bcc))
         out = dict(state)
         out.update({"u": u, "w": w, "bfc": bfc, "bcc": bcc})
         return out
@@ -1600,6 +1606,9 @@ class MHD:
             bfc = self.psbox.remap_ghosts_fc(bfc, state["t"])
         bcc = self.compute_bcc(bfc)
         w, u, counters = self.cons_to_prim(u, bcc)
+        if self.bvals.prolong_prims:
+            u, w = self.bvals.prolong_prims_fixup(
+                u, w, lambda w2: self.prim_to_cons(w2, bcc))
         if nfofc is not None:
             counters = dict(counters, nfofc=nfofc)
         out = dict(state)

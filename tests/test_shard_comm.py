@@ -313,3 +313,98 @@ def test_shard_cycle_smr_hlo_no_allgather():
     txt = fn.lower(state, dt).compile().as_text()
     assert txt.count("collective-permute") > 0
     assert "all-gather" not in txt
+
+
+# ---------------------------------------------------------------------
+# Multi-device ADAPTIVE meshes: per-epoch redistribution (reference:
+# RedistAndRefineMeshBlocks + LoadBalance over the AMR communicator,
+# mesh_refinement.cpp:427-560, load_balance.cpp:38-90).
+# ---------------------------------------------------------------------
+AMR_DECK = """
+<job>
+basename = shardamr
+
+<mesh>
+nghost = 2
+nx1 = 32
+x1min = -0.5
+x1max = 0.5
+nx2 = 32
+x2min = -0.5
+x2max = 0.5
+nx3 = 1
+x3min = -0.5
+x3max = 0.5
+
+<meshblock>
+nx1 = 8
+nx2 = 8
+nx3 = 1
+
+<mesh_refinement>
+refinement = adaptive
+num_levels = 3
+ncycle_check = 2
+refinement_interval = 2
+block_pool = false
+
+<amr_criterion1>
+method = min_max
+variable = mhd_u_d
+value_max = 1.5
+
+<time>
+evolution = dynamic
+integrator = rk2
+cfl_number = 0.3
+nlim = 14
+tlim = 0.5
+
+<mhd>
+eos = ideal
+reconstruct = plm
+rsolver = hlld
+gamma = 1.6666666666666667
+
+<problem>
+pgen_name = blast
+prat = 10.0
+drat = 4.0
+inner_radius = 0.02
+outer_radius = 0.12
+b_amb = 0.7071067811865476
+"""
+
+
+def _run_amr(ndev):
+    pin = ParameterInput.from_string(AMR_DECK)
+    mesh, phys, pgen, driver, state = build(pin)
+    if ndev:
+        driver.dmesh = make_device_mesh(ndev)
+    state = driver.initialize(state)
+    state = driver.execute(state)
+    return driver, jax.tree_util.tree_map(
+        np.asarray, driver._unpadded(state))
+
+
+def test_shard_cycle_amr_matches():
+    """Adaptive run on 8 devices matches single-device: the tree evolves
+    identically (refine + derefine + redistribute epochs) under the
+    ppermute cycle.  State match is to reassociation epsilon (~1e-29
+    measured): the slot-permuted remap changes one summation order in
+    restrict_cc; any routing bug would produce O(field) errors."""
+    d1, ref = _run_amr(0)
+    assert d1.pamr.nmb_created > 0, "tree must evolve during the test"
+    assert d1.pamr.nmb_deleted > 0, "tree must also derefine"
+    d2, sh = _run_amr(8)
+    assert d2.pamr.nmb_created == d1.pamr.nmb_created
+    assert d2.pamr.nmb_deleted == d1.pamr.nmb_deleted
+    assert d2.mesh.nmb_total == d1.mesh.nmb_total
+    # the shard layout was re-established after the tree updates
+    assert d2._layout is not None
+    assert d2._layout.nmb == d2.mesh.nmb_total
+    for k in ("u", "w"):
+        np.testing.assert_allclose(sh[k], ref[k], rtol=0, atol=1e-15)
+    for c in ("x1f", "x2f", "x3f"):
+        np.testing.assert_allclose(sh["bfc"][c], ref["bfc"][c],
+                                   rtol=0, atol=1e-15)

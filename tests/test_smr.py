@@ -298,3 +298,46 @@ r_crit = 8.0
     rms_l1 = float(np.atleast_2d(data)[-1, 4])
     assert rms_l1 < 5.0e-3, f"Bondi(SMR) deviated: RMS-L1 = {rms_l1}"
     assert np.isfinite(np.asarray(state["w"])).all()
+
+
+def test_prolong_primitives_consistency():
+    """<mesh_refinement>/prolong_primitives=true: mixed-level ghosts are
+    prolonged in primitives, and u's ghost cells equal p2c(w) exactly
+    (reference: prolong_prims.cpp Cons/PrimToConsFineBndry).  The
+    interior solution stays close to the default-path run."""
+    extra = "\nprolong_primitives = true"
+    deck = _deck(prob="blast",
+                 probextra="inner_radius = 0.1\nouter_radius = 0.25\n"
+                           "prat = 10.0")
+    deck_pp = deck.replace("refinement = static",
+                           "refinement = static" + extra)
+    pin = ParameterInput.from_string(deck_pp)
+    pin.modify_from_cmdline(["time/nlim=8"])
+    mesh, phys, pgen, driver, state = build(pin)
+    assert phys.bvals.prolong_prims
+    state = driver.initialize(state)
+    state = driver.execute(state)
+    u = np.asarray(state["u"])
+    w = np.asarray(state["w"])
+    assert np.isfinite(u).all() and np.isfinite(w).all()
+    assert w[:, 0].min() > 0.0
+    # ghost-cell consistency: u == p2c(w) everywhere in the ghosts
+    import jax
+    u2 = np.asarray(jax.jit(phys.prim_to_cons)(state["w"]))
+    mask = np.asarray(phys.bvals._ghost_mask())[0, 0]
+    np.testing.assert_allclose(
+        np.broadcast_to(mask, u.shape) * u,
+        np.broadcast_to(mask, u.shape) * u2, rtol=1e-12, atol=1e-12)
+
+    # default path for comparison: solutions agree to truncation level
+    pin2 = ParameterInput.from_string(deck)
+    pin2.modify_from_cmdline(["time/nlim=8"])
+    mesh2, phys2, pgen2, driver2, state2 = build(pin2)
+    assert not phys2.bvals.prolong_prims
+    state2 = driver2.initialize(state2)
+    state2 = driver2.execute(state2)
+    mbi = mesh.mb_indcs
+    act = (slice(None), slice(None), slice(mbi.ks, mbi.ke + 1),
+           slice(mbi.js, mbi.je + 1), slice(mbi.is_, mbi.ie + 1))
+    du = np.abs(u[act] - np.asarray(state2["u"])[act])
+    assert du.max() < 0.05 * np.abs(np.asarray(state2["u"])[act]).max()
