@@ -311,7 +311,7 @@ def supports_shard_cycle(driver, state) -> bool:
         return False
     if hasattr(phys, "imex_cycle"):
         return False
-    for mod in ("pturb", "ppart", "psbox", "pgrav"):
+    for mod in ("pturb", "psbox", "pgrav"):
         if getattr(phys, mod, None) is not None:
             return False
     if getattr(phys, "bvals", None) is None:
@@ -324,9 +324,18 @@ def supports_shard_cycle(driver, state) -> bool:
         return False
     nmb = driver.mesh.nmb_total
     ok_dims = {nmb}
+    ndev = driver.dmesh.devices.size if driver.dmesh is not None else 1
     if driver.dmesh is not None:
-        ok_dims.add(shard_layout(driver.mesh,
-                                 driver.dmesh.devices.size).nmb_pad)
+        ok_dims.add(shard_layout(driver.mesh, ndev).nmb_pad)
+    ppart = getattr(phys, "ppart", None)
+    if ppart is not None:
+        # drift particles shard over the particle axis (the pusher never
+        # reads grid data, reference: particles_pushers.cpp:19-59;
+        # grid-coupled pushers would add part_comm.exchange_particles);
+        # require an evenly divisible count for equal shards
+        if ppart.nprtcl % ndev != 0 or ppart.nprtcl in ok_dims:
+            return False  # ambiguous with the block axis: gather path
+        ok_dims.add(ppart.nprtcl)
     return all(hasattr(leaf, "shape") and leaf.ndim >= 1
                and leaf.shape[0] in ok_dims
                for leaf in jax.tree_util.tree_leaves(state))

@@ -102,3 +102,28 @@ def test_exchange_respects_dead_slots():
         want = sorted(_key(x[i]) for i in range(len(x))
                       if alive[i] and dest[i] == d)
         assert rows == want
+
+
+def test_particles_in_shard_cycle():
+    """A blast + drift-particles deck runs the explicit shard cycle with
+    the particle axis sharded; grid and particle state bit-match the
+    single-device run."""
+    import importlib.util
+    import sys as _sys
+    spec = importlib.util.spec_from_file_location(
+        "tsc", "tests/test_shard_comm.py")
+    tsc = importlib.util.module_from_spec(spec)
+    _sys.modules["tsc"] = tsc
+    spec.loader.exec_module(tsc)
+    deck = tsc.DECK + """
+<particles>
+ppc = 0.5
+"""
+    d1, ref, rdt = tsc._run(deck, None)
+    assert d1.phys.ppart is not None
+    d2, sh, sdt = tsc._run(deck, make_device_mesh(8))
+    assert np.isclose(rdt, sdt, rtol=1e-12)
+    nmb = d1.mesh.nmb_total
+    np.testing.assert_array_equal(sh["u"][:nmb], ref["u"])
+    np.testing.assert_array_equal(sh["prtcl_x"], ref["prtcl_x"])
+    np.testing.assert_array_equal(sh["prtcl_v"], ref["prtcl_v"])
