@@ -46,6 +46,8 @@ _REGISTRY = {
     "rad_beam": "athenak_tpu.pgen.rad_beam",
     "z4c_two_punctures": "athenak_tpu.pgen.z4c_two_punctures",
     "z4c_boosted_puncture": "athenak_tpu.pgen.z4c_boosted_puncture",
+    "z4c_adm_import": "athenak_tpu.pgen.import_id",
+    "dyngr_bns_import": "athenak_tpu.pgen.import_id",
     "tov": "athenak_tpu.pgen.dyngr_tov",
     "dyngr_tov": "athenak_tpu.pgen.dyngr_tov",
 }
