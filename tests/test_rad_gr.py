@@ -306,3 +306,24 @@ def test_rad_beam_kerr(tmp_path):
     if phys.excise_mask is not None:
         assert np.abs(i0[np.broadcast_to(
             phys.excise_mask[:, None], i0.shape)]).max() == 0.0
+
+    # ---- quantitative regression (CPU/f64 goldens): injected-energy
+    # budget and beam-lobe geometry after 25 cycles.  Measured:
+    # total E = 2.1824, centroid = (3.767, 0.2105), Emax = 0.3551.
+    mbi = mesh.mb_indcs
+    act = (slice(None), slice(mbi.ks, mbi.ke + 1),
+           slice(mbi.js, mbi.je + 1), slice(mbi.is_, mbi.ie + 1))
+    Ea = E[act]
+    tot, cx, cy = 0.0, 0.0, 0.0
+    for gid in range(mesh.nmb_total):
+        x1, x2, _ = mesh.cell_centers(gid)
+        x1 = x1[mbi.is_:mbi.ie + 1]
+        x2 = x2[mbi.js:mbi.je + 1]
+        e = Ea[gid, 0]
+        tot += e.sum()
+        cx += (e * x1[None, :]).sum()
+        cy += (e * x2[:, None]).sum()
+    assert abs(tot - 2.1824) < 0.05 * 2.1824, tot
+    assert abs(cx / tot - 3.767) < 0.1, cx / tot
+    assert abs(cy / tot - 0.2105) < 0.05, cy / tot
+    assert abs(Ea.max() - 0.3551) < 0.05 * 0.3551, Ea.max()
