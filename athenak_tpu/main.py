@@ -209,6 +209,9 @@ def main(argv=None) -> int:
                     help="validate input file and quit")
     ap.add_argument("-t", dest="walltime", default=None,
                     help="wall time limit hh:mm:ss")
+    ap.add_argument("-p", dest="profile_dir", default=None,
+                    help="write a jax.profiler trace (TensorBoard/"
+                         "Perfetto) of the run to this directory")
     ap.add_argument("-w", dest="watchdog", default=None, type=float,
                     help="watchdog hang-abort window in seconds")
     ap.add_argument("overrides", nargs="*",
@@ -278,7 +281,16 @@ def main(argv=None) -> int:
             ap.error(f"-t expects hh:mm:ss, got '{args.walltime}'")
     if wd is not None:
         _drv.Driver.watchdog = wd
-    mesh, phys, driver, state = run(pin, verbose=True)
+    if args.profile_dir:
+        # tracing/profiling parity: the reference relies on named Kokkos
+        # kernels + external profilers (SURVEY section 5); here the named
+        # Pallas kernels + XLA ops land in a jax.profiler trace viewable
+        # in TensorBoard/Perfetto
+        import jax
+        with jax.profiler.trace(args.profile_dir):
+            mesh, phys, driver, state = run(pin, verbose=True)
+    else:
+        mesh, phys, driver, state = run(pin, verbose=True)
     if wd is not None:
         wd.stop()
     print(driver.finalize_report())
