@@ -206,12 +206,19 @@ class Driver:
                     state = dict(state, u=u, w=w)
             saved = phys.save_state(state)
             counters_tot = None
+            dt_fused = None
             for s in range(integ.nexp_stages):
                 if s > 0 and is_rk4:
                     saved = phys.accumulate_rk4(saved, state, integ.delta[s])
                 state, counters = phys.stage_update(
                     state, saved, integ.gam0[s], integ.gam1[s],
                     integ.beta[s] * dt)
+                if counters is not None and "dtmin" in counters:
+                    # new-dt maxima fused into the last stage's aux pass
+                    # (ops/pallas_stage.fused_aux3d) — keep the final
+                    # stage's value, exclude it from counter summation
+                    counters = dict(counters)
+                    dt_fused = counters.pop("dtmin")
                 if counters_tot is None:
                     counters_tot = counters
                 else:
@@ -219,7 +226,8 @@ class Driver:
                                     for k, v in counters.items()}
             if "t" in state:
                 state = dict(state, t=state["t"] + dt)
-            dtnew = phys.dt_from_state(state)
+            dtnew = dt_fused if dt_fused is not None \
+                else phys.dt_from_state(state)
             return state, dtnew, counters_tot
 
         return cycle

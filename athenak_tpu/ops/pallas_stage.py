@@ -725,7 +725,7 @@ def fused_mega_stage3d(w, bcc, bfc, u0, u1, bfc_old, eos: EOSData,
 # ===================================================================
 # Post-stage aux kernel: bcc + cons_to_prim + periodic CC fill fused
 # ===================================================================
-def fused_aux3d(u, bfc, eos: EOSData):
+def fused_aux3d(u, bfc, eos: EOSData, dxs=None):
     """compute_bcc + Newtonian ideal-MHD c2p + the single-block periodic
     CC ghost fill of (u, w, bcc) in one bulk pass (reference chain:
     mhd.cpp bcc0 + ideal_c2p_mhd.hpp + the periodic BC copies).
@@ -737,13 +737,22 @@ def fused_aux3d(u, bfc, eos: EOSData):
     CC ghost planes on the fast path is the next stage's w window); u's
     ghost planes stay stale by design — the megakernel reads u0/u1 at
     interior planes only.  Floor counters are accumulated over interior
-    cells.  Returns (u_fixed, w, bcc, counters)."""
+    cells.
+
+    With ``dxs`` (dict of scalar cell sizes) the kernel additionally
+    accumulates the per-direction interior maxima of |v_d| + c_fast,d
+    (reference: mhd_newdt.cpp) so the new-dt pass needs no extra state
+    read; counters then include "dtmin" = min_d dx_d / max_d.
+
+    Returns (u_fixed, w, bcc, counters)."""
     from .pallas_fill import _wrap_plane
 
     nmb, nv, n3, n2, n1 = u.shape
     dt = u.dtype
     gm1 = eos.gamma - 1.0
+    gam = eos.gamma
     efloor = eos.pfloor / gm1
+    want_dt = dxs is not None
     # plane-group size: bounded by scoped VMEM (13 output channels
     # x KP planes live, double-buffered; 16 overflows at 128^2 planes)
     KP = 8 if n2 * n1 >= 96 * 96 else 16
@@ -759,6 +768,10 @@ def fused_aux3d(u, bfc, eos: EOSData):
             cnt_ref[0, 0] = 0.0
             cnt_ref[0, 1] = 0.0
             cnt_ref[0, 2] = 0.0
+            if want_dt:
+                cnt_ref[0, 3] = 0.0
+                cnt_ref[0, 4] = 0.0
+                cnt_ref[0, 5] = 0.0
 
         uu = u_ref[0]                       # [5, KP, n2, n1]
         bx = 0.5 * (b1_ref[0, :, :, :n1] + b1_ref[0, :, :, 1:])
@@ -801,6 +814,26 @@ def fused_aux3d(u, bfc, eos: EOSData):
         cnt_ref[0, 1] += count(efloor_used | sfloor_used)
         cnt_ref[0, 2] += count(tfloor_used)
 
+        if want_dt:
+            # per-direction max |v_d| + c_fast,d over interior cells
+            # (reference: mhd_newdt.cpp + eos IdealMHDFastSpeed)
+            asq = gam * gm1 * e * di
+
+            def cfast(bn, bt1, bt2):
+                ct2 = bt1 * bt1 + bt2 * bt2
+                qsq = bn * bn + ct2 + asq * d
+                tmp = bn * bn + ct2 - asq * d
+                return jnp.sqrt(
+                    0.5 * (qsq + jnp.sqrt(tmp * tmp
+                                          + 4.0 * asq * d * ct2)) * di)
+
+            for c, (vv, args) in enumerate((
+                    (vx, (bx, by, bz)), (vy, (by, bz, bx)),
+                    (vz, (bz, bx, by)))):
+                dv = jnp.where(interior, jnp.abs(vv) + cfast(*args), 0.0)
+                cnt_ref[0, 3 + c] = jnp.maximum(
+                    cnt_ref[0, 3 + c], jnp.max(dv).astype(jnp.float32))
+
         ni2, ni1 = n2 - 4, n1 - 4
         u_out[0] = _wrap_plane(
             jnp.stack([d, mx, my, mz, etot_fixed]), ni2, ni1)
@@ -820,18 +853,19 @@ def fused_aux3d(u, bfc, eos: EOSData):
             lambda m, s: (m, s * KP, 0, 0),
             memory_space=pltpu.VMEM)
 
+    ncnt = 6 if want_dt else 3
     u_fixed, w, bcc, cnt = _pcall(
         kern, grid=(nmb, n3 // KP),
         in_specs=[cwin(nv),
                   fwin(KP, ni=n1 + 1), fwin(KP, nj=n2 + 1),
                   fwin(KP + 1)],
         out_specs=(cwin(nv), cwin(nv), cwin(3),
-                   pl.BlockSpec((1, 3), lambda *a: (0, 0),
+                   pl.BlockSpec((1, ncnt), lambda *a: (0, 0),
                                 memory_space=pltpu.SMEM)),
         out_shape=(jax.ShapeDtypeStruct(u.shape, dt),
                    jax.ShapeDtypeStruct(u.shape, dt),
                    jax.ShapeDtypeStruct((nmb, 3, n3, n2, n1), dt),
-                   jax.ShapeDtypeStruct((1, 3), jnp.float32)),
+                   jax.ShapeDtypeStruct((1, ncnt), jnp.float32)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
     )(u, bfc["x1f"], bfc["x2f"], bfc["x3f"])
@@ -843,4 +877,11 @@ def fused_aux3d(u, bfc, eos: EOSData):
     counters = {"neos_dfloor": cnt[0, 0].astype(jnp.int32),
                 "neos_efloor": cnt[0, 1].astype(jnp.int32),
                 "neos_tfloor": cnt[0, 2].astype(jnp.int32)}
+    if want_dt:
+        dtmin = jnp.asarray(dxs["x1"], jnp.float32) / cnt[0, 3]
+        dtmin = jnp.minimum(
+            dtmin, jnp.asarray(dxs["x2"], jnp.float32) / cnt[0, 4])
+        dtmin = jnp.minimum(
+            dtmin, jnp.asarray(dxs["x3"], jnp.float32) / cnt[0, 5])
+        counters["dtmin"] = dtmin.astype(dt)
     return u_fixed, w, bcc, counters

@@ -1525,9 +1525,14 @@ class MHD:
             bfc = self.fill_ghosts_fc(bfc)
             if self.bvals.use_pallas_fill \
                     and self.bvals.user_bc_func is None:
-                # bcc + c2p + periodic CC fill in one pallas pass
+                # bcc + c2p + periodic CC fill in one pallas pass; the
+                # new-dt maxima ride along so the driver's dt pass needs
+                # no extra read of the state (counters["dtmin"])
                 from ..ops.pallas_stage import fused_aux3d
-                u, w, bcc, counters = fused_aux3d(u, bfc, self.eos)
+                fuse_dt = (self.ppart is None
+                           and self.time_evolution == "dynamic")
+                u, w, bcc, counters = fused_aux3d(
+                    u, bfc, self.eos, dxs=dxs if fuse_dt else None)
             else:
                 u = self.bvals.fill_ghosts(u)
                 bcc = self.compute_bcc(bfc)

@@ -86,7 +86,7 @@ def _cycles(driver, state, n=2):
     dt = jnp.asarray(driver.mesh.dt, dtype=state["u"].dtype)
     for _ in range(n):
         state, dtnew, _ = fn(state, dt)
-    return jax.tree_util.tree_map(np.asarray, state)
+    return jax.tree_util.tree_map(np.asarray, state), float(dtnew)
 
 
 def _run(force_pallas: bool, mega: bool = True):
@@ -106,7 +106,8 @@ def _run(force_pallas: bool, mega: bool = True):
         # interpret mode covers ops/pallas_fill.py too
         phys.bvals.use_pallas_fill = True
     state = driver.initialize(state)
-    return driver, _cycles(driver, state)
+    st, dtnew = _cycles(driver, state)
+    return driver, st, dtnew
 
 
 def _compare(ref, got):
@@ -147,15 +148,19 @@ def _compare(ref, got):
 
 def test_fused_stage_ct_parity(f32_interpret):
     """fused_stage3d + fused_ct3d + pallas ghost fill vs the jnp path."""
-    _, ref = _run(False)
-    drv, got = _run(True, mega=False)
+    _, ref, dt_ref = _run(False)
+    drv, got, dt_got = _run(True, mega=False)
     assert not drv.phys.use_mega_stage
     _compare(ref, got)
+    assert np.isclose(dt_got, dt_ref, rtol=1e-4)
 
 
 def test_mega_stage_parity(f32_interpret):
-    """fused_mega_stage3d (single-kernel full stage) vs the jnp path."""
-    _, ref = _run(False)
-    drv, got = _run(True, mega=True)
+    """fused_mega_stage3d (single-kernel full stage) vs the jnp path:
+    state parity plus the fused new-dt (counters dtmin) vs the jnp
+    dt_from_state chain."""
+    _, ref, dt_ref = _run(False)
+    drv, got, dt_got = _run(True, mega=True)
     assert drv.phys.use_mega_stage, "mega-stage gate did not engage"
     _compare(ref, got)
+    assert np.isclose(dt_got, dt_ref, rtol=1e-4)
