@@ -35,14 +35,14 @@ x1max = 1.0
 nx2 = {nx}
 x2min = -1.0
 x2max = 1.0
-nx3 = {nx}
+nx3 = {nx3}
 x3min = -1.0
 x3max = 1.0
 
 <meshblock>
 nx1 = {mbx}
 nx2 = {mbx}
-nx3 = {mbx}
+nx3 = {mb3}
 
 <time>
 evolution = dynamic
@@ -66,14 +66,17 @@ b_amb = 0.1
 
 
 def run_config(nx: int, mbx: int, ncycles: int, npasses: int,
-               coalesce: bool = True) -> float:
+               coalesce: bool = True, nx3: int = 0) -> float:
     import jax
     import jax.numpy as jnp
 
     from athenak_tpu.athinput import ParameterInput
     from athenak_tpu.main import build
 
-    pin = ParameterInput.from_string(DECK.format(nx=nx, mbx=mbx))
+    nx3 = nx3 or nx
+    mb3 = nx3 if mbx == nx else mbx
+    pin = ParameterInput.from_string(DECK.format(nx=nx, mbx=mbx,
+                                                 nx3=nx3, mb3=mb3))
     if not coalesce:
         pin.set_value("mesh", "coalesce", "false")
     mesh, phys, pgen, driver, state = build(pin)
@@ -101,7 +104,7 @@ def run_config(nx: int, mbx: int, ncycles: int, npasses: int,
         _ = float(chk)
         best = min(best, time.perf_counter() - t0)
 
-    zones = nx ** 3
+    zones = nx * nx * nx3
     return zones * ncycles / best
 
 
@@ -111,11 +114,15 @@ def main() -> int:
     # Default 124^3: with 2 ghost cells the padded extent is exactly 128,
     # so arrays tile the TPU lane dimension with zero padding waste.
     nx = int(os.environ.get("BENCH_NX", "124"))
+    # BENCH_NX3: x3 extent knob — the megakernel's x3 window K is the
+    # largest divisor of (ncells3 - 4) <= 6, so e.g. nx3=120 gives K=6
+    # (seam redundancy 8/6) vs the cube's K=4 (redundancy 6/4)
+    nx3 = int(os.environ.get("BENCH_NX3", str(nx)))
     mbx = int(os.environ.get("BENCH_MBX", str(nx)))
     ncycles = int(os.environ.get("BENCH_NCYCLES", "40"))
     npasses = int(os.environ.get("BENCH_NPASSES", "2"))
 
-    zcps = run_config(nx, mbx, ncycles, npasses)
+    zcps = run_config(nx, mbx, ncycles, npasses, nx3=nx3)
 
     # multi-block secondary metrics: 8 blocks of 62^3 (the hero 124^3
     # mesh split in half along each axis).  The default
