@@ -518,10 +518,15 @@ def _mega_k(n3: int) -> int:
     """Cell planes per megakernel grid step: the kernel is VPU-bound,
     so pick the largest divisor of the interior depth (bounded by the
     HLLD live-set fitting VMEM) to minimize the (K+2)/K redundant
-    x1/x2 flux compute at window seams."""
+    x1/x2 flux compute at window seams.  ATHENAK_MEGA_K_MAX overrides
+    the window bound for VMEM tuning (default 6: K+2 > 8 planes of
+    HLLD live-set blows the 128MB VMEM at 128^2 planes, measured
+    ~14MB/plane)."""
+    import os
+    kmax = int(os.environ.get("ATHENAK_MEGA_K_MAX", "6"))
     best = 1
-    for k in range(2, 7):   # K+2 > 8 planes of HLLD live-set blows the
-        if (n3 - 4) % k == 0:   # 128MB VMEM (measured: ~14MB/plane)
+    for k in range(2, kmax + 1):
+        if (n3 - 4) % k == 0:
             best = k
     return best
 
