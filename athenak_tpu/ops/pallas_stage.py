@@ -589,9 +589,20 @@ def fused_mega_stage3d(w, bcc, bfc, u0, u1, bfc_old, eos: EOSData,
             lambda m, s: (m, 0, s * K + off, 0, 0),
             memory_space=pltpu.VMEM)
 
-    def kern(bd_ref, w_ref, bcc_ref, b1_ref, b2_ref, b3_ref,
-             u0_ref, u1_ref, b1o_ref, b2o_ref, b3o_ref,
-             acc_ref, nb1_ref, nb2_ref, nb3_ref):
+    # RK stages with gam1 == 0 (e.g. VL2/RK2 stage 1) never read the
+    # saved state: drop (u1, bfc_old) from the input set entirely —
+    # 8 fewer field reads of HBM traffic on that stage
+    skip_old = (float(gam1) == 0.0)
+
+    def kern(*refs):
+        (bd_ref, w_ref, bcc_ref, b1_ref, b2_ref, b3_ref,
+         u0_ref) = refs[:7]
+        if skip_old:
+            u1_ref = b1o_ref = b2o_ref = b3o_ref = None
+            acc_ref, nb1_ref, nb2_ref, nb3_ref = refs[7:]
+        else:
+            u1_ref, b1o_ref, b2o_ref, b3o_ref = refs[7:11]
+            acc_ref, nb1_ref, nb2_ref, nb3_ref = refs[11:]
         bdx, bdy, bdz = bd_ref[0, 0], bd_ref[0, 1], bd_ref[0, 2]
         ww = w_ref[0]       # [5, K+4, n2, n1]  planes c0-2 .. c0+K+1
         bb = bcc_ref[0]     # [3, K+4, n2, n1]
@@ -636,7 +647,8 @@ def fused_mega_stage3d(w, bcc, bfc, u0, u1, bfc_old, eos: EOSData,
         # ---- RK update of cell planes c0..c0+K-1 (x1/x2 local 1..K)
         df1 = _roll(f1, 1, 3) - f1
         df2 = _roll(f2, 1, 2) - f2
-        acc_ref[0] = (gam0 * u0_ref[0] + gam1 * u1_ref[0]
+        u_old = 0.0 if skip_old else gam1 * u1_ref[0]
+        acc_ref[0] = (gam0 * u0_ref[0] + u_old
                       - bdx * df1[:, 1:K + 1] - bdy * df2[:, 1:K + 1]
                       - bdz * (f3[:, 1:K + 1] - f3[:, 0:K]))
 
@@ -681,37 +693,42 @@ def fused_mega_stage3d(w, bcc, bfc, u0, u1, bfc_old, eos: EOSData,
         # ---- CT (see fused_ct3d for the overlap/aliasing rules)
         for a in range(1, K + 1):
             q = a - 1
+            b1_old = 0.0 if skip_old else gam1 * b1o_ref[0, q, :, :n1]
             nb1_ref[0, q, :, :n1] = (
-                gam0 * b1_ref[0, a, :, :n1]
-                + gam1 * b1o_ref[0, q, :, :n1]
+                gam0 * b1_ref[0, a, :, :n1] + b1_old
                 - bdy * (_roll(e3[a], 1, J) - e3[a])
                 + bdz * (e2[a + 1] - e2[a]))
+            b2_old = 0.0 if skip_old else gam1 * b2o_ref[0, q, :n2, :]
             nb2_ref[0, q, :n2, :] = (
-                gam0 * b2_ref[0, a, :n2, :]
-                + gam1 * b2o_ref[0, q, :n2, :]
+                gam0 * b2_ref[0, a, :n2, :] + b2_old
                 + bdx * (_roll(e3[a], 1, I) - e3[a])
                 - bdz * (e1[a + 1] - e1[a]))
         for a in range(1, K + 2):
             q = a - 1
-            nb3_ref[0, q] = (gam0 * b3_ref[0, q]
-                             + gam1 * b3o_ref[0, q]
+            b3_old = 0.0 if skip_old else gam1 * b3o_ref[0, q]
+            nb3_ref[0, q] = (gam0 * b3_ref[0, q] + b3_old
                              - bdx * (_roll(e2[a], 1, I) - e2[a])
                              + bdy * (_roll(e1[a], 1, J) - e1[a]))
 
     grid = (nmb, (n3 - 4) // K)
     smem = pl.BlockSpec((1, 3), lambda *a: (0, 0),
                         memory_space=pltpu.SMEM)
+    in_specs = [smem,
+                win(nv, K + 4, 0), win(3, K + 4, 0),         # w, bcc
+                win(None, K + 2, 1, ni=n1 + 1),              # b1f
+                win(None, K + 2, 1, nj=n2 + 1),              # b2f
+                win(None, K + 1, 2),                         # b3f
+                win(nv, K, 2)]                               # u0
+    args = [bd, w, bcc, bfc["x1f"], bfc["x2f"], bfc["x3f"], u0]
+    if not skip_old:
+        in_specs += [win(nv, K, 2),                          # u1
+                     win(None, K, 2, ni=n1 + 1),             # b1 old
+                     win(None, K, 2, nj=n2 + 1),             # b2 old
+                     win(None, K + 1, 2)]                    # b3 old
+        args += [u1, bfc_old["x1f"], bfc_old["x2f"], bfc_old["x3f"]]
     acc, nb1, nb2, nb3 = _pcall(
         kern, grid=grid,
-        in_specs=[smem,
-                  win(nv, K + 4, 0), win(3, K + 4, 0),         # w, bcc
-                  win(None, K + 2, 1, ni=n1 + 1),              # b1f
-                  win(None, K + 2, 1, nj=n2 + 1),              # b2f
-                  win(None, K + 1, 2),                         # b3f
-                  win(nv, K, 2), win(nv, K, 2),                # u0, u1
-                  win(None, K, 2, ni=n1 + 1),                  # b1 old
-                  win(None, K, 2, nj=n2 + 1),                  # b2 old
-                  win(None, K + 1, 2)],                        # b3 old
+        in_specs=in_specs,
         out_specs=(win(nv, K, 2),
                    win(None, K, 2, ni=n1 + 1),
                    win(None, K, 2, nj=n2 + 1),
@@ -722,8 +739,7 @@ def fused_mega_stage3d(w, bcc, bfc, u0, u1, bfc_old, eos: EOSData,
                    jax.ShapeDtypeStruct(bfc["x3f"].shape, dt)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(bd, w, bcc, bfc["x1f"], bfc["x2f"], bfc["x3f"], u0, u1,
-      bfc_old["x1f"], bfc_old["x2f"], bfc_old["x3f"])
+    )(*args)
     return acc, {"x1f": nb1, "x2f": nb2, "x3f": nb3}
 
 
