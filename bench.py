@@ -22,6 +22,44 @@ import sys
 import time
 
 
+Z4C_DECK = """
+<job>
+basename = bench_punc
+precision = single
+
+<mesh>
+nghost = 2
+nx1 = 60
+x1min = -6.0
+x1max = 6.0
+ix1_bc = outflow
+ox1_bc = outflow
+nx2 = 60
+x2min = -6.0
+x2max = 6.0
+ix2_bc = outflow
+ox2_bc = outflow
+nx3 = 60
+x3min = -6.0
+x3max = 6.0
+ix3_bc = outflow
+ox3_bc = outflow
+
+<time>
+evolution = dynamic
+integrator = rk4
+cfl_number = 0.25
+tlim = 100.0
+
+<z4c>
+diss = 0.5
+
+<problem>
+pgen_name = z4c_one_puncture
+punc_ADM_mass = 1.0
+"""
+
+
 DECK = """
 <job>
 basename = bench_blast
@@ -67,11 +105,7 @@ b_amb = 0.1
 
 def run_config(nx: int, mbx: int, ncycles: int, npasses: int,
                coalesce: bool = True, nx3: int = 0) -> float:
-    import jax
-    import jax.numpy as jnp
-
     from athenak_tpu.athinput import ParameterInput
-    from athenak_tpu.main import build
 
     nx3 = nx3 or nx
     mb3 = nx3 if mbx == nx else mbx
@@ -79,6 +113,22 @@ def run_config(nx: int, mbx: int, ncycles: int, npasses: int,
                                                  nx3=nx3, mb3=mb3))
     if not coalesce:
         pin.set_value("mesh", "coalesce", "false")
+    return _time_pin(pin, nx * nx * nx3, ncycles, npasses)
+
+
+def run_deck(deck: str, zones: int, ncycles: int, npasses: int) -> float:
+    from athenak_tpu.athinput import ParameterInput
+
+    return _time_pin(ParameterInput.from_string(deck), zones,
+                     ncycles, npasses)
+
+
+def _time_pin(pin, zones: int, ncycles: int, npasses: int) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from athenak_tpu.main import build
+
     mesh, phys, pgen, driver, state = build(pin)
     state = driver.initialize(state)
     dt = jnp.asarray(driver.mesh.dt, dtype=state["u"].dtype)
@@ -104,7 +154,6 @@ def run_config(nx: int, mbx: int, ncycles: int, npasses: int,
         _ = float(chk)
         best = min(best, time.perf_counter() - t0)
 
-    zones = nx * nx * nx3
     return zones * ncycles / best
 
 
@@ -144,6 +193,17 @@ def main() -> int:
             else:
                 mb_pool_zcps = v
 
+    # Z4c secondary metric: one-puncture 60^3 rk4 (the NR configuration
+    # has no Pallas fast path — this measures the general jnp cycle)
+    z4c_zcps = None
+    if os.environ.get("BENCH_Z4C", "1") != "0":
+        try:
+            z4c_zcps = run_deck(Z4C_DECK, 60 ** 3,
+                                max(ncycles // 4, 5), 1)
+        except Exception as e:
+            print(f"z4c bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
     out = {
         "metric": "zone_cycles_per_second_3d_mhd_blast",
         "value": zcps,
@@ -154,6 +214,8 @@ def main() -> int:
         out["multi_block_8x62_value"] = mb_zcps
     if mb_pool_zcps is not None:
         out["multi_block_8x62_pool_value"] = mb_pool_zcps
+    if z4c_zcps is not None:
+        out["z4c_puncture_60_value"] = z4c_zcps
     print(json.dumps(out))
     return 0
 
