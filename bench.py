@@ -11,6 +11,11 @@ the tunneled axon backend, so fetch-based sync is the only reliable
 barrier).  Reports the hero single-block number plus a multi-block
 configuration (8 x 62^3) that exercises the block halo-exchange path.
 
+Each secondary metric runs in its own subprocess with a hard timeout:
+the tunneled TPU backend occasionally wedges when several large
+programs share one process, and a hung secondary must not take down
+the headline number.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
@@ -18,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -157,65 +163,101 @@ def _time_pin(pin, zones: int, ncycles: int, npasses: int) -> float:
     return zones * ncycles / best
 
 
+# --- subprocess harness ----------------------------------------------------
+
+def _run_case(case: str, ncycles: int, npasses: int) -> float:
+    """Entry for one benchmark case (invoked as a subprocess)."""
+    if case == "hero":
+        nx = int(os.environ.get("BENCH_NX", "124"))
+        nx3 = int(os.environ.get("BENCH_NX3", str(nx)))
+        return run_config(nx, int(os.environ.get("BENCH_MBX", str(nx))),
+                          ncycles, npasses, nx3=nx3)
+    if case == "coalesced":
+        return run_config(124, 62, ncycles, npasses)
+    if case == "pool":
+        return run_config(124, 62, ncycles, npasses, coalesce=False)
+    if case == "z4c":
+        return run_deck(Z4C_DECK, 60 ** 3, ncycles, npasses)
+    raise ValueError(case)
+
+
+def _spawn_case(case: str, ncycles: int, npasses: int,
+                timeout: float) -> float | None:
+    """Run one case in a fresh process; None on failure/timeout."""
+    env = dict(os.environ)
+    cmd = [sys.executable, os.path.abspath(__file__),
+           "--case", case, str(ncycles), str(npasses)]
+    try:
+        r = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=timeout, env=env)
+    except subprocess.TimeoutExpired:
+        print(f"bench case {case}: timed out after {timeout:.0f}s",
+              file=sys.stderr)
+        return None
+    if r.returncode != 0:
+        tail = (r.stderr or "").strip().splitlines()[-3:]
+        print(f"bench case {case}: rc={r.returncode}: " + " | ".join(tail),
+              file=sys.stderr)
+        return None
+    for line in (r.stdout or "").strip().splitlines()[::-1]:
+        try:
+            return float(line)
+        except ValueError:
+            continue
+    print(f"bench case {case}: no value in output", file=sys.stderr)
+    return None
+
+
 def main() -> int:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+    if len(sys.argv) > 1 and sys.argv[1] == "--case":
+        v = _run_case(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
+        print(v)
+        return 0
+
     # Default 124^3: with 2 ghost cells the padded extent is exactly 128,
     # so arrays tile the TPU lane dimension with zero padding waste.
-    nx = int(os.environ.get("BENCH_NX", "124"))
-    # BENCH_NX3: x3 extent knob — the megakernel's x3 window K is the
-    # largest divisor of (ncells3 - 4) <= 6, so e.g. nx3=120 gives K=6
-    # (seam redundancy 8/6) vs the cube's K=4 (redundancy 6/4)
-    nx3 = int(os.environ.get("BENCH_NX3", str(nx)))
-    mbx = int(os.environ.get("BENCH_MBX", str(nx)))
     ncycles = int(os.environ.get("BENCH_NCYCLES", "40"))
     npasses = int(os.environ.get("BENCH_NPASSES", "2"))
 
-    zcps = run_config(nx, mbx, ncycles, npasses, nx3=nx3)
+    # Headline number runs in-process (a crash here should fail loudly).
+    zcps = _run_case("hero", ncycles, npasses)
 
-    # multi-block secondary metrics: 8 blocks of 62^3 (the hero 124^3
-    # mesh split in half along each axis).  The default
-    # driver path coalesces this uniform mesh into one superblock
-    # (parallel/coalesce.py) — that is what a user's run does — while
-    # the "pool" variant forces the true block-pool halo-exchange path
-    # real SMR/AMR/multi-chip decks hit.
-    mb_zcps = mb_pool_zcps = None
-    if os.environ.get("BENCH_MULTIBLOCK", "1") != "0":
-        for name, kw in (("coalesced", {}), ("pool", {"coalesce": False})):
-            try:
-                v = run_config(124, 62, max(ncycles // 2, 5), 1, **kw)
-            except Exception as e:
-                print(f"multi-block ({name}) bench failed: "
-                      f"{type(e).__name__}: {e}", file=sys.stderr)
-                v = None
-            if name == "coalesced":
-                mb_zcps = v
-            else:
-                mb_pool_zcps = v
-
-    # Z4c secondary metric: one-puncture 60^3 rk4 (the NR configuration
-    # has no Pallas fast path — this measures the general jnp cycle)
-    z4c_zcps = None
-    if os.environ.get("BENCH_Z4C", "1") != "0":
-        try:
-            z4c_zcps = run_deck(Z4C_DECK, 60 ** 3,
-                                max(ncycles // 4, 5), 1)
-        except Exception as e:
-            print(f"z4c bench failed: {type(e).__name__}: {e}",
-                  file=sys.stderr)
-
+    # Secondary metrics, each isolated in a subprocess:
+    #  - coalesced: 8 x 62^3 uniform mesh repacked into one superblock
+    #    (parallel/coalesce.py) — the default user path.
+    #  - pool: the same mesh forced down the true block-pool
+    #    halo-exchange path real SMR/AMR/multi-chip decks hit.
+    #  - z4c: one-puncture 60^3 rk4 — the NR configuration (general jnp
+    #    cycle, no Pallas fast path).
     out = {
         "metric": "zone_cycles_per_second_3d_mhd_blast",
         "value": zcps,
         "unit": "zone-cycles/s",
         "vs_baseline": zcps / 1.0e9,
     }
-    if mb_zcps is not None:
-        out["multi_block_8x62_value"] = mb_zcps
-    if mb_pool_zcps is not None:
-        out["multi_block_8x62_pool_value"] = mb_pool_zcps
-    if z4c_zcps is not None:
-        out["z4c_puncture_60_value"] = z4c_zcps
+    secondaries = []
+    if os.environ.get("BENCH_MULTIBLOCK", "1") != "0":
+        secondaries += [("coalesced", "multi_block_8x62_value",
+                         max(ncycles // 2, 5), 1),
+                        ("pool", "multi_block_8x62_pool_value",
+                         max(ncycles // 4, 5), 1)]
+    if os.environ.get("BENCH_Z4C", "1") != "0":
+        secondaries += [("z4c", "z4c_puncture_60_value", 10, 1)]
+    per_case_timeout = float(os.environ.get("BENCH_CASE_TIMEOUT", "180"))
+    deadline = time.monotonic() + float(
+        os.environ.get("BENCH_BUDGET", "390"))
+    for case, key, nc, np_ in secondaries:
+        left = deadline - time.monotonic()
+        if left < 30:
+            print(f"bench case {case}: skipped (budget exhausted)",
+                  file=sys.stderr)
+            continue
+        v = _spawn_case(case, nc, np_, min(per_case_timeout, left))
+        if v is not None:
+            out[key] = v
+
     print(json.dumps(out))
     return 0
 
