@@ -193,6 +193,8 @@ def main(argv=None) -> int:
     if plat:
         import jax
         jax.config.update("jax_platforms", plat)
+    from .utils import enable_compile_cache
+    enable_compile_cache()
 
     ap = argparse.ArgumentParser(prog="athenak_tpu")
     ap.add_argument("-i", dest="input", help="input athinput file")

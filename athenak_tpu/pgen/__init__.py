@@ -58,3 +58,25 @@ def get_pgen(name: str):
         raise ValueError(f"problem/pgen_name = '{name}' not found "
                          f"(available: {sorted(_REGISTRY)})")
     return import_module(_REGISTRY[name])
+
+
+def state_from_prims(phys, w, bfc=None):
+    """Build the initial state from primitive arrays in ONE jitted program.
+
+    Problem generators compute ICs in host numpy; the device tail
+    (compute_bcc -> prim_to_cons) would otherwise run as dozens of eager
+    ops, each paying dispatch + per-op compile latency (pathological over
+    a tunneled TPU link: ~2-3 s per eager op measured).  One jit makes the
+    whole tail a single compile + single dispatch, and the numpy -> device
+    transfer of (w, bfc) happens once as the jit arguments.
+    """
+    import jax
+
+    if bfc is not None:
+        def tail(wj, bfcj):
+            bcc = phys.compute_bcc(bfcj)
+            return phys.prim_to_cons(wj, bcc), bcc
+        u, bcc = jax.jit(tail)(w, bfc)
+        return phys.make_state(u, w, bfc, bcc=bcc)
+    u = jax.jit(phys.prim_to_cons)(w)
+    return phys.make_state(u, w)

@@ -51,17 +51,16 @@ def init(pin, mesh, phys):
         w[gid, IDN][act] = den
         w[gid, IEN][act] = pres / gm1
 
+    from . import state_from_prims
+
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    wj = jnp.asarray(w, dtype=dtype)
+    wj = w.astype(dtype)
 
     if getattr(phys, "is_mhd", False):
         # uniform Bx = b_amb (A3 = b_amb * y)
-        bfc = {k: np.zeros(s) for k, s in phys.fc_shapes.items()}
+        bfc = {k: np.zeros(s, dtype=dtype)
+               for k, s in phys.fc_shapes.items()}
         bfc["x1f"][:] = b_amb
-        bfcj = {k: jnp.asarray(v, dtype=dtype) for k, v in bfc.items()}
-        bcc = phys.compute_bcc(bfcj)
-        u = phys.prim_to_cons(wj, bcc)
-        return phys.make_state(u, wj, bfcj)
+        return state_from_prims(phys, wj, bfc)
 
-    u = phys.prim_to_cons(wj)
-    return phys.make_state(u, wj)
+    return state_from_prims(phys, wj)

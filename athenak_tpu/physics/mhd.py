@@ -1472,9 +1472,9 @@ class MHD:
         return dt
 
     # ------------------------------------------------- state-dict interface
-    def make_state(self, u, w, bfc):
+    def make_state(self, u, w, bfc, bcc=None):
         state = {"u": u, "w": w, "bfc": bfc,
-                 "bcc": self.compute_bcc(bfc)}
+                 "bcc": bcc if bcc is not None else self.compute_bcc(bfc)}
         if self.pturb is not None:
             state.update(self.pturb.init_state_entries(u.dtype))
         if self.ppart is not None:

@@ -46,3 +46,22 @@ class WatchDog:
                       f"{self.timeout} s, aborting", file=sys.stderr,
                       flush=True)
                 os._exit(66)
+
+
+def enable_compile_cache() -> None:
+    """Turn on JAX's persistent compilation cache (repeat runs of the
+    same deck skip XLA recompiles; the reference has no analogue since
+    C++ compiles ahead of time).  Opt out with ATHENAK_XLA_CACHE=0."""
+    import os
+
+    cache = os.environ.get("ATHENAK_XLA_CACHE", "")
+    if cache == "0":
+        return
+    try:
+        import jax
+        cache = cache or os.path.expanduser("~/.cache/athenak_tpu_xla")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass

@@ -22,10 +22,19 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 from __future__ import annotations
 
 import json
+import math
 import os
 import subprocess
 import sys
 import time
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache: repeat bench runs (and the
+    subprocess-isolated secondary cases) skip recompiles entirely."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from athenak_tpu.utils import enable_compile_cache
+    enable_compile_cache()
 
 
 Z4C_DECK = """
@@ -199,11 +208,17 @@ def _spawn_case(case: str, ncycles: int, npasses: int,
         print(f"bench case {case}: rc={r.returncode}: " + " | ".join(tail),
               file=sys.stderr)
         return None
+    # parse ONLY the sentinel line (ADVICE r3: stray numeric stdout from
+    # the backend must not be mistaken for the metric); reject non-finite
     for line in (r.stdout or "").strip().splitlines()[::-1]:
-        try:
-            return float(line)
-        except ValueError:
-            continue
+        if line.startswith("BENCH_RESULT "):
+            try:
+                v = float(json.loads(line[len("BENCH_RESULT "):])["value"])
+            except (ValueError, KeyError, json.JSONDecodeError):
+                break
+            if math.isfinite(v):
+                return v
+            break
     print(f"bench case {case}: no value in output", file=sys.stderr)
     return None
 
@@ -212,8 +227,9 @@ def main() -> int:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
     if len(sys.argv) > 1 and sys.argv[1] == "--case":
+        _enable_compile_cache()
         v = _run_case(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
-        print(v)
+        print("BENCH_RESULT " + json.dumps({"value": v}))
         return 0
 
     # Default 124^3: with 2 ghost cells the padded extent is exactly 128,
@@ -221,7 +237,9 @@ def main() -> int:
     ncycles = int(os.environ.get("BENCH_NCYCLES", "40"))
     npasses = int(os.environ.get("BENCH_NPASSES", "2"))
 
-    # Headline number runs in-process (a crash here should fail loudly).
+    # Headline number runs in-process with no timeout — a wedged backend
+    # here should hang/fail loudly rather than mask the problem.
+    _enable_compile_cache()
     zcps = _run_case("hero", ncycles, npasses)
 
     # Secondary metrics, each isolated in a subprocess:
@@ -242,21 +260,27 @@ def main() -> int:
         secondaries += [("coalesced", "multi_block_8x62_value",
                          max(ncycles // 2, 5), 1),
                         ("pool", "multi_block_8x62_pool_value",
-                         max(ncycles // 4, 5), 1)]
+                         max(ncycles // 2, 5), 1)]
     if os.environ.get("BENCH_Z4C", "1") != "0":
-        secondaries += [("z4c", "z4c_puncture_60_value", 10, 1)]
-    per_case_timeout = float(os.environ.get("BENCH_CASE_TIMEOUT", "180"))
+        secondaries += [("z4c", "z4c_puncture_60_value",
+                         max(ncycles // 4, 5), 1)]
+    per_case_timeout = float(os.environ.get("BENCH_CASE_TIMEOUT", "240"))
     deadline = time.monotonic() + float(
-        os.environ.get("BENCH_BUDGET", "390"))
+        os.environ.get("BENCH_BUDGET", "720"))
     for case, key, nc, np_ in secondaries:
         left = deadline - time.monotonic()
         if left < 30:
             print(f"bench case {case}: skipped (budget exhausted)",
                   file=sys.stderr)
+            out[key.replace("_value", "_skipped")] = True
             continue
         v = _spawn_case(case, nc, np_, min(per_case_timeout, left))
         if v is not None:
             out[key] = v
+        else:
+            # explicit marker so consumers can tell "timed out / failed"
+            # from "not run" (ADVICE r3)
+            out[key.replace("_value", "_failed")] = True
 
     print(json.dumps(out))
     return 0
