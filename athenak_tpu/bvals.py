@@ -93,6 +93,26 @@ class BoundaryValues:
             and self.ng == 2
             and not any(self.any_phys.values())
             and all(f == "periodic" for f in self.flag.values()))
+        # multi-block same-level periodic fast path: three Pallas sweep
+        # kernels move ghost slabs block-to-block directly
+        # (ops/pallas_pool_fill.py)
+        from .ops.pallas_pool_fill import supports_pool_fill
+        self.use_pool_fill = on_tpu and supports_pool_fill(mesh)
+        self._nbr27 = None
+
+    def nbr27(self):
+        if self._nbr27 is None:
+            from .ops.pallas_pool_fill import neighbor27
+            self._nbr27 = neighbor27(self.mesh)
+        return self._nbr27
+
+    def pool_fill_active(self, dtype) -> bool:
+        """True when the DMA pool fill is the fill path for this trace
+        (single-device trace context only: inside a ShardComm region the
+        per-peer ppermute exchange owns block movement)."""
+        from .comm import current_comm
+        return (self.use_pool_fill and dtype == jnp.float32
+                and current_comm() is None)
 
     # ------------------------------------------------------------------
     def _exchange(self, slab, key: str):
@@ -119,6 +139,12 @@ class BoundaryValues:
         if self.use_pallas_fill and u.dtype == jnp.float32:
             from .ops.pallas_fill import periodic_fill_cc
             u = periodic_fill_cc(u)
+            if self.user_bc_func is not None:
+                u = self.user_bc_func(u, self)
+            return u
+        if self.pool_fill_active(u.dtype):
+            from .ops.pallas_pool_fill import pool_fill_cc
+            u = pool_fill_cc(u, self.nbr27(), self.mesh)
             if self.user_bc_func is not None:
                 u = self.user_bc_func(u, self)
             return u

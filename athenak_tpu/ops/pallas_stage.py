@@ -516,19 +516,16 @@ def fused_ct3d(w, bcc, fden, emf, bfc, bfc_old, gam0: float, gam1: float,
 # ===================================================================
 def _mega_k(n3: int) -> int:
     """Cell planes per megakernel grid step: the kernel is VPU-bound,
-    so pick the largest divisor of the interior depth (bounded by the
-    HLLD live-set fitting VMEM) to minimize the (K+2)/K redundant
-    x1/x2 flux compute at window seams.  ATHENAK_MEGA_K_MAX overrides
-    the window bound for VMEM tuning (default 6: K+2 > 8 planes of
-    HLLD live-set blows the 128MB VMEM at 128^2 planes, measured
-    ~14MB/plane)."""
+    so pick the largest K (bounded by the HLLD live-set fitting VMEM)
+    to minimize the (K+2)/K redundant x1/x2 flux compute at window
+    seams.  K need not divide the interior depth: the last window's
+    start is clamped (overlapping windows recompute identical values).
+    ATHENAK_MEGA_K_MAX overrides the bound for VMEM tuning (default 6:
+    K+2 > 8 planes of HLLD live-set blows the 128MB VMEM at 128^2
+    planes, measured ~14MB/plane)."""
     import os
     kmax = int(os.environ.get("ATHENAK_MEGA_K_MAX", "6"))
-    best = 1
-    for k in range(2, kmax + 1):
-        if (n3 - 4) % k == 0:
-            best = k
-    return best
+    return max(1, min(kmax, n3 - 4))
 
 
 def supports_mega_stage(phys, mesh) -> bool:
@@ -576,17 +573,24 @@ def fused_mega_stage3d(w, bcc, bfc, u0, u1, bfc_old, eos: EOSData,
     bd = jnp.stack([beta_dt / dxs["x1"], beta_dt / dxs["x2"],
                     beta_dt / dxs["x3"]]).astype(dt).reshape(1, 3)
 
+    # window start, clamped so the last window stays in range when K
+    # does not divide the interior depth (overlapping windows recompute
+    # identical values from identical inputs — benign on the sequential
+    # grid; none of the outputs are input_output_aliased)
+    def s0(s):
+        return jnp.minimum(s * K, n3 - 4 - K)
+
     def win(ch, planes, off, nj=n2, ni=n1):
         if ch is None:
             return pl.BlockSpec(
                 (pl.Element(1), pl.Element(planes), pl.Element(nj),
                  pl.Element(ni)),
-                lambda m, s: (m, s * K + off, 0, 0),
+                lambda m, s: (m, s0(s) + off, 0, 0),
                 memory_space=pltpu.VMEM)
         return pl.BlockSpec(
             (pl.Element(1), pl.Element(ch), pl.Element(planes),
              pl.Element(nj), pl.Element(ni)),
-            lambda m, s: (m, 0, s * K + off, 0, 0),
+            lambda m, s: (m, 0, s0(s) + off, 0, 0),
             memory_space=pltpu.VMEM)
 
     # RK stages with gam1 == 0 (e.g. VL2/RK2 stage 1) never read the
@@ -710,7 +714,7 @@ def fused_mega_stage3d(w, bcc, bfc, u0, u1, bfc_old, eos: EOSData,
                              - bdx * (_roll(e2[a], 1, I) - e2[a])
                              + bdy * (_roll(e1[a], 1, J) - e1[a]))
 
-    grid = (nmb, (n3 - 4) // K)
+    grid = (nmb, -(-(n3 - 4) // K))
     smem = pl.BlockSpec((1, 3), lambda *a: (0, 0),
                         memory_space=pltpu.SMEM)
     in_specs = [smem,
@@ -746,7 +750,7 @@ def fused_mega_stage3d(w, bcc, bfc, u0, u1, bfc_old, eos: EOSData,
 # ===================================================================
 # Post-stage aux kernel: bcc + cons_to_prim + periodic CC fill fused
 # ===================================================================
-def fused_aux3d(u, bfc, eos: EOSData, dxs=None):
+def fused_aux3d(u, bfc, eos: EOSData, dxs=None, wrap: bool = True):
     """compute_bcc + Newtonian ideal-MHD c2p + the single-block periodic
     CC ghost fill of (u, w, bcc) in one bulk pass (reference chain:
     mhd.cpp bcc0 + ideal_c2p_mhd.hpp + the periodic BC copies).

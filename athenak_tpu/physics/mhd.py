@@ -1028,6 +1028,9 @@ class MHD:
                 and bfc["x1f"].dtype == jnp.float32:
             from ..ops.pallas_fill import periodic_fill_fc
             return periodic_fill_fc(bfc)
+        if bv.pool_fill_active(bfc["x1f"].dtype):
+            from ..ops.pallas_pool_fill import pool_fill_fc
+            return pool_fill_fc(bfc, bv.nbr27(), self.mesh)
 
         # mixed-level meshes sweep twice, like the CC exchange
         for _ in range(2 if self.multilevel else 1):
