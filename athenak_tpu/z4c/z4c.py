@@ -161,6 +161,18 @@ class Z4c:
                 any_sbc = True
                 for gid in np.where(mesh.phys_bc_mask[key])[0]:
                     mask[(gid,) + sl] = True
+        # fused Pallas stage (ops/pallas_z4c.py): TPU, uniform 3-D
+        # meshes; f32 checked per call
+        use_pallas = pin.get_or_add_string("z4c", "use_pallas", "auto")
+        self.use_pallas = False
+        if use_pallas in ("auto", "true"):
+            from ..ops.pallas_z4c import supports_z4c_stage
+            import jax as _jax
+            on_tpu = any(d.platform == "tpu"
+                         for d in _jax.devices()) if use_pallas == "auto" \
+                else True
+            self.use_pallas = on_tpu and supports_z4c_stage(self, mesh)
+
         self.sbc_mask = mask if any_sbc else None
         if self.sbc_mask is not None:
             # pseudo-radial unit vector and radius at cell centers
@@ -215,278 +227,16 @@ class Z4c:
     def rhs(self, u, time=0.0, tmunu=None):
         """Full Z4c right-hand side (reference: Z4c::CalcRHS,
         z4c_calcrhs.cpp:180-590).  ``tmunu`` adds the matter source
-        terms for dynamical GRMHD (reference: z4c/tmunu.hpp)."""
-        opt = self.opt
-        ng = self.ng
-        idx = self.idx
-        chi, g, khat, A, gam, theta, alpha, beta = self.unpack(u)
+        terms for dynamical GRMHD (reference: z4c/tmunu.hpp).
 
-        def D1(f, d):
-            return fd.d1(f, d, idx, ng)
-
-        def D2(f, da, db):
-            if da == db:
-                return fd.d2(f, da, idx, ng)
-            return fd.d1d1(f, min(da, db), max(da, db), idx, ng)
-
-        def Ladv(f):
-            out = None
-            for d in range(3):
-                t = fd.adv(beta[d], f, d, idx, ng)
-                out = t if out is None else out + t
-            return out
-
-        # first derivatives
-        dalpha = [D1(alpha, d) for d in range(3)]
-        dchi = [D1(chi, d) for d in range(3)]
-        dkhat = [D1(khat, d) for d in range(3)]
-        dtheta = [D1(theta, d) for d in range(3)]
-        dbeta = [[D1(beta[a], d) for a in range(3)] for d in range(3)]
-        dgam = [[D1(gam[a], d) for a in range(3)] for d in range(3)]
-        dg = [[[D1(g[a][b], d) for b in range(3)] for a in range(3)]
-              for d in range(3)]
-
-        # second derivatives
-        ddalpha = [[D2(alpha, a, b) for b in range(3)] for a in range(3)]
-        ddchi = [[D2(chi, a, b) for b in range(3)] for a in range(3)]
-        ddbeta = [[[D2(beta[c], a, b) for c in range(3)]
-                   for b in range(3)] for a in range(3)]
-        ddg = {}
-        for a, b in itertools.combinations_with_replacement(range(3), 2):
-            for c, d in _sym_pairs():
-                ddg[(a, b, c, d)] = D2(g[c][d], a, b)
-
-        def DDg(a, b, c, d):
-            a, b = (a, b) if a <= b else (b, a)
-            c, d = (c, d) if c <= d else (d, c)
-            return ddg[(a, b, c, d)]
-
-        # advective (Lie) pieces
-        Lalpha = Ladv(alpha)
-        Lchi = Ladv(chi)
-        Lkhat = Ladv(khat)
-        Ltheta = Ladv(theta)
-        Lbeta = [Ladv(beta[a]) for a in range(3)]
-        Lgam = [Ladv(gam[a]) for a in range(3)]
-        Lg = [[Ladv(g[a][b]) if a <= b else None for b in range(3)]
-              for a in range(3)]
-        LA = [[Ladv(A[a][b]) if a <= b else None for b in range(3)]
-              for a in range(3)]
-
-        K = khat + 2.0 * theta
-
-        detg = spatial_det(g)
-        gu = spatial_inv(g, detg)
-
-        # Christoffels of the conformal metric
-        Gddd = [[[0.5 * (dg[a][b][c] + dg[b][a][c] - dg[c][a][b])
-                  for b in range(3)] for a in range(3)] for c in range(3)]
-        Gudd = [[[sum(gu[c][d] * Gddd[d][a][b] for d in range(3))
-                  for b in range(3)] for a in range(3)] for c in range(3)]
-        gam_c = [sum(gu[b][c] * Gudd[a][b][c]
-                     for b in range(3) for c in range(3))
-                 for a in range(3)]  # computed Gamma_u
-
-        # conformal Ricci (reference: z4c_calcrhs.cpp:305-328)
-        Rdd = [[None] * 3 for _ in range(3)]
-        for a, b in _sym_pairs():
-            r = sum(0.5 * (g[c][a] * dgam[b][c] + g[c][b] * dgam[a][c]
-                           + gam_c[c] * (Gddd[c][a][b] + Gddd[c][b][a]))
-                    for c in range(3))
-            r = r - sum(0.5 * gu[c][d] * DDg(c, d, a, b)
-                        for c in range(3) for d in range(3))
-            r = r + sum(gu[c][d] * (Gudd[e][c][a] * Gddd[b][e][d]
-                                    + Gudd[e][c][b] * Gddd[a][e][d]
-                                    + Gudd[e][a][d] * Gddd[e][c][b])
-                        for c in range(3) for d in range(3)
-                        for e in range(3))
-            Rdd[a][b] = r
-            Rdd[b][a] = r
-
-        # conformal-factor pieces (reference: z4c_calcrhs.cpp:329-356)
-        chi_g = jnp.maximum(chi, opt.chi_div_floor)
-        oopsi4 = chi_g ** (-4.0 / opt.chi_psi_power)
-        npow = opt.chi_psi_power
-        dphi = [dchi[a] / (chi_g * npow) for a in range(3)]
-        Ddphi = [[None] * 3 for _ in range(3)]
-        for a, b in _sym_pairs():
-            v = (ddchi[a][b] / (chi_g * npow)
-                 - npow * dphi[a] * dphi[b]
-                 - sum(Gudd[c][a][b] * dphi[c] for c in range(3)))
-            Ddphi[a][b] = v
-            Ddphi[b][a] = v
-        trDdphi = sum(gu[c][d] * (Ddphi[c][d] + 2.0 * dphi[c] * dphi[d])
-                      for c in range(3) for d in range(3))
-        Rphi = [[None] * 3 for _ in range(3)]
-        for a, b in _sym_pairs():
-            v = (4.0 * dphi[a] * dphi[b] - 2.0 * Ddphi[a][b]
-                 - 2.0 * g[a][b] * trDdphi)
-            Rphi[a][b] = v
-            Rphi[b][a] = v
-
-        # second covariant derivative of the lapse
-        # (reference: z4c_calcrhs.cpp:370-388)
-        dphidalpha = sum(gu[c][d] * dphi[c] * dalpha[d]
-                         for c in range(3) for d in range(3))
-        Ddalpha_dd = [[None] * 3 for _ in range(3)]
-        for a, b in _sym_pairs():
-            v = (ddalpha[a][b]
-                 - 2.0 * (dphi[a] * dalpha[b] + dphi[b] * dalpha[a])
-                 - sum(Gudd[c][a][b] * dalpha[c] for c in range(3))
-                 + 2.0 * g[a][b] * dphidalpha)
-            Ddalpha_dd[a][b] = v
-            Ddalpha_dd[b][a] = v
-        Ddalpha = sum(oopsi4 * gu[a][b] * Ddalpha_dd[a][b]
-                      for a in range(3) for b in range(3))
-
-        # A contractions (reference: z4c_calcrhs.cpp:392-420)
-        AA_dd = [[None] * 3 for _ in range(3)]
-        for a, b in _sym_pairs():
-            v = sum(gu[c][d] * A[a][c] * A[d][b]
-                    for c in range(3) for d in range(3))
-            AA_dd[a][b] = v
-            AA_dd[b][a] = v
-        AA = sum(gu[a][b] * AA_dd[a][b] for a in range(3) for b in range(3))
-        Auu = [[sum(gu[a][c] * gu[b][d] * A[c][d]
-                    for c in range(3) for d in range(3))
-                for b in range(3)] for a in range(3)]
-        DA_u = []
-        for a in range(3):
-            v = sum(-(3.0 / 2.0) * Auu[a][b] * dchi[b] / chi_g
-                    - (1.0 / 3.0) * gu[a][b] * (2.0 * dkhat[b] + dtheta[b])
-                    for b in range(3))
-            v = v + sum(Gudd[a][b][c] * Auu[b][c]
-                        for b in range(3) for c in range(3))
-            DA_u.append(v)
-
-        # Ricci scalar + Hamiltonian (vacuum)
-        R = sum(oopsi4 * gu[a][b] * (Rdd[a][b] + Rphi[a][b])
-                for a in range(3) for b in range(3))
-        Ht = R + (2.0 / 3.0) * K * K - AA
-
-        # shift contractions (reference: z4c_calcrhs.cpp:438-480)
-        divbeta = sum(dbeta[a][a] for a in range(3))
-        ddbeta_d = [sum((1.0 / 3.0) * ddbeta[a][b][b] for b in range(3))
-                    for a in range(3)]
-
-        Lchi = Lchi + (1.0 / 6.0) * npow * chi_g * divbeta
-        for a in range(3):
-            Lgam[a] = (Lgam[a] + (2.0 / 3.0) * gam_c[a] * divbeta
-                       + sum(gu[a][b] * ddbeta_d[b]
-                             - gam_c[b] * dbeta[b][a] for b in range(3))
-                       + sum(gu[b][c] * ddbeta[b][c][a]
-                             for b in range(3) for c in range(3)))
-        for a, b in _sym_pairs():
-            Lg[a][b] = (Lg[a][b] - (2.0 / 3.0) * g[a][b] * divbeta
-                        + sum(dbeta[a][c] * g[b][c] + dbeta[b][c] * g[a][c]
-                              for c in range(3)))
-            LA[a][b] = (LA[a][b] - (2.0 / 3.0) * A[a][b] * divbeta
-                        + sum(dbeta[b][c] * A[a][c] + dbeta[a][c] * A[b][c]
-                              for c in range(3)))
-
-        # ---------------------------------------------------------- assemble
-        rhs = jnp.zeros_like(u)
-        k1, k2 = opt.damp_kappa1, opt.damp_kappa2
-
-        rhs = rhs.at[:, I_KHAT].set(
-            -Ddalpha + alpha * (AA + (1.0 / 3.0) * K * K) + Lkhat
-            + k1 * (1.0 - k2) * alpha * theta)
-        rhs = rhs.at[:, I_CHI].set(
-            Lchi - (1.0 / 6.0) * npow * chi_g * alpha * K)
-        rhs = rhs.at[:, I_THETA].set(opt.use_z4c * (
-            Ltheta + alpha * (0.5 * Ht - (2.0 + k2) * k1 * theta)))
-
-        for a in range(3):
-            v = (2.0 * alpha * DA_u[a] + Lgam[a]
-                 - 2.0 * alpha * k1 * (gam[a] - gam_c[a])
-                 - sum(2.0 * Auu[a][b] * dalpha[b] for b in range(3)))
-            rhs = rhs.at[:, I_GAMX + a].set(v)
-
-        for a, b in _sym_pairs():
-            rhs = rhs.at[:, I_GXX + sym_idx(a, b)].set(
-                -2.0 * alpha * A[a][b] + Lg[a][b])
-            v = (oopsi4 * (-Ddalpha_dd[a][b]
-                           + alpha * (Rdd[a][b] + Rphi[a][b]))
-                 - (1.0 / 3.0) * g[a][b] * (-Ddalpha + alpha * R)
-                 + alpha * (K * A[a][b] - 2.0 * AA_dd[a][b])
-                 + LA[a][b])
-            rhs = rhs.at[:, I_AXX + sym_idx(a, b)].set(v)
-
-        # gauge (reference: z4c_calcrhs.cpp:536-567)
-        f = opt.lapse_oplog * opt.lapse_harmonicf + opt.lapse_harmonic * alpha
-        rhs = rhs.at[:, I_ALPHA].set(
-            opt.lapse_advect * Lalpha - f * alpha * khat)
-        for a in range(3):
-            v = (opt.shift_ggamma * gam[a] + opt.shift_advect * Lbeta[a]
-                 - opt.shift_eta * beta[a]
-                 + opt.shift_alpha2ggamma * alpha * alpha * gam[a])
-            if opt.shift_hh != 0.0:
-                v = v + sum(opt.shift_hh * alpha * chi_g
-                            * (0.5 * alpha * dchi[b] - dalpha[b]) * gu[a][b]
-                            for b in range(3))
-            rhs = rhs.at[:, I_BETAX + a].set(v)
-
-        # ------------------------------------------------- matter coupling
-        # stress-energy source terms (reference: z4c_calcrhs.cpp:364,
-        # 490-532; tmunu = {"E", "S_d"[3], "S_dd"[6]} undensitized)
-        if tmunu is not None:
-            fourpi = 4.0 * math.pi
-            E_m = tmunu["E"]
-            S_d_m = tmunu["S_d"]
-            S_dd_m = tmunu["S_dd"]
-            S_m = oopsi4 * sum(
-                gu[a][b] * S_dd_m[sym_idx(a, b)]
-                for a in range(3) for b in range(3))
-            rhs = rhs.at[:, I_KHAT].add(
-                fourpi * alpha * (S_m + E_m))
-            rhs = rhs.at[:, I_THETA].add(
-                -2.0 * fourpi * alpha * E_m * opt.use_z4c)
-            for a in range(3):
-                rhs = rhs.at[:, I_GAMX + a].add(
-                    -4.0 * fourpi * alpha
-                    * sum(gu[a][b] * S_d_m[b] for b in range(3)))
-            for a, b in _sym_pairs():
-                rhs = rhs.at[:, I_AXX + sym_idx(a, b)].add(
-                    -2.0 * fourpi * alpha
-                    * (oopsi4 * S_dd_m[sym_idx(a, b)]
-                       - (1.0 / 3.0) * S_m * g[a][b]))
-
-        # Sommerfeld radiative RHS on the outer active layer
-        # (reference: Z4cSommerfeld, z4c_Sbc.cpp:25-122; derivatives forced
-        # to 2nd order for stability as in the reference)
-        if self.sbc_mask is not None:
-            xc, yc, zc = self._sbc_xyz
-            r = jnp.sqrt(xc * xc + yc * yc + zc * zc)
-            s_u = (xc / r, yc / r, zc / r)
-
-            def somm(ff, speed):
-                out = -speed * ff / r
-                for d in range(3):
-                    out = out - speed * s_u[d] * fd.d1(ff, d, idx, 2)
-                return out
-
-            mask = jnp.asarray(self.sbc_mask)
-            rhs = rhs.at[:, I_KHAT].set(jnp.where(
-                mask, somm(khat, math.sqrt(2.0)), rhs[:, I_KHAT]))
-            rhs = rhs.at[:, I_THETA].set(jnp.where(
-                mask, somm(theta, 1.0), rhs[:, I_THETA]))
-            for a in range(3):
-                rhs = rhs.at[:, I_GAMX + a].set(jnp.where(
-                    mask, somm(gam[a], 1.0), rhs[:, I_GAMX + a]))
-            for a, b in _sym_pairs():
-                ch = I_AXX + sym_idx(a, b)
-                rhs = rhs.at[:, ch].set(jnp.where(
-                    mask, somm(A[a][b], 1.0), rhs[:, ch]))
-
-        # Kreiss-Oliger dissipation on every channel
-        # (reference: z4c_calcrhs.cpp:570-585)
-        if self.diss != 0.0:
-            dd = None
-            for d in range(3):
-                t = fd.ko_diss(u, d, self.idx5, ng)
-                dd = t if dd is None else dd + t
-            rhs = rhs + self.diss * dd
-        return rhs
+        The tensor physics lives in rhs_core.rhs_core, shared with the
+        fused Pallas TPU kernel (ops/pallas_z4c.py); this path binds it
+        to whole-array jnp.roll stencils."""
+        from .rhs_core import rhs_core
+        ops = _WholeArrayOps(self, [u[:, I_BETAX + a] for a in range(3)])
+        out = rhs_core(lambda c: u[:, c], ops, self.opt, self.diss,
+                       tmunu=tmunu)
+        return jnp.stack(out, axis=1)
 
     # ------------------------------------------------------------------
     def alg_constr(self, u):
@@ -637,10 +387,35 @@ class Z4c:
     def cons_to_prim(self, u):
         return u, u, {}
 
+    def sbc_channels(self):
+        """[nmb, 5, n3, n2, n1] f32 (mask, r, s_x, s_y, s_z) Sommerfeld
+        geometry for the fused kernel; built once, host-side."""
+        if getattr(self, "_sbc_channels", None) is None:
+            xc, yc, zc = self._sbc_xyz
+            r = np.sqrt(xc * xc + yc * yc + zc * zc)
+            nmb, n3, n2, n1 = self.sbc_mask.shape
+            ch = np.zeros((nmb, 5, n3, n2, n1), dtype=np.float32)
+            ch[:, 0] = self.sbc_mask
+            ch[:, 1] = r
+            ch[:, 2] = np.broadcast_to(xc / r, (nmb, n3, n2, n1))
+            ch[:, 3] = np.broadcast_to(yc / r, (nmb, n3, n2, n1))
+            ch[:, 4] = np.broadcast_to(zc / r, (nmb, n3, n2, n1))
+            self._sbc_channels = ch
+        return self._sbc_channels
+
     def stage_update(self, state, saved, gam0, gam1, beta_dt, tmunu=None):
         """One RK stage: RHS -> update -> chi floor -> halo -> algebraic
         constraints (reference task chain: z4c_tasks.cpp:48-85)."""
         u = state["u"]
+        if (self.use_pallas and u.dtype == jnp.float32
+                and tmunu is None):
+            # fused RHS+update+AlgConstr Pallas pass; the pointwise
+            # projection commutes with the ghost fill on uniform meshes
+            from ..ops.pallas_z4c import fused_z4c_stage
+            u = fused_z4c_stage(u, saved["u1"], self, gam0, gam1,
+                                beta_dt)
+            u = self.bvals.fill_ghosts(u)
+            return dict(state, u=u, w=u), {}
         rhs = self.rhs(u, tmunu=tmunu)
         u = gam0 * u + gam1 * saved["u1"] + beta_dt * rhs
         u = self.bvals.fill_ghosts(u)
@@ -665,3 +440,51 @@ class Z4c:
             if mbi.nx3 > 1:
                 dt = min(dt, ms.dx3)
         return jnp.asarray(dt, dtype=state["u"].dtype)
+
+
+class _WholeArrayOps:
+    """Whole-array FD backend for rhs_core: jnp.roll stencils over
+    [nmb, n3, n2, n1] channel fields (fd.py operators)."""
+
+    def __init__(self, z, beta):
+        self._z = z
+        self._beta = beta
+        self._idx = z.idx
+        self._ng = z.ng
+
+    def d1(self, f, d):
+        return fd.d1(f, d, self._idx, self._ng)
+
+    def d2(self, f, da, db):
+        if da == db:
+            return fd.d2(f, da, self._idx, self._ng)
+        return fd.d1d1(f, min(da, db), max(da, db), self._idx, self._ng)
+
+    def ladv(self, f):
+        out = None
+        for d in range(3):
+            t = fd.adv(self._beta[d], f, d, self._idx, self._ng)
+            out = t if out is None else out + t
+        return out
+
+    def ko(self, f):
+        out = None
+        for d in range(3):
+            t = fd.ko_diss(f, d, self._idx, self._ng)
+            out = t if out is None else out + t
+        return out
+
+    def d1_o2(self, f, d):
+        return fd.d1(f, d, self._idx, 2)
+
+    @staticmethod
+    def center(f):
+        return f
+
+    def sbc(self):
+        z = self._z
+        if z.sbc_mask is None:
+            return None
+        xc, yc, zc = z._sbc_xyz
+        r = jnp.sqrt(xc * xc + yc * yc + zc * zc)
+        return (jnp.asarray(z.sbc_mask), r, (xc / r, yc / r, zc / r))

@@ -22,3 +22,27 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
+
+
+# ---------------------------------------------------------------------------
+# Test tiers: the files below hold the long SMR/AMR/NR/multigrid/convergence
+# -matrix regressions (mirroring the reference's split between quick checks
+# and the full tst/ suite).  `pytest -m "not slow"` is the fast tier and
+# keeps at least one test per SURVEY.md §2 component row.
+_SLOW_FILES = {
+    "test_ahf.py", "test_amr.py", "test_amr_pool_compiles.py",
+    "test_cce.py", "test_dyngr.py", "test_gr_torus.py", "test_gravity.py",
+    "test_lwave_hydro.py", "test_lwave_mhd.py", "test_mri3d.py",
+    "test_multigrid.py", "test_pallas_z4c.py", "test_rad_gr.py",
+    "test_radiation.py", "test_shard_comm.py", "test_shearing_box_mhd.py",
+    "test_smr.py", "test_smr_mhd.py", "test_turb.py",
+    "test_z4c_boosted.py", "test_z4c_puncture.py", "test_z4c_smr.py",
+    "test_z4c_weyl.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+    for it in items:
+        if it.fspath.basename in _SLOW_FILES:
+            it.add_marker(_pytest.mark.slow)
