@@ -32,8 +32,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..z4c import fd
-from ..z4c.z4c import NZ4C, I_CHI, I_GXX, I_AXX, I_BETAX, sym_idx, \
-    _sym_pairs, spatial_det, spatial_inv
+from ..z4c.z4c import NZ4C, I_ALPHA, I_CHI, I_GXX, I_AXX, I_BETAX, \
+    sym_idx, _sym_pairs, spatial_det, spatial_inv
 
 INTERPRET = False
 
@@ -48,100 +48,249 @@ def _lroll(q, s: int, axis: int):
 
 
 class _WindowOps:
-    """rhs_core backend over [P, n2, n1] VMEM channel windows: P =
-    K + 2*ng planes in, K center planes out."""
+    """rhs_core backend over the channel-stacked [C, P, n2, n1] VMEM
+    window: P = K + 2*ng planes in, K center planes out.
 
-    _AX = {0: 2, 1: 1}  # direction -> array axis (lane / sublane)
+    Every derivative family is precomputed as a BULK table over the
+    whole channel stack at construction time:
 
-    def __init__(self, ch, ng: int, K: int, idx, beta_ctr):
-        self._ch = ch
+      * x1 (lane axis): ONE banded-matrix MXU matmul per stencil kind
+        for all channels at once — out[..., i] = sum_s c_s f[..., i+s]
+        is f @ M with M[i+s, i] = c_s;
+      * x2 (sublane axis): one roll-fma chain per kind over the full
+        stack (or the same banded matmul in swapaxes layout,
+        ATHENAK_Z4C_X2=mxu);
+      * x3 (plane axis): static plane-slice fma chains on the full
+        window stack.
+
+    rhs_core's per-field d1/d2/ladv/ko calls then resolve to table
+    lookups keyed by channel-view identity, so the kernel issues ~40
+    large vector/matrix ops instead of ~2.5e3 per-channel rolls — the
+    VPU-issue-bound regime the round-3 kernel measured (stencil
+    applications ~100% of stage cost at 60^3).
+    """
+
+    _AX = {0: 3, 1: 2}  # direction -> stack array axis (lane/sublane)
+
+    def __init__(self, uu, views, ng: int, K: int, idx, beta_ctr,
+                 mats=None, prec="split3", x1mode="mxu", x2mode="roll",
+                 have_sbc=False, need_ko=True):
+        self._uu = uu          # [C, P, n2, n1] full window stack
+        self._views = views    # per-channel [P, n2, n1] views of uu
+        self._cid = {id(v): c for c, v in enumerate(views)}
         self._ng = ng
         self._K = K
         self._idx = idx
         self._beta = beta_ctr
         self._sbc = None  # set by fused_z4c_stage when Sommerfeld is on
+        self._mats = mats  # (band stack [nmat, nmax, nmax], key->index)
+        self._prec = prec
+        self._x1 = x1mode if mats is not None else "roll"
+        self._x2 = x2mode if mats is not None else "roll"
+        self._build_tables(have_sbc, need_ko)
 
     def center(self, f):
-        return f[self._ng:self._ng + self._K]
+        return f[..., self._ng:self._ng + self._K, :, :]
 
-    # -- stencil application ------------------------------------------
-    def _trans(self, f_any, sten, d: int, scale):
-        """Stencil along a transverse direction; f may be full-window
-        (centered first) or already center-shaped."""
-        fc = self.center(f_any) if f_any.shape[0] != self._K else f_any
-        ax = self._AX[d]
+    # -- bulk stencil machinery ---------------------------------------
+    @staticmethod
+    def _mm(a, b, prec):
+        """2-D f32 matmul.  prec "splitN": N one-pass bf16 MXU products
+        of the exact bf16 hi/lo decompositions (error ~2^-16 for N=3,
+        ~2^-24 for N=4) — f32 quality at bf16 MXU rate, cheaper than
+        Precision.HIGHEST's 6 passes."""
+        dims = (((1,), (0,)), ((), ()))
+        if isinstance(prec, str):
+            dflt = jax.lax.Precision.DEFAULT
+            ah = a.astype(jnp.bfloat16).astype(jnp.float32)
+            bh = b.astype(jnp.bfloat16).astype(jnp.float32)
+            al, bl = a - ah, b - bh
+            out = (jax.lax.dot_general(
+                       ah, bh, dims, preferred_element_type=jnp.float32,
+                       precision=dflt)
+                   + jax.lax.dot_general(
+                       ah, bl, dims, preferred_element_type=jnp.float32,
+                       precision=dflt)
+                   + jax.lax.dot_general(
+                       al, bh, dims, preferred_element_type=jnp.float32,
+                       precision=dflt))
+            if prec == "split4":
+                out = out + jax.lax.dot_general(
+                    al, bl, dims, preferred_element_type=jnp.float32,
+                    precision=dflt)
+            return out
+        return jax.lax.dot_general(
+            a, b, dims, preferred_element_type=jnp.float32,
+            precision=prec)
+
+    def _kind_sten(self, kind: str):
+        ng = self._ng
+        return {"d1": (fd._D1[ng], 1), "d2": (fd._D2[ng], 2),
+                "advl": (fd._ADV_L[ng], 1), "advr": (fd._ADV_R[ng], 1),
+                "diss": (fd._DISS[ng], 1), "d1o2": (fd._D1[2], 1)}[kind]
+
+    def _broll(self, S, kind: str, d: int):
+        """Roll-fma stencil chain on a center-shaped stack."""
+        sten, pw = self._kind_sten(kind)
+        scale = self._idx[d] ** pw
+        ax = self._AX[d] % S.ndim
         out = None
         for off, c in sten:
-            t = (c * scale) * _lroll(fc, off, ax)
+            t = (c * scale) * _lroll(S, off, ax)
             out = t if out is None else out + t
         return out
 
-    def _plane(self, f, sten, scale):
-        """Stencil along x3 as static plane slices of the full window."""
+    def _bx1(self, S, kind: str):
+        """Bulk x1 stencil of a center-shaped stack [..., n2, n1]."""
+        if self._x1 != "mxu":
+            return self._broll(S, kind, 0)
+        mats, index = self._mats
+        n1 = S.shape[-1]
+        M = mats[index[(kind, 0)]][:n1, :n1]
+        return self._mm(S.reshape(-1, n1), M, self._prec).reshape(S.shape)
+
+    def _bx2(self, S, kind: str):
+        """Bulk x2 stencil of a center-shaped stack [..., n2, n1]."""
+        if self._x2 != "mxu":
+            return self._broll(S, kind, 1)
+        mats, index = self._mats
+        n2 = S.shape[-2]
+        M = mats[index[(kind, 1)]][:n2, :n2]
+        ST = jnp.swapaxes(S, -1, -2)
+        out = self._mm(ST.reshape(-1, n2), M, self._prec)
+        return jnp.swapaxes(out.reshape(ST.shape), -1, -2)
+
+    def _bx3(self, W, kind: str):
+        """Bulk x3 stencil: static plane slices of a full-window stack
+        [..., P, n2, n1] -> center-shaped."""
+        sten, pw = self._kind_sten(kind)
+        scale = self._idx[2] ** pw
         ng, K = self._ng, self._K
         out = None
         for off, c in sten:
-            t = (c * scale) * f[ng + off:ng + off + K]
+            t = (c * scale) * W[..., ng + off:ng + off + K, :, :]
             out = t if out is None else out + t
         return out
 
-    def _apply(self, f, sten, d: int, scale):
-        if d == 2:
-            return self._plane(f, sten, scale)
-        return self._trans(f, sten, d, scale)
+    def _bulk(self, S, W, kind: str, d: int):
+        if d == 0:
+            return self._bx1(S, kind)
+        if d == 1:
+            return self._bx2(S, kind)
+        return self._bx3(W, kind)
 
-    def _trans_full(self, f, sten, d: int, scale):
-        """Transverse stencil on the FULL window (all P planes) —
-        the inner half of a mixed transverse+plane derivative."""
-        ax = self._AX[d]
-        out = None
-        for off, c in sten:
-            t = (c * scale) * _lroll(f, off, ax)
-            out = t if out is None else out + t
-        return out
+    def _build_tables(self, have_sbc: bool, need_ko: bool):
+        import os
+        ng, K = self._ng, self._K
+        uu = self._uu
+        Sc = self.center(uu)                     # [C, K, n2, n1]
+        if os.environ.get("ATHENAK_Z4C_ABLATE") == "sten":
+            # perf ablation: derivative tables become center copies
+            # (keeps rhs_core algebra, removes all stencil work)
+            sel = ([I_ALPHA, I_CHI] + [I_BETAX + a for a in range(3)]
+                   + [I_GXX + i for i in range(6)])
+            self._d2pos = {c: i for i, c in enumerate(sel)}
+            Ssub = jnp.stack([Sc[c] for c in sel])
+            self._t_d1 = [Sc * (1.0 + 0.01 * d) for d in range(3)]
+            self._t_d2 = {(a, b): Ssub * (1.0 + 0.01 * (a + b))
+                          for a in range(3) for b in range(a, 3)}
+            self._t_ladv = Sc * 1.02
+            self._t_ko = Sc * 1.03 if need_ko else None
+            self._t_d1o2 = [Sc] * 3 if have_sbc else None
+            return
+        # first derivatives of every channel, all directions
+        self._t_d1 = [self._bulk(Sc, uu, "d1", d) for d in range(3)]
+        # second derivatives: lapse/chi/shift/metric channels only
+        # (the set rhs_core differentiates twice)
+        sel = ([I_ALPHA, I_CHI] + [I_BETAX + a for a in range(3)]
+               + [I_GXX + i for i in range(6)])
+        self._d2pos = {c: i for i, c in enumerate(sel)}
+        Wsub = jnp.stack([uu[c] for c in sel])
+        Ssub = self.center(Wsub)
+        d2 = {(d, d): self._bulk(Ssub, Wsub, "d2", d) for d in range(3)}
+        # mixed partials commute; the transverse ghost columns are in
+        # the window, so nesting bulk d1s is exact on the interior
+        T3s = self._bx3(Wsub, "d1")
+        d2[(0, 2)] = self._bx1(T3s, "d1")
+        d2[(1, 2)] = self._bx2(T3s, "d1")
+        T1s = jnp.stack([self._t_d1[0][c] for c in sel])
+        d2[(0, 1)] = self._bx2(T1s, "d1")
+        self._t_d2 = d2
+        # upwinded advective sum over all channels
+        lv = None
+        for d in range(3):
+            dl = self._bulk(Sc, uu, "advl", d)
+            dr = self._bulk(Sc, uu, "advr", d)
+            b = self._beta[d][None]
+            t = jnp.where(b < 0.0, b * dl, b * dr)
+            lv = t if lv is None else lv + t
+        self._t_ladv = lv
+        # Kreiss-Oliger sum over all channels
+        ko = None
+        if need_ko:
+            for d in range(3):
+                t = self._bulk(Sc, uu, "diss", d)
+                ko = t if ko is None else ko + t
+        self._t_ko = ko
+        # 2nd-order d1 for the Sommerfeld rows
+        self._t_d1o2 = ([self._bulk(Sc, uu, "d1o2", d) for d in range(3)]
+                        if have_sbc else None)
 
-    # -- rhs_core protocol --------------------------------------------
+    # -- rhs_core protocol: table lookups by channel identity ----------
+    def _chan(self, f) -> int:
+        c = self._cid.get(id(f))
+        if c is None:
+            raise KeyError("field is not a registered channel view")
+        return c
+
     def d1(self, f, d):
-        ng = self._ng
-        return self._apply(f, fd._D1[ng], d, self._idx[d])
+        return self._t_d1[d][self._chan(f)]
 
     def d2(self, f, da, db):
-        ng, idx = self._ng, self._idx
-        if da == db:
-            return self._apply(f, fd._D2[ng], da, idx[da] * idx[da])
         da, db = min(da, db), max(da, db)
-        if db == 2:
-            # inner transverse d1 on the full window, outer plane d1
-            inner = self._trans_full(f, fd._D1[ng], da, idx[da])
-            return self._plane(inner, fd._D1[ng], idx[2])
-        # both transverse: nested rolls on the centered planes
-        inner = self._trans(f, fd._D1[ng], da, idx[da])
-        return self._trans(inner, fd._D1[ng], db, idx[db])
+        return self._t_d2[(da, db)][self._d2pos[self._chan(f)]]
 
     def ladv(self, f):
-        ng, idx = self._ng, self._idx
-        out = None
-        for d in range(3):
-            dl = self._apply(f, fd._ADV_L[ng], d, idx[d])
-            dr = self._apply(f, fd._ADV_R[ng], d, idx[d])
-            b = self._beta[d]
-            t = jnp.where(b < 0.0, b * dl, b * dr)
-            out = t if out is None else out + t
-        return out
+        return self._t_ladv[self._chan(f)]
 
     def ko(self, f):
-        ng, idx = self._ng, self._idx
-        out = None
-        for d in range(3):
-            t = self._apply(f, fd._DISS[ng], d, idx[d])
-            out = t if out is None else out + t
-        return out
+        return self._t_ko[self._chan(f)]
 
     def d1_o2(self, f, d):
-        return self._apply(f, fd._D1[2], d, self._idx[d])
+        return self._t_d1o2[d][self._chan(f)]
 
     def sbc(self):
         return self._sbc
+
+
+def _build_band_mats(ng: int, idx, n1: int, n2: int, have_sbc: bool):
+    """Stacked banded stencil matrices [nmat, nmax, nmax] (f32) for the
+    MXU transverse-stencil path, plus the (kind, d) -> index map.
+
+    out[..., i] = sum_s c_s f[..., i+s]  ==  f @ M, M[i+s, i] = c_s;
+    the sublane (d=1) matrices have the same form (the kernel right-
+    multiplies in swapaxes layout).  No wraparound: band-edge rows are
+    simply truncated, so output ghost columns are garbage exactly as
+    with rolls (overwritten by the post-stage fill)."""
+    stens = [("d1", fd._D1[ng], 1), ("d2", fd._D2[ng], 2),
+             ("advl", fd._ADV_L[ng], 1), ("advr", fd._ADV_R[ng], 1),
+             ("diss", fd._DISS[ng], 1)]
+    if have_sbc:
+        stens.append(("d1o2", fd._D1[2], 1))
+    nmax = max(n1, n2)
+    mats, index = [], {}
+    i = _np.arange(nmax)
+    for kind, sten, pw in stens:
+        for d, n in ((0, n1), (1, n2)):
+            M = _np.zeros((nmax, nmax), _np.float32)
+            scale = float(idx[d]) ** pw
+            for off, c in sten:
+                src = i[:n] + off
+                ok = (src >= 0) & (src < n)
+                M[src[ok], i[:n][ok]] = c * scale
+            index[(kind, d)] = len(mats)
+            mats.append(M)
+    return _np.stack(mats), index
 
 
 def supports_z4c_stage(z, mesh) -> bool:
@@ -165,13 +314,27 @@ def _pick_k(n3: int, n2: int, n1: int, ng: int) -> int:
             break
         use = bpp * (2 * NZ4C * (k + 2 * ng)   # u window, dbl-buffered
                      + 4 * NZ4C * k            # u1 + out, dbl-buffered
-                     + 170 * k)                # live temporaries
+                     + 450 * k)                # live temporaries (empirical:
+        #   a 60^3/ng=2 deck at k=8 measured 155.35M -> ~440 live planes)
         if use <= _VMEM_LIMIT:
             best = k
     return best
 
 
-def fused_z4c_stage(u, u1, z, gam0, gam1, beta_dt, tmunu=None):
+def fold_bc_supported(z, mesh) -> bool:
+    """True when the stage kernel can also fill the ghost zones: a
+    single block whose six faces are all outflow (the NR production
+    configuration) — the outflow copy is a VMEM select in the kernel
+    epilogue (x1/x2) plus two x3 ghost-slab broadcasts, replacing the
+    whole-array fill_ghosts sweeps."""
+    bv = z.bvals
+    return (mesh.nmb_total == 1 and not z.multilevel
+            and all(f == "outflow" for f in bv.flag.values())
+            and bv.user_bc_func is None)
+
+
+def fused_z4c_stage(u, u1, z, gam0, gam1, beta_dt, tmunu=None,
+                    fold_bc=False):
     """u' = AlgConstr(gam0*u + gam1*u1 + beta_dt*RHS(u)) in one pass.
 
     ``z``: the Z4c physics object (opt/diss/ng/idx/sbc geometry).
@@ -179,10 +342,25 @@ def fused_z4c_stage(u, u1, z, gam0, gam1, beta_dt, tmunu=None):
     (projection commutes with the ghost fill on uniform meshes).
     ``tmunu``: optional dict of 10 undensitized stress-energy channel
     fields [nmb, n3, n2, n1] (E, S_d x3, S_dd x6), windowed alongside u.
+    ``fold_bc``: also apply the outflow BC (fold_bc_supported gate), so
+    no fill_ghosts pass is needed after the stage.
     """
+    import os
     nmb, nch, n3, n2, n1 = u.shape
     ng = z.ng
     ni3 = n3 - 2 * ng
+    # bulk transverse-stencil backends: x1 default MXU banded matmul,
+    # x2 default sublane roll chains; ATHENAK_Z4C_MXU=0 forces rolls
+    if os.environ.get("ATHENAK_Z4C_MXU", "1") == "0":
+        x1mode = x2mode = "roll"
+    else:
+        x1mode = os.environ.get("ATHENAK_Z4C_X1", "mxu")
+        x2mode = os.environ.get("ATHENAK_Z4C_X2", "roll")
+    use_mxu = "mxu" in (x1mode, x2mode)
+    prec_s = os.environ.get("ATHENAK_Z4C_MXU_PREC", "split3")
+    prec = prec_s if prec_s.startswith("split") else {
+        "default": jax.lax.Precision.DEFAULT,
+        "highest": jax.lax.Precision.HIGHEST}[prec_s]
     K = _pick_k(n3, n2, n1, ng)
     nwin = -(-ni3 // K)
     idx = tuple(float(i) for i in z.idx)
@@ -195,6 +373,10 @@ def fused_z4c_stage(u, u1, z, gam0, gam1, beta_dt, tmunu=None):
     if have_mat:
         mat = jnp.stack([tmunu["E"], *tmunu["S_d"], *tmunu["S_dd"]],
                         axis=1).astype(dt)
+    band = None
+    if use_mxu:
+        band_np, band_idx = _build_band_mats(ng, idx, n1, n2, have_sbc)
+        band = jnp.asarray(band_np)
 
     def z0(s):
         return ng + jnp.minimum(s * K, ni3 - K)
@@ -218,18 +400,22 @@ def fused_z4c_stage(u, u1, z, gam0, gam1, beta_dt, tmunu=None):
 
     def kernel(*refs):
         from ..z4c.rhs_core import rhs_core
-        if have_sbc and have_mat:
-            sc_ref, u_ref, u1_ref, sbc_ref, mat_ref, out_ref = refs
-        elif have_sbc:
-            sc_ref, u_ref, u1_ref, sbc_ref, out_ref = refs
-        elif have_mat:
-            sc_ref, u_ref, u1_ref, mat_ref, out_ref = refs
-        else:
-            sc_ref, u_ref, u1_ref, out_ref = refs
+        it = iter(refs)
+        sc_ref = next(it)
+        band_ref = next(it) if use_mxu else None
+        u_ref, u1_ref = next(it), next(it)
+        sbc_ref = next(it) if have_sbc else None
+        mat_ref = next(it) if have_mat else None
+        out_ref = next(it)
         g0, g1, bdt = sc_ref[0, 0], sc_ref[0, 1], sc_ref[0, 2]
         uu = u_ref[0]                  # [22, P, n2, n1]
-        ops = _WindowOps(lambda c: uu[c], ng, K, idx,
-                         [uu[I_BETAX + a][ng:ng + K] for a in range(3)])
+        views = [uu[c] for c in range(NZ4C)]
+        mats = (band_ref[...], band_idx) if use_mxu else None
+        ops = _WindowOps(
+            uu, views, ng, K, idx,
+            [views[I_BETAX + a][ng:ng + K] for a in range(3)],
+            mats=mats, prec=prec, x1mode=x1mode, x2mode=x2mode,
+            have_sbc=have_sbc, need_ko=(diss != 0.0))
         if have_sbc:
             sw = sbc_ref[0]            # [5, K, n2, n1]
             ops._sbc = (sw[0] != 0.0, sw[1], (sw[2], sw[3], sw[4]))
@@ -238,11 +424,24 @@ def fused_z4c_stage(u, u1, z, gam0, gam1, beta_dt, tmunu=None):
             mw = mat_ref[0]            # [10, K, n2, n1]
             tm = {"E": mw[0], "S_d": [mw[1 + a] for a in range(3)],
                   "S_dd": [mw[4 + i] for i in range(6)]}
-        rhs = rhs_core(lambda c: uu[c], ops, opt, diss, tmunu=tm)
+        import os as _os
+        if _os.environ.get("ATHENAK_Z4C_ABLATE") == "alg":
+            # perf ablation: keep every derivative table live, skip the
+            # rhs_core tensor algebra
+            rhs = [ops._t_d1[0][c] + ops._t_d1[1][c] + ops._t_d1[2][c]
+                   + ops._t_ladv[c]
+                   + (ops._t_ko[c] if ops._t_ko is not None else 0.0)
+                   for c in range(NZ4C)]
+            for tab in ops._t_d2.values():
+                for i, c in enumerate(sorted(
+                        ops._d2pos, key=ops._d2pos.get)):
+                    rhs[c] = rhs[c] + tab[i]
+        else:
+            rhs = rhs_core(lambda c: views[c], ops, opt, diss, tmunu=tm)
 
-        u1c = u1_ref[0]
-        un = [g0 * uu[c][ng:ng + K] + g1 * u1c[c] + bdt * rhs[c]
-              for c in range(NZ4C)]
+        un_stack = (g0 * uu[:, ng:ng + K] + g1 * u1_ref[0]
+                    + bdt * jnp.stack(rhs))
+        un = [un_stack[c] for c in range(NZ4C)]
 
         # algebraic constraints (reference: Z4c::AlgConstr,
         # z4c.cpp:258-310): det(conf g)=1, tr A=0, chi floor —
@@ -266,14 +465,37 @@ def fused_z4c_stage(u, u1, z, gam0, gam1, beta_dt, tmunu=None):
                 A[a][b] - (1.0 / 3.0) * gs[a][b] * trA)
         un[I_CHI] = jnp.maximum(un[I_CHI], opt.chi_min_floor)
 
-        out_ref[0] = jnp.stack(un, axis=0)
+        un_stack = jnp.stack(un, axis=0)
+        if fold_bc:
+            # outflow BC on the transverse ghosts, x1 sweep before x2
+            # (matches bvals fill order; x3 ghost planes are two slab
+            # broadcasts after the pallas_call)
+            ii = jax.lax.broadcasted_iota(jnp.int32, (1, K, n2, n1), 3)
+            jj = jax.lax.broadcasted_iota(jnp.int32, (1, K, n2, n1), 2)
+            q = un_stack
+            q = jnp.where(ii < ng, q[..., ng:ng + 1], q)
+            q = jnp.where(ii >= n1 - ng, q[..., n1 - ng - 1:n1 - ng], q)
+            q = jnp.where(jj < ng, q[..., ng:ng + 1, :], q)
+            q = jnp.where(jj >= n2 - ng,
+                          q[..., n2 - ng - 1:n2 - ng, :], q)
+            un_stack = q
+
+        out_ref[0] = un_stack
 
     sc = jnp.stack([jnp.asarray(gam0, jnp.float32),
                     jnp.asarray(gam1, jnp.float32),
                     jnp.asarray(beta_dt, jnp.float32)]).reshape(1, 3)
 
-    in_specs = [smem, win(K + 2 * ng, -ng), win_c(nch)]
-    operands = [sc, u, u1]
+    in_specs = [smem]
+    operands = [sc]
+    if use_mxu:
+        nmat, nmax, _ = band.shape
+        in_specs.append(pl.BlockSpec(
+            (pl.Element(nmat), pl.Element(nmax), pl.Element(nmax)),
+            lambda m, s: (0, 0, 0), memory_space=pltpu.VMEM))
+        operands.append(band)
+    in_specs += [win(K + 2 * ng, -ng), win_c(nch)]
+    operands += [u, u1]
     if have_sbc:
         in_specs.append(pl.BlockSpec(
             (pl.Element(1), pl.Element(5), pl.Element(K),
@@ -289,7 +511,7 @@ def fused_z4c_stage(u, u1, z, gam0, gam1, beta_dt, tmunu=None):
             memory_space=pltpu.VMEM))
         operands.append(mat)
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(nmb, nwin),
         in_specs=in_specs,
@@ -299,3 +521,9 @@ def fused_z4c_stage(u, u1, z, gam0, gam1, beta_dt, tmunu=None):
             vmem_limit_bytes=_VMEM_LIMIT + (28 << 20)),
         interpret=INTERPRET,
     )(*operands)
+    if fold_bc:
+        # x3 outflow ghost planes (last sweep: edge planes carry the
+        # already-filled x1/x2 ghosts)
+        out = out.at[:, :, :ng].set(out[:, :, ng:ng + 1])
+        out = out.at[:, :, n3 - ng:].set(out[:, :, n3 - ng - 1:n3 - ng])
+    return out

@@ -139,6 +139,23 @@ class Z4c:
         self.psbox = None
         self.eos = None
 
+        # compact-object (puncture) trackers: positions are DEVICE state
+        # (state["co_pos"]) integrated on-device each cycle; radius +
+        # reflevel feed the <z4c_amr> tracker criterion (reference:
+        # src/z4c/compact_object_tracker.cpp:66-73)
+        self.nco = pin.get_or_add_integer("z4c", "nco", 0)
+        self.tracker_pos0 = np.array(
+            [[pin.get_or_add_real("z4c", f"co_{n}_x", 0.0),
+              pin.get_or_add_real("z4c", f"co_{n}_y", 0.0),
+              pin.get_or_add_real("z4c", f"co_{n}_z", 0.0)]
+             for n in range(self.nco)], dtype=np.float64).reshape(-1, 3)
+        self.tracker_radius = np.array(
+            [pin.get_or_add_real("z4c", f"co_{n}_radius", 0.0)
+             for n in range(self.nco)])
+        self.tracker_reflevel = np.array(
+            [pin.get_or_add_integer("z4c", f"co_{n}_reflevel", -1)
+             for n in range(self.nco)], dtype=np.int64)
+
         # Sommerfeld boundary mask: outermost active layer of blocks whose
         # mesh face is outflow/diode/vacuum/user (reference:
         # Z4c::Z4cBoundaryRHS, z4c_Sbc.cpp:127-210)
@@ -165,13 +182,17 @@ class Z4c:
         # meshes; f32 checked per call
         use_pallas = pin.get_or_add_string("z4c", "use_pallas", "auto")
         self.use_pallas = False
+        self.fold_bc = False
         if use_pallas in ("auto", "true"):
-            from ..ops.pallas_z4c import supports_z4c_stage
+            from ..ops.pallas_z4c import (fold_bc_supported,
+                                          supports_z4c_stage)
             import jax as _jax
             on_tpu = any(d.platform == "tpu"
                          for d in _jax.devices()) if use_pallas == "auto" \
                 else True
             self.use_pallas = on_tpu and supports_z4c_stage(self, mesh)
+            self.fold_bc = (self.use_pallas
+                            and fold_bc_supported(self, mesh))
 
         self.sbc_mask = mask if any_sbc else None
         if self.sbc_mask is not None:
@@ -371,7 +392,24 @@ class Z4c:
 
     # ------------------------------------------------- state-dict interface
     def make_state(self, u):
-        return {"u": u, "w": u}
+        state = {"u": u, "w": u}
+        if self.nco > 0:
+            state["co_pos"] = jnp.asarray(self.tracker_pos0, u.dtype)
+        return state
+
+    def post_cycle(self, state, dt):
+        """After-timeintegrator tasks: advance the puncture trackers,
+        dx/dt = -beta(x), Euler with the post-cycle shift (reference:
+        CompactObjectTracker::InterpolateShift + EvolveTracker,
+        compact_object_tracker.cpp:100-150) — on device, inside the
+        jitted cycle."""
+        if self.nco == 0 or "co_pos" not in state:
+            return state
+        from .z4c_amr import device_interp
+        pos = state["co_pos"]
+        beta = device_interp(self.mesh, state["u"],
+                             [I_BETAX + a for a in range(3)], pos)
+        return dict(state, co_pos=pos - dt * beta)
 
     def save_state(self, state):
         return {"u1": state["u"]}
@@ -412,9 +450,13 @@ class Z4c:
             # fused RHS+update+AlgConstr Pallas pass; the pointwise
             # projection commutes with the ghost fill on uniform meshes
             from ..ops.pallas_z4c import fused_z4c_stage
+            # re-check the user hook at trace time (pgens may enroll it
+            # after physics construction)
+            fold = self.fold_bc and self.bvals.user_bc_func is None
             u = fused_z4c_stage(u, saved["u1"], self, gam0, gam1,
-                                beta_dt)
-            u = self.bvals.fill_ghosts(u)
+                                beta_dt, fold_bc=fold)
+            if not fold:
+                u = self.bvals.fill_ghosts(u)
             return dict(state, u=u, w=u), {}
         rhs = self.rhs(u, tmunu=tmunu)
         u = gam0 * u + gam1 * saved["u1"] + beta_dt * rhs
