@@ -80,7 +80,8 @@ def _crit_data(crit: Criterion, state, phys):
     raise ValueError(f"unknown refinement variable '{v}'")
 
 
-def make_flag_fn(criteria: List[Criterion], phys, mesh) -> Callable:
+def make_flag_fn(criteria: List[Criterion], phys, mesh,
+                 z4c_amr=None) -> Callable:
     """Jitted flags(state) -> int32 [nmb]: +1 refine, -1 derefinable, 0
     keep (reference: CheckMinMax/CheckSlope/CheckSecondDeriv kernels)."""
     mbi = mesh.mb_indcs
@@ -102,6 +103,8 @@ def make_flag_fn(criteria: List[Criterion], phys, mesh) -> Callable:
 
     def flags(state):
         flag = jnp.zeros(state["u"].shape[0], dtype=jnp.int32)
+        if z4c_amr is not None and z4c_amr.method in ("chi", "dchi"):
+            flag = z4c_amr.device_flags(state["u"], mesh)
         for crit in criteria:
             if crit.method in ("location", "user"):
                 continue  # host-side / hook
@@ -709,7 +712,14 @@ class AMR:
             "mesh_refinement", "max_nmb_per_rank", 2 ** 16)
         self.criteria = [Criterion(pin, b) for b in pin.blocks
                          if b.startswith("amr_criterion")]
-        if not self.criteria:
+        # Z4c strategies: every adaptive Z4c deck gets a <z4c_amr>
+        # handler (default method=trivial + radius shells), like the
+        # reference constructs Z4c_AMR unconditionally (z4c.cpp)
+        self.z4c_amr = None
+        if "z4c" in pin.blocks or "z4c_amr" in pin.blocks:
+            from .z4c.z4c_amr import Z4cAMR
+            self.z4c_amr = Z4cAMR(pin)
+        if not self.criteria and self.z4c_amr is None:
             raise ValueError("refinement=adaptive requires at least one "
                              "<amr_criterion> block")
         # pgen-enrolled hook: fn(state, mesh) -> int flags [nmb]
@@ -746,7 +756,8 @@ class AMR:
     # ------------------------------------------------------------------
     def check_flags(self, state, mesh, phys, layout=None) -> np.ndarray:
         if self._flag_fn is None:
-            self._flag_fn = make_flag_fn(self.criteria, phys, mesh)
+            self._flag_fn = make_flag_fn(self.criteria, phys, mesh,
+                                         z4c_amr=self.z4c_amr)
         flags = np.asarray(self._flag_fn(state)).copy()
         if layout is not None:
             flags = flags[layout.slot_of_gid]  # slot order -> gid order
@@ -764,6 +775,8 @@ class AMR:
                 uf = uf[layout.slot_of_gid] if layout is not None \
                     else uf[:mesh.nmb_total]
                 flags = np.where(uf != 0, uf, flags)
+        if self.z4c_amr is not None:
+            flags = self.z4c_amr.host_flags(flags, state, mesh, phys)
         # vetoes (reference: CheckForRefinement tail,
         # mesh_refinement.cpp:244-256)
         lev = mesh.mb_lev

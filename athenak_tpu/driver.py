@@ -224,6 +224,11 @@ class Driver:
                 else:
                     counters_tot = {k: counters_tot[k] + v
                                     for k, v in counters.items()}
+            # after-timeintegrator tasks (on-device tracker ODEs etc.,
+            # reference: driver.cpp "after_timeintegrator" task list)
+            post = getattr(phys, "post_cycle", None)
+            if post is not None:
+                state = post(state, dt)
             if "t" in state:
                 state = dict(state, t=state["t"] + dt)
             dtnew = dt_fused if dt_fused is not None \

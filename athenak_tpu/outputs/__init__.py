@@ -303,8 +303,14 @@ class HorizonDumpOutput:
         if not self.dumps:
             return
         z = state["z"] if (state is not None and "z" in state) else u
-        # trackers integrate every cycle (reference: tracker task)
-        if mesh.ncycle > 0:
+        # trackers: prefer the on-device integration (state["co_pos"]);
+        # host Euler update is the fallback (see WaveformOutput)
+        if state is not None and "co_pos" in state:
+            pos = np.asarray(state["co_pos"], dtype=np.float64)
+            for n, trk in enumerate(self.trackers):
+                if n < pos.shape[0]:
+                    trk.pos = pos[n]
+        elif mesh.ncycle > 0:
             zn = np.asarray(z)
             for trk in self.trackers:
                 trk.update(mesh, zn, mesh.dtold)
@@ -649,9 +655,17 @@ class WaveformOutput(BaseOutput):
         self._wrote_header = False
 
     def maybe_write(self, mesh, u, w, force=False, state=None):
-        # trackers integrate every cycle (reference: tracker task in the
-        # z4c task list), independent of the output cadence
-        if self.trackers and mesh.ncycle > 0:
+        # tracker positions: preferred path is the on-device integration
+        # (state["co_pos"], z4c.post_cycle) — only [nco, 3] floats are
+        # fetched, and only at output cadence.  The host Euler update is
+        # the fallback when the state has no device trackers.
+        if state is not None and "co_pos" in state and self.trackers:
+            pos = np.asarray(state["co_pos"], dtype=np.float64)
+            for n, trk in enumerate(self.trackers):
+                if n < pos.shape[0]:
+                    trk.pos = pos[n]
+                    trk.history.append((mesh.time, *pos[n]))
+        elif self.trackers and mesh.ncycle > 0:
             un = np.asarray(u)
             for trk in self.trackers:
                 trk.update(mesh, un, mesh.dtold)
