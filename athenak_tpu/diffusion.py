@@ -39,6 +39,23 @@ def _dt_fac(ndim: int) -> float:
     return {1: 0.5, 2: 0.25, 3: 1.0 / 6.0}[ndim]
 
 
+def _dx_tab(mesh):
+    """{name: dx} — scalar on uniform meshes, per-block [nmb, 1, 1, 1]
+    on multilevel meshes (broadcast against 4D per-channel arrays)."""
+    if getattr(mesh, "multilevel", False):
+        return {n: mesh.mb_size[f"d{n}"].reshape(-1, 1, 1, 1)
+                for n in ("x1", "x2", "x3")}
+    ms = mesh.mesh_size
+    return {"x1": ms.dx1, "x2": ms.dx2, "x3": ms.dx3}
+
+
+def _dx_min(mesh, name: str) -> float:
+    """Finest spacing along an axis (diffusion dt limit on SMR/AMR)."""
+    if getattr(mesh, "multilevel", False):
+        return float(np.min(mesh.mb_size[f"d{name}"]))
+    return getattr(mesh.mesh_size, f"d{name}")
+
+
 class Viscosity:
     """Isotropic shear viscosity (reference: src/diffusion/viscosity.cpp)."""
 
@@ -60,12 +77,11 @@ class Viscosity:
         if self.nu_iso == 0.0:
             return flx
         nu = self.nu_iso
-        ms = self.mesh.mesh_size
         active = {name for name, *_ in dirs}
         vel = {"x1": w[:, IVX], "x2": w[:, IVY], "x3": w[:, IVZ]}
         iv = {"x1": IVX, "x2": IVY, "x3": IVZ}
         ax4 = {"x1": _IA, "x2": _JA, "x3": _KA}
-        dxs = {"x1": ms.dx1, "x2": ms.dx2, "x3": ms.dx3}
+        dxs = _dx_tab(self.mesh)
         dens = w[:, IDN]
 
         out = dict(flx)
@@ -113,13 +129,12 @@ class Viscosity:
     def new_dt(self, ndim: int, dtype):
         if self.nu_iso == 0.0:
             return jnp.asarray(_HUGE, dtype=dtype)
-        ms = self.mesh.mesh_size
         fac = _dt_fac(ndim)
-        dt = fac * ms.dx1 ** 2 / self.nu_iso
+        dt = fac * _dx_min(self.mesh, "x1") ** 2 / self.nu_iso
         if ndim > 1:
-            dt = min(dt, fac * ms.dx2 ** 2 / self.nu_iso)
+            dt = min(dt, fac * _dx_min(self.mesh, "x2") ** 2 / self.nu_iso)
         if ndim > 2:
-            dt = min(dt, fac * ms.dx3 ** 2 / self.nu_iso)
+            dt = min(dt, fac * _dx_min(self.mesh, "x3") ** 2 / self.nu_iso)
         return jnp.asarray(dt, dtype=dtype)
 
 
@@ -146,8 +161,7 @@ class Conduction:
         if self.alpha_iso == 0.0:
             return flx
         gm1 = self.eos.gamma - 1.0
-        ms = self.mesh.mesh_size
-        dxs = {"x1": ms.dx1, "x2": ms.dx2, "x3": ms.dx3}
+        dxs = _dx_tab(self.mesh)
         ax4 = {"x1": _IA, "x2": _JA, "x3": _KA}
         temp = w[:, IEN] / w[:, IDN]
         dens = w[:, IDN]
@@ -163,13 +177,13 @@ class Conduction:
     def new_dt(self, ndim: int, dtype):
         if self.alpha_iso == 0.0:
             return jnp.asarray(_HUGE, dtype=dtype)
-        ms = self.mesh.mesh_size
         fac = _dt_fac(ndim)
-        dt = fac * ms.dx1 ** 2 / self.alpha_iso
+        a = self.alpha_iso
+        dt = fac * _dx_min(self.mesh, "x1") ** 2 / a
         if ndim > 1:
-            dt = min(dt, fac * ms.dx2 ** 2 / self.alpha_iso)
+            dt = min(dt, fac * _dx_min(self.mesh, "x2") ** 2 / a)
         if ndim > 2:
-            dt = min(dt, fac * ms.dx3 ** 2 / self.alpha_iso)
+            dt = min(dt, fac * _dx_min(self.mesh, "x3") ** 2 / a)
         return jnp.asarray(dt, dtype=dtype)
 
 
@@ -188,7 +202,7 @@ class Resistivity:
         """Edge-centered current density (cell-indexed: entry (k,j,i) is
         the edge at the lower corner of cell (k,j,i)), from the staggered
         field curl (reference: src/diffusion/current_density.hpp)."""
-        ms = self.mesh.mesh_size
+        dxs = _dx_tab(self.mesh)
         b1 = bfc["x1f"][..., :-1]          # face i-1/2 at cell index i
         b2 = bfc["x2f"][..., :-1, :]
         b3 = bfc["x3f"][:, :-1, :, :]
@@ -199,17 +213,17 @@ class Resistivity:
         # J1 = dB3/dx2 - dB2/dx3 at (i, j-1/2, k-1/2)
         j1 = zero
         if multi_d:
-            j1 = j1 + (b3 - _m1(b3, _JA)) / ms.dx2
+            j1 = j1 + (b3 - _m1(b3, _JA)) / dxs["x2"]
         if three_d:
-            j1 = j1 - (b2 - _m1(b2, _KA)) / ms.dx3
+            j1 = j1 - (b2 - _m1(b2, _KA)) / dxs["x3"]
         # J2 = dB1/dx3 - dB3/dx1 at (i-1/2, j, k-1/2)
-        j2 = -(b3 - _m1(b3, _IA)) / ms.dx1
+        j2 = -(b3 - _m1(b3, _IA)) / dxs["x1"]
         if three_d:
-            j2 = j2 + (b1 - _m1(b1, _KA)) / ms.dx3
+            j2 = j2 + (b1 - _m1(b1, _KA)) / dxs["x3"]
         # J3 = dB2/dx1 - dB1/dx2 at (i-1/2, j-1/2, k)
-        j3 = (b2 - _m1(b2, _IA)) / ms.dx1
+        j3 = (b2 - _m1(b2, _IA)) / dxs["x1"]
         if multi_d:
-            j3 = j3 - (b1 - _m1(b1, _JA)) / ms.dx2
+            j3 = j3 - (b1 - _m1(b1, _JA)) / dxs["x2"]
         return j1, j2, j3
 
     # ------------------------------------------------------------------
@@ -342,13 +356,12 @@ class Resistivity:
         (reference: resistivity.cpp:283-364)."""
         if self.eta_ohm == 0.0 and self.eta_ad == 0.0:
             return jnp.asarray(_HUGE, dtype=dtype)
-        ms = self.mesh.mesh_size
         fac = _dt_fac(ndim)
-        dx2min = ms.dx1 ** 2
+        dx2min = _dx_min(self.mesh, "x1") ** 2
         if ndim > 1:
-            dx2min = min(dx2min, ms.dx2 ** 2)
+            dx2min = min(dx2min, _dx_min(self.mesh, "x2") ** 2)
         if ndim > 2:
-            dx2min = min(dx2min, ms.dx3 ** 2)
+            dx2min = min(dx2min, _dx_min(self.mesh, "x3") ** 2)
         if self.eta_ad == 0.0:
             return jnp.asarray(fac * dx2min / self.eta_ohm, dtype=dtype)
         mbi = mb_indcs if mb_indcs is not None else self.mesh.mb_indcs

@@ -183,8 +183,10 @@ class Hydro:
 
         if self.multilevel:
             from ..multigrid import MGPoisson
-            blockers = {"viscosity/conduction": self.pvisc or self.pcond,
-                        "turbulence driving": self.pturb,
+            # diffusion operators take per-block dx (diffusion._dx_tab)
+            # and their fluxes ride the SMR flux correction, so they
+            # compose with refined meshes like the reference's
+            blockers = {"turbulence driving": self.pturb,
                         "particles": self.ppart,
                         # multigrid gravity handles refined meshes; the
                         # FFT fast path does not

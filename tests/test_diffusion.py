@@ -140,3 +140,97 @@ def test_ambipolar_field_decay():
     expect = 1.0e-6 * math.exp(
         -eta_ad * b0 ** 2 * (2 * math.pi) ** 2 * tlim)
     assert np.isclose(amp, expect, rtol=0.05)
+
+
+SMR_DECK = """
+<job>
+basename = diffsmr
+
+<mesh>
+nghost = 2
+nx1 = 32
+x1min = 0.0
+x1max = 1.0
+nx2 = 8
+x2min = 0.0
+x2max = 0.25
+nx3 = 1
+x3min = 0.0
+x3max = 1.0
+
+<meshblock>
+nx1 = 8
+nx2 = 8
+
+<mesh_refinement>
+refinement = static
+num_levels = 2
+
+<refined_region1>
+level = 1
+x1min = 0.25
+x1max = 0.75
+x2min = 0.0
+x2max = 0.25
+
+<time>
+evolution = dynamic
+integrator = rk2
+cfl_number = 0.4
+tlim = {tlim}
+
+<{phys}>
+eos = ideal
+gamma = 1.6666666666666667
+reconstruct = plm
+rsolver = {rsolver}
+{coeffs}
+
+<problem>
+pgen_name = diffusion_test
+perturb = {perturb}
+amp = 1.0e-6
+"""
+
+
+@pytest.mark.slow
+def test_viscous_shear_decay_smr():
+    """Viscosity composes with SMR (reference runs diffusion on refined
+    meshes freely): the decay rate on a 2-level mesh matches the
+    analytic nu k^2, i.e. the level boundary neither damps nor feeds
+    the mode."""
+    nu = 0.02
+    tlim = 1.0
+    deck = SMR_DECK.format(phys="hydro", rsolver="hllc", tlim=tlim,
+                           coeffs=f"nu_iso = {nu}", perturb="vy")
+    pin = ParameterInput.from_string(deck)
+    mesh, phys, driver, state = run(pin)
+    assert mesh.multilevel and mesh.mb_lev.max() == 1
+    mbi = mesh.mb_indcs
+    act = (slice(None), slice(mbi.js, mbi.je + 1),
+           slice(mbi.is_, mbi.ie + 1))
+    vy = np.asarray(state["w"])[:, IVY, 0]
+    amp = np.abs(vy[act]).max()
+    expect = 1.0e-6 * math.exp(-nu * (2 * math.pi) ** 2 * tlim)
+    assert np.isclose(amp, expect, rtol=0.05)
+
+
+@pytest.mark.slow
+def test_ohmic_field_decay_smr():
+    """Ohmic resistivity composes with SMR: resistive EMFs ride the
+    edge-EMF correction, div(B) stays at round-off and the decay rate
+    matches eta k^2."""
+    eta = 0.02
+    tlim = 1.0
+    deck = SMR_DECK.format(phys="mhd", rsolver="hlld", tlim=tlim,
+                           coeffs=f"eta_ohm = {eta}", perturb="by")
+    pin = ParameterInput.from_string(deck)
+    mesh, phys, driver, state = run(pin)
+    assert mesh.multilevel
+    mbi = mesh.mb_indcs
+    act = (slice(None), slice(mbi.js, mbi.je + 1),
+           slice(mbi.is_, mbi.ie + 1))
+    by = np.asarray(state["bcc"])[:, 1, 0]
+    amp = np.abs(by[act]).max()
+    expect = 1.0e-6 * math.exp(-eta * (2 * math.pi) ** 2 * tlim)
+    assert np.isclose(amp, expect, rtol=0.05)
