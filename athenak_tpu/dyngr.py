@@ -80,8 +80,8 @@ class DynGRMHD:
         self.bvals = bvals
         self.multilevel = bool(getattr(mesh, "multilevel", False))
         if self.multilevel:
-            raise NotImplementedError(
-                "dynamical GRMHD on SMR/AMR meshes lands later")
+            bvals.prolong_prims = pin.get_or_add_boolean(
+                "mesh_refinement", "prolong_primitives", False)
         self.is_sr = False
         self.is_gr = False          # CKS-fixed-metric machinery unused
         self.presist = None
@@ -133,16 +133,27 @@ class DynGRMHD:
             "x3f": (mesh.nmb_total, n3 + 1, n2, n1),
         }
         ms = mesh.mesh_size
-        self.dirs = [("x1", 4, IVX, ms.dx1)]
+
+        # dx is scalar on uniform meshes, per-block broadcastable on SMR
+        # (same pattern as physics/mhd.py)
+        def _dx(name, nd):
+            if self.multilevel:
+                return mesh.mb_size[f"d{name}"].reshape(
+                    (-1,) + (1,) * (nd - 1))
+            return getattr(ms, f"d{name}")
+
+        self.dirs = [("x1", 4, IVX, _dx("x1", 5))]
         if mbi.nx2 > 1:
-            self.dirs.append(("x2", 3, IVY, ms.dx2))
+            self.dirs.append(("x2", 3, IVY, _dx("x2", 5)))
         if mbi.nx3 > 1:
-            self.dirs.append(("x3", 2, IVZ, ms.dx3))
-        self._dx4 = {"x1": ms.dx1, "x2": ms.dx2, "x3": ms.dx3}
-        # scalar (uniform) dx: local_blocks passes scalars through, so
-        # the borrowed MHD.ct_update's _ldx4 is the identity here
-        self._ldx4 = lambda name: self._dx4[name]
-        self.idx = (1.0 / ms.dx1, 1.0 / ms.dx2, 1.0 / ms.dx3)
+            self.dirs.append(("x3", 2, IVZ, _dx("x3", 5)))
+        self._dx4 = {n: _dx(n, 4) for n in ("x1", "x2", "x3")}
+        # per-block dx localized to the device's rows inside shard_map
+        # (identity on scalars; mirrors physics/mhd.py _ldx4)
+        from .comm import local_blocks
+        self._ldx4 = lambda name: local_blocks(self._dx4[name],
+                                               pad_edge=True)
+        self.idx = tuple(1.0 / _dx(f"x{d}", 4) for d in (1, 2, 3))
         self.time_evolution = pin.get_string("time", "evolution") \
             if pin.does_block_exist("time") else "dynamic"
 
@@ -563,10 +574,19 @@ class DynGRMHD:
         """Light-speed CFL per direction (the reference's dyngr/GR newdt
         uses unit coordinate speeds, src/mhd/mhd_newdt.cpp GR branch)."""
         mbi = self.mesh.mb_indcs
-        ms = self.mesh.mesh_size
-        dt = ms.dx1
-        if mbi.nx2 > 1:
-            dt = min(dt, ms.dx2)
-        if mbi.nx3 > 1:
-            dt = min(dt, ms.dx3)
+        if self.multilevel:
+            import numpy as _np
+            sz = self.mesh.mb_size
+            dt = float(_np.min(sz["dx1"]))
+            if mbi.nx2 > 1:
+                dt = min(dt, float(_np.min(sz["dx2"])))
+            if mbi.nx3 > 1:
+                dt = min(dt, float(_np.min(sz["dx3"])))
+        else:
+            ms = self.mesh.mesh_size
+            dt = ms.dx1
+            if mbi.nx2 > 1:
+                dt = min(dt, ms.dx2)
+            if mbi.nx3 > 1:
+                dt = min(dt, ms.dx3)
         return jnp.asarray(dt, dtype=state["u"].dtype)
