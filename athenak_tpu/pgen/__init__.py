@@ -28,6 +28,7 @@ _REGISTRY = {
     "implode": "athenak_tpu.pgen.lw_implode",
     "lw_implode": "athenak_tpu.pgen.lw_implode",
     "mri3d": "athenak_tpu.pgen.mri3d",
+    "mri2d": "athenak_tpu.pgen.mri2d",
     "gr_bondi": "athenak_tpu.pgen.gr_bondi",
     "gr_monopole": "athenak_tpu.pgen.gr_monopole",
     "gravity": "athenak_tpu.pgen.jeans_wave",

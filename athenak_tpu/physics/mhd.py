@@ -199,10 +199,6 @@ class MHD:
         from ..shearing_box import ShearingBox
         self.psbox = ShearingBox(pin, mesh, self.nvar) \
             if pin.does_block_exist("shearing_box") else None
-        if self.psbox is not None and mesh.mb_indcs.nx3 == 1:
-            raise NotImplementedError(
-                "2D r-z MHD shearing box (SourceTermsFC electric fields) "
-                "not wired yet; use a 3D box")
 
         # test particles (reference: src/particles/)
         from ..particles import Particles
@@ -237,9 +233,10 @@ class MHD:
 
         if self.multilevel:
             from ..multigrid import MGPoisson
+            # diffusion operators take per-block dx (diffusion._dx_tab);
+            # viscous/conductive fluxes ride the SMR flux correction and
+            # resistive EMFs ride the edge-EMF correction
             blockers = {
-                "viscosity/resistivity/conduction":
-                    self.pvisc or self.presist or self.pcond,
                 "turbulence driving": self.pturb,
                 "particles": self.ppart,
                 # multigrid gravity handles refined meshes; the FFT
@@ -1605,6 +1602,9 @@ class MHD:
                 w, bcc, {n: flx[n][:, IDN] for n in flx}, emf, bfc=bfc)
             if self.multilevel:
                 e1, e2, e3 = self._emf_correct(e1, e2, e3)
+            if self.psbox is not None and not self.psbox.oa_active:
+                # 2D r-z: background orbital EMF enters as an FC source
+                e1, e2 = self.psbox.src_terms_fc(e1, e2, bfc)
             bfc = self.ct_update(bfc, saved["bfc1"], e1, e2, e3,
                                  gam0, gam1, beta_dt)
         u = self.bvals.fill_ghosts(u)

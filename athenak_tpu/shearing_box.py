@@ -33,7 +33,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from .indices import IDN, IEN, IM1, IM2, IM3, IVX, IVY
+from .indices import IDN, IEN, IM1, IM2, IM3, IVX, IVY, IVZ
 
 _JA = 3  # y axis in [nmb, nvar, n3, n2, n1]
 
@@ -98,14 +98,22 @@ class ShearingBox:
         mbi = mesh.mb_indcs
         if mbi.nx2 == 1:
             raise NotImplementedError(
-                "2D r-z shearing box not wired yet (needs x3-handedness)")
+                "1D shearing box is not a supported configuration")
+        # 2D (nx3=1) is the r-z box: the toroidal direction maps to
+        # component 3, there is no orbital advection / sheared remap
+        # (shear_periodic reduces to periodic), and the background
+        # orbital EMF enters as an FC source (reference: mhd_tasks.cpp
+        # gates PackAndSendCC/FC + orbital advection on three_d||r_phi;
+        # shearing_box_srcterms.cpp:159-200 SourceTermsFC)
+        self.r_phi = False          # 2D r-phi: not in the reference either
+        self.oa_active = mbi.nx3 > 1 or self.r_phi
 
         # maximum integer shift per cycle for orbital advection
         # (reference: orbital_advection.cpp:41-43)
         cfl = pin.get_or_add_real("time", "cfl_number", 0.8) \
             if pin.does_block_exist("time") else 0.8
         self.maxjshift = int(cfl * max(abs(ms.x1min), abs(ms.x1max))) + 1
-        if self.maxjshift > mbi.nx2:
+        if self.oa_active and self.maxjshift > mbi.nx2:
             raise ValueError(
                 f"orbital advection shift bound {self.maxjshift} exceeds "
                 f"meshblock nx2={mbi.nx2}; use larger y-blocks")
@@ -154,6 +162,18 @@ class ShearingBox:
         q = self.qshear
         den = w[:, IDN]
         mom1 = den * w[:, IVX]
+        if not self.oa_active:
+            # 2D r-z branch: the toroidal momentum is component 3
+            # (reference: shearing_box_srcterms.cpp:66-81, 132-150)
+            mom3 = den * w[:, IVZ]
+            u = u.at[:, IM1].add(2.0 * beta_dt * om * mom3)
+            u = u.at[:, IM3].add(-(2.0 - q) * beta_dt * om * mom1)
+            if is_ideal:
+                src = mom1 * mom3 / den
+                if bcc is not None:
+                    src = src - bcc[:, 0] * bcc[:, 2]
+                u = u.at[:, IEN].add(beta_dt * q * om * src)
+            return u
         mom2 = den * w[:, IVY]
         u = u.at[:, IM1].add(2.0 * beta_dt * om * mom2)
         u = u.at[:, IM2].add(-(2.0 - q) * beta_dt * om * mom1)
@@ -166,6 +186,20 @@ class ShearingBox:
                 src = src - bcc[:, 0] * bcc[:, 1]
             u = u.at[:, IEN].add(beta_dt * q * om * src)
         return u
+
+    def src_terms_fc(self, e1, e2, bfc):
+        """2D r-z orbital-flow EMF, E = -(v_K x B) with
+        v_K = -q Omega x e_3: E1 -= q Om x1v B2, E2 += q Om x1f B1 on
+        the cell-indexed edge arrays (reference: SourceTermsFC,
+        shearing_box_srcterms.cpp:159-200; only needed in 2D)."""
+        qo = self.qshear * self.omega0
+        b1 = bfc["x1f"][..., :-1]      # face i-1/2 at cell index i
+        b2 = bfc["x2f"][..., :-1, :]
+        xv = self.xc[:, 0]             # [nmb, 1, 1, ncells1]
+        xf = self.xf[:, 0][..., :-1]   # left edge of each cell
+        e1 = e1 - qo * xv * b2
+        e2 = e2 + qo * xf * b1
+        return e1, e2
 
     # ------------------------------------------------------------------
     def _y_extended(self, arr, pad: int, face_normal_x1: bool = False):
@@ -199,6 +233,8 @@ class ShearingBox:
         dy = -q Om x1 dt (reference: orbital_advection_cc.cpp:240-290).
         General in the y block decomposition: the profile is extended by
         ng+maxjshift neighbor cells before the remap."""
+        if not self.oa_active:
+            return u
         mbi = self.mesh.mb_indcs
         js, je = mbi.js, mbi.je
         nx2 = mbi.nx2
@@ -242,6 +278,8 @@ class ShearingBox:
         eqs. 49-52).  The y-remap of B1 and B3 is expressed as effective
         (time-integrated, dy-normalized) EMFs; B is then updated with a
         CT curl so div(B) is preserved exactly."""
+        if not self.oa_active:
+            return bfc
         mesh = self.mesh
         mbi = mesh.mb_indcs
         ng = mbi.ng
@@ -345,6 +383,8 @@ class ShearingBox:
         (reference: shearing_box_cc.cpp:63-140).  Assembles the opposite
         boundary column's full ring, so any y block decomposition works;
         the slab's y-corner rows are refilled too."""
+        if not self.oa_active:
+            return u
         mesh = self.mesh
         mbi = mesh.mb_indcs
         ng = mbi.ng
@@ -379,6 +419,8 @@ class ShearingBox:
         (reference: shearing_box_fc.cpp:60-140; each component's ghost
         profile is conservatively remapped in y like the CC variables;
         the x1min/x1max shared faces stay locally owned)."""
+        if not self.oa_active:
+            return bfc
         mesh = self.mesh
         mbi = mesh.mb_indcs
         ng = mbi.ng

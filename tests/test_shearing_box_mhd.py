@@ -9,6 +9,7 @@ originally provided by C. Gammie & B. Johnson).
 """
 
 import numpy as np
+import pytest
 
 from athenak_tpu.athinput import ParameterInput
 from athenak_tpu.main import run
@@ -150,3 +151,102 @@ def test_mhd_shwave(tmp_path):
     a = (slice(None), slice(mbi.ks, mbi.ke + 1),
          slice(mbi.js, mbi.je + 1), slice(mbi.is_, mbi.ie + 1))
     assert np.abs(div[a]).max() < 1e-12
+
+
+MRI2D_DECK = """
+<job>
+basename = hb3
+
+<mesh>
+nghost = 3
+nx1 = 32
+x1min = -0.5
+x1max = 0.5
+ix1_bc = shear_periodic
+ox1_bc = shear_periodic
+nx2 = 32
+x2min = -0.5
+x2max = 0.5
+ix2_bc = periodic
+ox2_bc = periodic
+nx3 = 1
+x3min = -0.5
+x3max = 0.5
+ix3_bc = periodic
+ox3_bc = periodic
+
+<time>
+evolution = dynamic
+integrator = rk3
+cfl_number = 0.4
+tlim = {tlim}
+
+<shearing_box>
+qshear = 1.5
+omega0 = 1.0
+
+<mhd>
+eos = ideal
+gamma = 1.6666666666666667
+reconstruct = plm
+rsolver = hlld
+
+<problem>
+pgen_name = mri2d
+beta = 400
+amp = 0.01
+ifield = 2
+"""
+
+
+def _me3(state, mesh):
+    """Volume-integrated toroidal magnetic energy (component 3)."""
+    mbi = mesh.mb_indcs
+    act = (slice(None), slice(mbi.ks, mbi.ke + 1),
+           slice(mbi.js, mbi.je + 1), slice(mbi.is_, mbi.ie + 1))
+    b3 = np.asarray(state["bcc"])[:, 2]
+    return float((0.5 * b3[act] ** 2).sum())
+
+
+def _divb_max(state, mesh):
+    mbi = mesh.mb_indcs
+    bfc = state["bfc"]
+    b1 = np.asarray(bfc["x1f"])
+    b2 = np.asarray(bfc["x2f"])
+    ms = mesh.mesh_size
+    act = (slice(None), slice(mbi.ks, mbi.ke + 1),
+           slice(mbi.js, mbi.je + 1), slice(mbi.is_, mbi.ie + 1))
+    div = ((b1[..., mbi.is_ + 1:mbi.ie + 2] -
+            b1[..., mbi.is_:mbi.ie + 1])[:, :, mbi.js:mbi.je + 1] / ms.dx1
+           + (b2[..., mbi.js + 1:mbi.je + 2, :]
+              - b2[..., mbi.js:mbi.je + 1, :])[
+                  ..., mbi.is_:mbi.ie + 1] / ms.dx2)
+    return float(np.abs(div[:, mbi.ks:mbi.ke + 1]).max())
+
+
+@pytest.mark.slow
+def test_mri2d_growth(tmp_path):
+    """2D r-z MRI (HB92 "HB3", reference pgen mri2d.cpp): with a
+    resolved uniform vertical field the toroidal magnetic energy grows
+    by orders of magnitude within a few 1/Omega — driven by the
+    SourceTermsFC background-orbital EMF — while div(B) stays at
+    round-off."""
+    import os
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        # t=2 is past the initial transient (measured ME3(2) ~ 1.5e-7);
+        # the instability then e-folds at ~0.45/Omega on B
+        pin = ParameterInput.from_string(MRI2D_DECK.format(tlim=2.0))
+        mesh1, phys1, driver1, st1 = run(pin)
+        me_early = _me3(st1, mesh1)
+
+        pin = ParameterInput.from_string(MRI2D_DECK.format(tlim=7.0))
+        mesh2, phys2, driver2, st2 = run(pin)
+        me_late = _me3(st2, mesh2)
+    finally:
+        os.chdir(cwd)
+    assert np.isfinite(np.asarray(st2["w"])).all()
+    assert _divb_max(st2, mesh2) < 1e-10
+    # measured growth over dt=5 is ~e^4.5; require a conservative 10x
+    assert me_late > 10.0 * me_early, (me_early, me_late)
