@@ -86,8 +86,17 @@ class Particles:
     def gids(self, x):
         """Owner block gid for each particle (the migration step's
         destination computation, reference: bvals_part.cpp per-particle
-        destination GID)."""
+        destination GID).  Uniform meshes use the root-grid LUT; on
+        SMR/AMR the owner is the containing leaf (AABB test over the
+        per-block bounds)."""
         xi = np.asarray(x)
+        if getattr(self.mesh, "multilevel", False):
+            sz = self.mesh.mb_size
+            lo = np.stack([sz["x1min"], sz["x2min"], sz["x3min"]], axis=1)
+            hi = np.stack([sz["x1max"], sz["x2max"], sz["x3max"]], axis=1)
+            inside = np.all((xi[:, None, :] >= lo[None])
+                            & (xi[:, None, :] <= hi[None]), axis=-1)
+            return np.argmax(inside, axis=1).astype(np.int32)
         loc = np.floor((xi - self._xmin) / self._mb_width).astype(np.int64)
         loc = np.clip(loc, 0, self._nmb_xyz - 1)
         return self._gid_lut[loc[:, 2], loc[:, 1], loc[:, 0]]
@@ -95,12 +104,12 @@ class Particles:
     # ------------------------------------------------------------------
     def new_dt(self):
         """dt = min cell crossing at |v|<=1 (reference:
-        part_random.cpp:82-86)."""
-        ms = self.mesh.mesh_size
+        part_random.cpp:82-86); finest spacing on multilevel meshes."""
+        from .diffusion import _dx_min
         mbi = self.mesh.mb_indcs
-        dt = ms.dx1
+        dt = _dx_min(self.mesh, "x1")
         if mbi.nx2 > 1:
-            dt = min(dt, ms.dx2)
+            dt = min(dt, _dx_min(self.mesh, "x2"))
         if mbi.nx3 > 1:
-            dt = min(dt, ms.dx3)
+            dt = min(dt, _dx_min(self.mesh, "x3"))
         return dt

@@ -186,8 +186,7 @@ class Hydro:
             # diffusion operators take per-block dx (diffusion._dx_tab)
             # and their fluxes ride the SMR flux correction, so they
             # compose with refined meshes like the reference's
-            blockers = {"turbulence driving": self.pturb,
-                        "particles": self.ppart,
+            blockers = {
                         # multigrid gravity handles refined meshes; the
                         # FFT fast path does not
                         "self-gravity (fft)": self.pgrav

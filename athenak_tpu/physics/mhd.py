@@ -237,8 +237,6 @@ class MHD:
             # viscous/conductive fluxes ride the SMR flux correction and
             # resistive EMFs ride the edge-EMF correction
             blockers = {
-                "turbulence driving": self.pturb,
-                "particles": self.ppart,
                 # multigrid gravity handles refined meshes; the FFT
                 # fast path does not
                 "self-gravity (fft)": self.pgrav

@@ -84,6 +84,16 @@ class TurbulenceDriver:
         self.xc, self.yc, self.zc = xc, yc, zc
         self.shape = (nmb, 3, mbi.ncells3, mbi.ncells2, mbi.ncells1)
 
+        # per-block fractional cell volume [nmb, 1, 1, 1]: the weight of
+        # every volume integral below (constant 1/ncells-total on uniform
+        # meshes; level-dependent on SMR/AMR — the reference integrates
+        # with dx1*dx2*dx3 weights, turb_driver.cpp:717+)
+        vol = (np.asarray(mesh.mb_size["dx1"])
+               * np.asarray(mesh.mb_size["dx2"])
+               * np.asarray(mesh.mb_size["dx3"]))
+        self.wvol = (vol / (vol.sum() * mbi.nx1 * mbi.nx2 * mbi.nx3)
+                     ).reshape(-1, 1, 1, 1)
+
     # ------------------------------------------------------------------
     def init_state_entries(self, dtype):
         return {
@@ -145,22 +155,21 @@ class TurbulenceDriver:
         dact = (slice(None), slice(mbi.ks, mbi.ke + 1),
                 slice(mbi.js, mbi.je + 1), slice(mbi.is_, mbi.ie + 1))
         den_a = den[dact]
+        wv = jnp.asarray(self.wvol, dtype)  # per-block volume weights
 
         # remove net momentum injection (reference: turb_driver.cpp:717-755)
-        t0 = jnp.sum(den_a)
+        t0 = jnp.sum(wv * den_a)
         for c in range(3):
-            tc = jnp.sum(den_a * ftmp[act][:, c])
+            tc = jnp.sum(wv * den_a * ftmp[act][:, c])
             ftmp = ftmp.at[:, c].add(-tc / t0)
 
         # normalize to dedt (reference: turb_driver.cpp:757-812)
         fa = ftmp[act]
         mom = u[act][:, IM1:IM3 + 1]
-        t0 = jnp.sum(den_a * jnp.sum(fa * fa, axis=1))
-        t1 = jnp.sum(jnp.sum(mom * fa, axis=1))
-        gn = self.mesh.mesh_indcs
-        dvol = 1.0 / (gn.nx1 * gn.nx2 * gn.nx3)
-        m0 = jnp.maximum(0.5 * t0 * dvol * dt, 1.0e-20)
-        m1 = t1 * dvol
+        t0 = jnp.sum(wv * den_a * jnp.sum(fa * fa, axis=1))
+        t1 = jnp.sum(wv * jnp.sum(mom * fa, axis=1))
+        m0 = jnp.maximum(0.5 * t0 * dt, 1.0e-20)
+        m1 = t1
         # quadratic for s:  m0 s^2 + m1 s = dedt
         disc = jnp.sqrt(m1 * m1 / (4.0 * m0 * m0) + self.dedt / m0)
         s = jnp.where(m1 >= 0, -m1 / (2.0 * m0) + disc,
@@ -186,9 +195,9 @@ class TurbulenceDriver:
             u = u.at[:, IEN].add(fv * den * dt)
 
         # remove residual net momentum (reference: turb_driver.cpp:1138-1200)
-        t0 = jnp.sum(u[act][:, IDN])
+        t0 = jnp.sum(wv * u[act][:, IDN])
         for c, im in ((0, IM1), (1, IM2), (2, IM3)):
-            tc = jnp.sum(u[act][:, im])
+            tc = jnp.sum(wv * u[act][:, im])
             u = u.at[:, im].add(-den * tc / t0)
 
         out = dict(state)

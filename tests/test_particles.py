@@ -97,3 +97,42 @@ def test_particle_drift(tmp_path):
         assert trk.shape[0] >= 10
     finally:
         os.chdir(cwd)
+
+
+SMR_DECK = DECK.replace("<time>", """<mesh_refinement>
+refinement = static
+num_levels = 2
+
+<refined_region1>
+level = 1
+x1min = -0.5
+x1max = 0.0
+x2min = -0.5
+x2max = 0.0
+x3min = -0.5
+x3max = 0.0
+
+<time>""")
+
+
+def test_particle_drift_smr(tmp_path):
+    """Particles compose with SMR: drift trajectories are exact on any
+    mesh, and the owner-gid lookup resolves containing LEAF blocks."""
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        pin = ParameterInput.from_string(SMR_DECK)
+        mesh, phys, driver, state = run(pin)
+    finally:
+        os.chdir(cwd)
+    assert mesh.multilevel and mesh.mb_lev.max() == 1
+    x = np.asarray(state["prtcl_x"])
+    assert np.isfinite(x).all()
+    assert (x >= -0.5).all() and (x <= 0.5).all()
+    # owner lookup lands each particle in its containing leaf block
+    gids = phys.ppart.gids(x)
+    sz = mesh.mb_size
+    for d, (lo, hi) in enumerate((("x1min", "x1max"), ("x2min", "x2max"),
+                                  ("x3min", "x3max"))):
+        assert (x[:, d] >= sz[lo][gids] - 1e-12).all()
+        assert (x[:, d] <= sz[hi][gids] + 1e-12).all()
