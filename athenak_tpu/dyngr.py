@@ -162,9 +162,16 @@ class DynGRMHD:
         if self.fixed_evolution:
             self.z4c = None
             self._fixed_adm = None  # set by the problem generator
+            self.nco = 0
         else:
             from .z4c.z4c import Z4c
             self.z4c = Z4c(pin, mesh, bvals)
+            # compact-object trackers ride the z4c shift (BNS/BH-torus
+            # production diagnostics + <z4c_amr> tracker criterion)
+            self.nco = self.z4c.nco
+            self.tracker_pos0 = self.z4c.tracker_pos0
+            self.tracker_radius = self.z4c.tracker_radius
+            self.tracker_reflevel = self.z4c.tracker_reflevel
 
     # ----------------------------------------------------------- allocate
     def allocate(self, dtype):
@@ -187,7 +194,15 @@ class DynGRMHD:
             if self._fixed_adm is None:
                 raise RuntimeError("fixed-spacetime DynGRMHD needs the "
                                    "pgen to call set_fixed_adm")
-            return self._fixed_adm
+            from .comm import local_blocks as _lb
+            fa = self._fixed_adm
+            # per-block host arrays localize to the device's rows
+            # inside the shard_map cycle (identity otherwise)
+            return {"g3d": [_lb(c, pad_edge=True) for c in fa["g3d"]],
+                    "alpha": _lb(fa["alpha"], pad_edge=True),
+                    "beta_u": [_lb(c, pad_edge=True)
+                               for c in fa["beta_u"]],
+                    "K_dd": [_lb(c, pad_edge=True) for c in fa["K_dd"]]}
         return adm_from_z4c(self.z4c, state["z"])
 
     # ------------------------------------------------------- prim <-> cons
@@ -397,8 +412,9 @@ class DynGRMHD:
         detg = spatial_det(g3d)
         vol = jnp.sqrt(detg)
         g3u = spatial_inv(g3d, detg)
+        from .comm import local_blocks as _lb
         ng = self.mesh.mb_indcs.ng
-        idx = self.idx
+        idx = tuple(_lb(i, pad_edge=True) for i in self.idx)
         ndim = len(self.dirs)
 
         def D1(f, d):
@@ -488,7 +504,22 @@ class DynGRMHD:
             if z is None:
                 raise ValueError("dynamical spacetime needs z4c state")
             state["z"] = z
+            if self.nco > 0:
+                state["co_pos"] = jnp.asarray(self.z4c.tracker_pos0,
+                                              u.dtype)
         return state
+
+    def post_cycle(self, state, dt):
+        """Advance the puncture/compact-object trackers on the z4c
+        shift (see Z4c.post_cycle; the tracked field is state['z'])."""
+        if self.z4c is None or self.nco == 0 or "co_pos" not in state:
+            return state
+        from .z4c.z4c import I_BETAX
+        from .z4c.z4c_amr import device_interp
+        pos = state["co_pos"]
+        beta = device_interp(self.mesh, state["z"],
+                             [I_BETAX + a for a in range(3)], pos)
+        return dict(state, co_pos=pos - dt * beta)
 
     def save_state(self, state):
         saved = {"u1": state["u"], "bfc1": state["bfc"]}

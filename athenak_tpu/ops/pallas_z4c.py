@@ -314,8 +314,10 @@ def _pick_k(n3: int, n2: int, n1: int, ng: int) -> int:
             break
         use = bpp * (2 * NZ4C * (k + 2 * ng)   # u window, dbl-buffered
                      + 4 * NZ4C * k            # u1 + out, dbl-buffered
-                     + 450 * k)                # live temporaries (empirical:
-        #   a 60^3/ng=2 deck at k=8 measured 155.35M -> ~440 live planes)
+                     + 230 * k)                # live temporaries (bulk-table
+        #   kernel: 60^3/ng=2 compiles and runs at k=8, and k=8 beats
+        #   k=5 by ~5% — Mosaic schedules the table live ranges tighter
+        #   than the old per-field estimate assumed)
         if use <= _VMEM_LIMIT:
             best = k
     return best
@@ -368,7 +370,11 @@ def fused_z4c_stage(u, u1, z, gam0, gam1, beta_dt, tmunu=None,
     dt = u.dtype
 
     have_sbc = z.sbc_mask is not None
-    sbc_arr = z.sbc_channels() if have_sbc else None
+    if have_sbc:
+        from ..comm import local_blocks
+        sbc_arr = local_blocks(z.sbc_channels())  # device rows in shard
+    else:
+        sbc_arr = None
     have_mat = tmunu is not None
     if have_mat:
         mat = jnp.stack([tmunu["E"], *tmunu["S_d"], *tmunu["S_dd"]],

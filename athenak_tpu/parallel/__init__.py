@@ -63,11 +63,19 @@ def replicated(dmesh: DeviceMesh) -> NamedSharding:
 def shard_state(state, dmesh: DeviceMesh):
     """Place a physics state pytree on the mesh, block axis sharded.
 
-    Every leaf in our state dicts ({u, w, [bfc, bcc]}) carries the leading
-    nmb axis, so a uniform PartitionSpec('mb') applies to all of them.
+    Leaves whose leading axis is not divisible by the mesh (tiny
+    replicated state like tracker positions [nco, 3] or RNG keys) are
+    replicated instead.
     """
     sh = block_sharding(dmesh)
-    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), state)
+    rep = replicated(dmesh)
+    n = dmesh.devices.size
+
+    def place(a):
+        ok = hasattr(a, "shape") and a.ndim >= 1 and a.shape[0] % n == 0
+        return jax.device_put(a, sh if ok else rep)
+
+    return jax.tree_util.tree_map(place, state)
 
 
 def check_divisible(nmb_total: int, dmesh: DeviceMesh) -> None:

@@ -301,8 +301,8 @@ def supports_shard_cycle(driver, state) -> bool:
     radiation).
     """
     phys = driver.phys
-    if type(phys).__name__ not in ("Hydro", "MHD"):
-        # Radiation/Z4c/DynGRMHD/IonNeutral carry module state the route
+    if type(phys).__name__ not in ("Hydro", "MHD", "Z4c"):
+        # Radiation/DynGRMHD/IonNeutral carry module state the route
         # tables don't cover yet
         return False
     if getattr(driver.mesh, "adaptive", False) \
@@ -336,9 +336,19 @@ def supports_shard_cycle(driver, state) -> bool:
         if ppart.nprtcl % ndev != 0 or ppart.nprtcl in ok_dims:
             return False  # ambiguous with the block axis: gather path
         ok_dims.add(ppart.nprtcl)
+    rep_dims = _replicated_dims(phys, ok_dims)
     return all(hasattr(leaf, "shape") and leaf.ndim >= 1
-               and leaf.shape[0] in ok_dims
+               and (leaf.shape[0] in ok_dims or leaf.shape[0] in rep_dims)
                for leaf in jax.tree_util.tree_leaves(state))
+
+
+def _replicated_dims(phys, ok_dims):
+    """Leading dims of state leaves that are REPLICATED (not block-
+    sharded) in the shard cycle: compact-object tracker positions
+    [nco, 3] (kept identical on every device via the psum in
+    z4c_amr.device_interp)."""
+    nco = getattr(phys, "nco", 0)
+    return {nco} - ok_dims if nco else set()
 
 
 def build_shard_cycle(driver, dmesh: DeviceMesh, state_template):
@@ -358,9 +368,14 @@ def build_shard_cycle(driver, dmesh: DeviceMesh, state_template):
                         for k, v in counters.items()}
         return state, dtnew, counters
 
-    _, treedef = jax.tree_util.tree_flatten(state_template)
+    # per-leaf specs: block/particle-axis leaves shard over the mesh,
+    # tracker positions (and other tiny replicated leaves) stay P()
+    rep_dims = _replicated_dims(driver.phys, {comm.nmb, comm.nmb_pad})
+    leaves, treedef = jax.tree_util.tree_flatten(state_template)
     state_spec = jax.tree_util.tree_unflatten(
-        treedef, [P(BLOCK_AXIS)] * treedef.num_leaves)
+        treedef, [P() if (hasattr(lf, "shape") and lf.ndim >= 1
+                          and lf.shape[0] in rep_dims)
+                  else P(BLOCK_AXIS) for lf in leaves])
 
     fn = jax.shard_map(
         local_cycle, mesh=dmesh,

@@ -489,9 +489,12 @@ class _WholeArrayOps:
     [nmb, n3, n2, n1] channel fields (fd.py operators)."""
 
     def __init__(self, z, beta):
+        from ..comm import local_blocks
         self._z = z
         self._beta = beta
-        self._idx = z.idx
+        # per-block idx tables (multilevel) localize to the device's
+        # rows inside the shard_map cycle; scalars pass through
+        self._idx = tuple(local_blocks(i, pad_edge=True) for i in z.idx)
         self._ng = z.ng
 
     def d1(self, f, d):
@@ -524,9 +527,13 @@ class _WholeArrayOps:
         return f
 
     def sbc(self):
+        from ..comm import local_blocks
         z = self._z
         if z.sbc_mask is None:
             return None
-        xc, yc, zc = z._sbc_xyz
+        xc = local_blocks(z._sbc_xyz[0])
+        yc = local_blocks(z._sbc_xyz[1])
+        zc = local_blocks(z._sbc_xyz[2])
         r = jnp.sqrt(xc * xc + yc * yc + zc * zc)
-        return (jnp.asarray(z.sbc_mask), r, (xc / r, yc / r, zc / r))
+        return (jnp.asarray(local_blocks(z.sbc_mask)), r,
+                (xc / r, yc / r, zc / r))

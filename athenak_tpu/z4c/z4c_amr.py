@@ -38,18 +38,28 @@ def device_interp(mesh, u, chans: List[int], pos):
     tree, so they trace as constants and retrace on tree changes, like
     every other per-block table).
     """
+    from ..comm import current_comm, local_blocks
+
     mbi = mesh.mb_indcs
     sz = mesh.mb_size
     dt = u.dtype
-    lo = jnp.asarray(np.stack([sz["x1min"], sz["x2min"], sz["x3min"]],
-                              axis=1), dt)                     # [nmb, 3]
-    hi = jnp.asarray(np.stack([sz["x1max"], sz["x2max"], sz["x3max"]],
-                              axis=1), dt)
-    dx = jnp.asarray(np.stack([sz["dx1"], sz["dx2"], sz["dx3"]],
-                              axis=1), dt)
-    pos = pos.astype(dt)
+    lo_np = np.stack([sz["x1min"], sz["x2min"], sz["x3min"]], axis=1)
+    hi_np = np.stack([sz["x1max"], sz["x2max"], sz["x3max"]], axis=1)
+    dx_np = np.stack([sz["dx1"], sz["dx2"], sz["dx3"]], axis=1)
+    # inside the shard_map cycle the tables localize to the device's
+    # block rows; ownership is half-open so exactly one device owns a
+    # point and the psum-combine below is exact
+    lo = jnp.asarray(local_blocks(lo_np, pad_edge=True), dt)   # [L, 3]
+    hi = jnp.asarray(local_blocks(hi_np, pad_edge=True), dt)
+    dx = jnp.asarray(local_blocks(dx_np, pad_edge=True), dt)
+    ms = mesh.mesh_size
+    top = np.array([ms.x1max, ms.x2max, ms.x3max])
+    eps = 1e-6 * dx_np.min(axis=0)
+    pos = jnp.clip(pos.astype(dt), None,
+                   jnp.asarray(top - eps, dt)[None, :])
     inside = jnp.all((pos[:, None, :] >= lo[None])
-                     & (pos[:, None, :] <= hi[None]), axis=-1)  # [np, nmb]
+                     & (pos[:, None, :] < hi[None]), axis=-1)   # [np, L]
+    own = jnp.any(inside, axis=1)                               # [np]
     gid = jnp.argmax(inside, axis=1)                            # [np]
 
     ng = mbi.ng
@@ -79,6 +89,11 @@ def device_interp(mesh, u, chans: List[int], pos):
                       * (w[1] if dj else 1.0 - w[1])
                       * (w[0] if di else 1.0 - w[0]))
                 out = out + wt[:, None] * c
+    cc = current_comm()
+    if cc is not None:
+        # non-owning devices gathered garbage rows: zero them and
+        # psum so every device sees the owner's value
+        out = jax.lax.psum(out * own[:, None].astype(dt), cc.axis)
     return out
 
 
