@@ -301,9 +301,9 @@ def supports_shard_cycle(driver, state) -> bool:
     radiation).
     """
     phys = driver.phys
-    if type(phys).__name__ not in ("Hydro", "MHD", "Z4c"):
-        # Radiation/DynGRMHD/IonNeutral carry module state the route
-        # tables don't cover yet
+    if type(phys).__name__ not in ("Hydro", "MHD", "Z4c", "DynGRMHD"):
+        # Radiation/IonNeutral carry module state the route tables
+        # don't cover yet
         return False
     if getattr(driver.mesh, "adaptive", False) \
             and getattr(driver, "pamr", None) is not None \
