@@ -95,16 +95,24 @@ def adm_to_z4c(mesh, g_dd, K_dd, alpha=None, beta_u=None,
     for s in range(6):
         u[:, I_GXX + s] = gt[:, s]
 
-    # Gam^a = -d_b gt^{ba} per block (cell-centered central differences)
+    # Gam^a = -d_b gt^{ba} per block, with the SAME 2*ng-2 order FD the
+    # evolution uses — a lower-order Gamma seed contaminates the Ricci
+    # (via dGam) with an O(amp dx^2) constraint violation that would
+    # dominate smooth-data tests (np.roll wrap garbage lands in ghosts,
+    # overwritten by the first fill)
+    from . import fd
+    ng = mesh.mb_indcs.ng
+    sten = fd._D1[min(max(ng, 2), 5)]
     dxs = [np.asarray(mesh.mb_size[f"d{ax}"], dtype=np.float64)
            for ax in ("x1", "x2", "x3")]
     for m in range(nmb):
-        dx1, dx2, dx3 = (float(d[m]) for d in dxs)
         for a in range(3):
             gam = np.zeros_like(detg[m])
-            for b, (axis, h) in enumerate(((3, dx1), (2, dx2), (1, dx3))):
+            for b, axis in enumerate((2, 1, 0)):
                 comp = gtinv[m, sym_idx(b, a)]
-                gam -= np.gradient(comp, h, axis=axis - 1)
+                h = float(dxs[b][m])
+                for off, c in sten:
+                    gam -= (c / h) * np.roll(comp, -off, axis=axis)
             u[m, I_GAMX + a] = gam
 
     u[:, I_THETA] = 0.0

@@ -141,8 +141,11 @@ def rhs_core(ch, ops, opt, diss, tmunu=None):
     # conformal Ricci (reference: z4c_calcrhs.cpp:305-328)
     Rdd = [[None] * 3 for _ in range(3)]
     for a, b in _sym_pairs():
+        # note the index placement of the Gamma-Gamma_ddd term:
+        # Gam^c (Gamma_{a,bc} + Gamma_{b,ac}), NOT Gamma_{c,ab}
+        # (reference: z4c_calcrhs.cpp:309-311)
         r = sum(0.5 * (g[c][a] * dgam[b][c] + g[c][b] * dgam[a][c]
-                       + gam_c[c] * (Gddd[c][a][b] + Gddd[c][b][a]))
+                       + gam_c[c] * (Gddd[a][b][c] + Gddd[b][a][c]))
                 for c in range(3))
         r = r - sum(0.5 * gu[c][d] * DDg(c, d, a, b)
                     for c in range(3) for d in range(3))

@@ -335,8 +335,10 @@ class Z4c:
 
         Rdd = [[None] * 3 for _ in range(3)]
         for a, b in _sym_pairs():
+            # Gam^c (Gamma_{a,bc} + Gamma_{b,ac}) — see rhs_core.py /
+            # reference z4c_calcrhs.cpp:309-311 for the index placement
             r = sum(0.5 * (g[c][a] * dgam[b][c] + g[c][b] * dgam[a][c]
-                           + gam_c[c] * (Gddd[c][a][b] + Gddd[c][b][a]))
+                           + gam_c[c] * (Gddd[a][b][c] + Gddd[b][a][c]))
                     for c in range(3))
             r = r - sum(0.5 * gu[c][d] * DDg(c, d, a, b)
                         for c in range(3) for d in range(3))
