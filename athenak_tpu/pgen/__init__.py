@@ -38,14 +38,27 @@ _REGISTRY = {
     "z4c_linear_wave": "athenak_tpu.pgen.z4c_linear_wave",
     "z4c_one_puncture": "athenak_tpu.pgen.z4c_one_puncture",
     "rad_hohlraum": "athenak_tpu.pgen.rad_hohlraum",
+    "rad_relax": "athenak_tpu.pgen.rad_relax",
+    "rad_shadow": "athenak_tpu.pgen.rad_shadow",
     "gr_torus": "athenak_tpu.pgen.gr_torus",
     "kh": "athenak_tpu.pgen.kh",
+    "current_sheet": "athenak_tpu.pgen.current_sheet",
+    "shock_cloud": "athenak_tpu.pgen.shock_cloud",
+    "slotted_cyl": "athenak_tpu.pgen.slotted_cyl",
+    "slotted_cylinder": "athenak_tpu.pgen.slotted_cyl",
     "rt": "athenak_tpu.pgen.rt",
     "shu_osher": "athenak_tpu.pgen.shu_osher",
     "shwave": "athenak_tpu.pgen.shwave",
     "rad_linear_wave": "athenak_tpu.pgen.rad_linear_wave",
     "rad_beam": "athenak_tpu.pgen.rad_beam",
     "z4c_two_punctures": "athenak_tpu.pgen.z4c_two_punctures",
+    "z4c_two_puncture": "athenak_tpu.pgen.z4c_two_punctures",
+    "z4c_kerr_schild": "athenak_tpu.pgen.z4c_kerr_schild",
+    "kerr_schild": "athenak_tpu.pgen.z4c_kerr_schild",
+    "z4c_gauge_wave": "athenak_tpu.pgen.z4c_gauge_wave",
+    "z4c_stability": "athenak_tpu.pgen.z4c_stability",
+    "robust_stability": "athenak_tpu.pgen.z4c_stability",
+    "gauge_wave": "athenak_tpu.pgen.z4c_gauge_wave",
     "z4c_boosted_puncture": "athenak_tpu.pgen.z4c_boosted_puncture",
     "z4c_adm_import": "athenak_tpu.pgen.import_id",
     "dyngr_bns_import": "athenak_tpu.pgen.import_id",
