@@ -46,27 +46,31 @@ def init(pin, mesh, phys):
 
     i0 = jnp.zeros(rad.shape, dtype=dtype)
 
-    # hydro inflow state (conserved) on inner-x1
-    uin = np.zeros(phys.nvar)
-    uin[IDN] = 1.0
-    uin[IEN] = 1.0 / (phys.eos.gamma - 1.0)
-    phys.bvals.inflow_state["x1m"] = jnp.asarray(uin, dtype=dtype)
-
-    # intensity inflow: beam angles in the inner-x1 ghosts (i0 carries
+    # inner-x1 inflow as a user BC (the reference's per-physics
+    # u_in / i_in inflow arrays): upstream gas for the hydro block,
+    # the two beam angles for the intensity block (i0 carries
     # n^0 n_0 I; the reference stores -100 because n_0 = -1 flat)
     ng = mbi.ng
     gmask = np.zeros(rad.shape, dtype=bool)
+    umask = np.zeros(phys.shape, dtype=bool)
     for gid in np.where(mesh.phys_bc_mask["x1m"])[0]:
         for n in beam_angles:
             gmask[gid, n, :, :, 0:ng] = True
+        umask[gid, :, :, :, 0:ng] = True
     gmask_j = jnp.asarray(gmask)
+    umask_j = jnp.asarray(umask)
     beam_i0 = jnp.asarray(rad.n0 * rad.n_0 * ibeam, dtype=dtype)
+    uin = np.zeros(phys.nvar)
+    uin[IDN] = 1.0
+    uin[IEN] = 1.0 / (phys.eos.gamma - 1.0)
+    uin_j = jnp.asarray(uin.reshape(1, -1, 1, 1, 1), dtype=dtype)
 
     def shadow_bc(q, bv):
-        # applied to every filled array; only the intensity block has
-        # the angular channel count
-        if q.shape[1] == rad.nangles:
+        # applied to every filled array; dispatch on the channel count
+        if q.ndim == 5 and q.shape[1] == rad.nangles:
             return jnp.where(gmask_j, beam_i0, q)
+        if q.ndim == 5 and q.shape[1] == phys.nvar:
+            return jnp.where(umask_j, uin_j, q)
         return q
 
     shadow_bc.shard_safe = False

@@ -78,10 +78,22 @@ def rad_fluid_coupling(rad, i0, u, w, gm1, dt_eff, affect_fluid=True):
     gamma = jnp.sqrt(1.0 + q)
     u0 = gamma / alpha
 
-    # gray opacities (constant kappa; per-cell sigma = rho * kappa)
-    sigma_a = wdn * rad.kappa_a
-    sigma_s = wdn * rad.kappa_s
-    sigma_p = wdn * rad.kappa_p
+    if getattr(rad, "power_opacity", False):
+        # Kramers power-law opacity kappa ~ rho T^-3.5 (reference:
+        # radiation_opacities.hpp OpacityFunction power branch; unit
+        # scales and the Rosseland coefficients default to 1/0 in code
+        # units exactly like radiation_source.cpp:65-75)
+        ross = getattr(rad, "rosseland_coef", 1.0)
+        pmr = getattr(rad, "planck_minus_rosseland_coef", 0.0)
+        power_law = wdn * (gm1 / jnp.maximum(tgas, 1e-30)) ** 3.5
+        sigma_a = wdn * ross * power_law
+        sigma_p = wdn * pmr * power_law
+        sigma_s = wdn * rad.kappa_s
+    else:
+        # gray opacities (constant kappa; per-cell sigma = rho * kappa)
+        sigma_a = wdn * rad.kappa_a
+        sigma_s = wdn * rad.kappa_s
+        sigma_p = wdn * rad.kappa_p
     dtcsiga = dt_eff * sigma_a
     dtcsigs = dt_eff * sigma_s
     dtcsigp = dt_eff * sigma_p

@@ -45,6 +45,14 @@ class RadiationFluid:
         self.dirs = self.fluid.dirs
         self.is_sr = self.fluid.is_sr
         self.is_gr = self.fluid.is_gr
+        if not self.is_gr:
+            # the angular coupling uses the lowered-index (T^0_0-like)
+            # energy convention of the GR fluid; Minkowski runs set
+            # <coord> general_rel=true + minkowski=true like the
+            # reference (radiation.cpp:46-52)
+            raise ValueError(
+                "radiation-fluid coupling requires <coord> "
+                "general_rel=true (use minkowski=true for flat space)")
         self.multilevel = getattr(self.fluid, "multilevel", False)
         self.geom = getattr(self.fluid, "geom", None)
         self.pturb = None
@@ -115,7 +123,9 @@ class RadiationFluid:
                                                 gam1, beta_dt)
 
         # implicit comoving-frame exchange (uses the freshly updated w)
-        if not rad.fixed_fluid or rad.kappa_a > 0.0 or rad.kappa_s > 0.0:
+        if (not rad.fixed_fluid or rad.kappa_a > 0.0
+                or rad.kappa_s > 0.0
+                or getattr(rad, "power_opacity", False)):
             gm1 = self.eos.gamma - 1.0
             i0_new, u_new = rad_fluid_coupling(
                 rad, i0_new, out["u"], out["w"], gm1, beta_dt,

@@ -7,6 +7,7 @@ isotropization.
 import math
 
 import numpy as np
+import pytest
 
 from athenak_tpu.athinput import ParameterInput
 from athenak_tpu.main import run, build
@@ -110,3 +111,144 @@ def test_scattering_isotropizes():
     aniso0 = 0.9
     aniso1 = (out.max() - out.min()) / 2.0
     assert aniso1 < 0.1 * aniso0
+
+
+RELAX_DECK = """
+<job>
+basename = relax
+
+<mesh>
+nghost = 2
+nx1 = 4
+x1min = -0.5
+x1max = 0.5
+nx2 = 1
+x2min = -0.5
+x2max = 0.5
+nx3 = 1
+x3min = -0.5
+x3max = 0.5
+
+<time>
+evolution = dynamic
+integrator = rk2
+cfl_number = 0.3
+tlim = 10.0
+
+<coord>
+general_rel = true
+minkowski = true
+
+<hydro>
+eos = ideal
+gamma = 2.0
+reconstruct = plm
+rsolver = hlle
+
+<radiation>
+nlevel = 1
+arad = 1.0
+kappa_a = 1.0
+kappa_s = 0.0
+kappa_p = 0.0
+
+<problem>
+pgen_name = rad_relax
+erad = 1.0
+temp = 100.0
+"""
+
+
+def test_rad_relax_equilibrium():
+    """Gas and radiation relax to the common equilibrium of
+    a T^4 + rho T/(gm-1) = const (reference: rad_relax.cpp +
+    inputs/radiation/relax.athinput; gamma=2 so gm1=1):
+    T^4 + T = 101 -> T_eq = 3.0890."""
+    from athenak_tpu.main import run as _run
+    pin = ParameterInput.from_string(RELAX_DECK)
+    mesh, phys, driver, state = _run(pin)
+    mbi = mesh.mb_indcs
+    act = (slice(None), slice(mbi.ks, mbi.ke + 1),
+           slice(mbi.js, mbi.je + 1), slice(mbi.is_, mbi.ie + 1))
+    w = np.asarray(state["w"])
+    tgas = w[:, 4][act] / w[:, 0][act]        # e*gm1/rho, gm1=1
+    # radiation energy: coordinate-frame R^00
+    er = np.asarray(phys.rad.coord_energy_density(state))
+    er = er[(slice(None),) + act[1:]]
+    teq = 3.1451803
+    assert np.allclose(tgas, teq, rtol=1e-4), tgas.mean()
+    assert np.allclose(er, 101.0 - teq, rtol=1e-3), er.mean()
+    # the implicit coupling conserves gas+radiation energy to round-off
+    assert np.allclose(tgas + er, 101.0, rtol=1e-10)
+
+
+SHADOW_DECK = """
+<job>
+basename = shadow
+
+<mesh>
+nghost = 2
+nx1 = 64
+x1min = -0.25
+x1max = 0.25
+ix1_bc = user
+ox1_bc = outflow
+nx2 = 32
+x2min = -0.125
+x2max = 0.125
+ix2_bc = outflow
+ox2_bc = outflow
+nx3 = 1
+x3min = -0.5
+x3max = 0.5
+
+<time>
+evolution = dynamic
+integrator = rk2
+cfl_number = 0.4
+tlim = 0.6
+
+<coord>
+general_rel = true
+minkowski = true
+
+<hydro>
+eos = ideal
+gamma = 1.6666666666666667
+reconstruct = plm
+rsolver = hlle
+
+<radiation>
+nlevel = 2
+arad = 1.0
+power_opacity = true
+kappa_s = 0.0
+kappa_p = 0.0
+fixed_fluid = true
+
+<problem>
+pgen_name = rad_shadow
+i_beam = 100.0
+"""
+
+
+@pytest.mark.slow
+def test_rad_shadow():
+    """The optically thick blob casts a shadow: the beam-lit region
+    beside the cloud carries orders of magnitude more radiation energy
+    than directly behind it (reference: rad_shadow.cpp)."""
+    from athenak_tpu.main import run as _run
+    pin = ParameterInput.from_string(SHADOW_DECK)
+    mesh, phys, driver, state = _run(pin)
+    er = np.asarray(phys.rad.coord_energy_density(state))
+    mbi = mesh.mb_indcs
+    assert np.isfinite(er).all()
+    # sample the x ~ +0.2 plane (behind the cloud): on-axis (shadow)
+    # vs off-axis (lit)
+    i_probe = mbi.is_ + int(0.9 * mbi.nx1)
+    j_mid = mbi.js + mbi.nx2 // 2
+    j_edge = mbi.js + 1
+    shadow = er[:, mbi.ks, j_mid, i_probe].min()
+    lit = er[:, mbi.ks, j_edge, i_probe].max()
+    assert lit > 1.0e-3
+    assert shadow < 0.2 * lit, (shadow, lit)
