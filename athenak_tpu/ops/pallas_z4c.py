@@ -131,6 +131,9 @@ class _WindowOps:
 
     def _broll(self, S, kind: str, d: int):
         """Roll-fma stencil chain on a center-shaped stack."""
+        import os
+        if os.environ.get("ATHENAK_Z4C_ABLATE") == f"x{d + 1}off":
+            return S * 1.01  # perf ablation: drop this direction's work
         sten, pw = self._kind_sten(kind)
         scale = self._idx[d] ** pw
         ax = self._AX[d] % S.ndim
@@ -163,6 +166,9 @@ class _WindowOps:
     def _bx3(self, W, kind: str):
         """Bulk x3 stencil: static plane slices of a full-window stack
         [..., P, n2, n1] -> center-shaped."""
+        import os
+        if os.environ.get("ATHENAK_Z4C_ABLATE") == "x3off":
+            return self.center(W) * 1.01
         sten, pw = self._kind_sten(kind)
         scale = self._idx[2] ** pw
         ng, K = self._ng, self._K

@@ -40,6 +40,7 @@ _REGISTRY = {
     "rad_hohlraum": "athenak_tpu.pgen.rad_hohlraum",
     "rad_relax": "athenak_tpu.pgen.rad_relax",
     "rad_shadow": "athenak_tpu.pgen.rad_shadow",
+    "rad_diffusion": "athenak_tpu.pgen.rad_diffusion",
     "gr_torus": "athenak_tpu.pgen.gr_torus",
     "kh": "athenak_tpu.pgen.kh",
     "current_sheet": "athenak_tpu.pgen.current_sheet",

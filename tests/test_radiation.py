@@ -252,3 +252,77 @@ def test_rad_shadow():
     lit = er[:, mbi.ks, j_edge, i_probe].max()
     assert lit > 1.0e-3
     assert shadow < 0.2 * lit, (shadow, lit)
+
+
+DIFF_DECK = """
+<job>
+basename = raddiff
+
+<mesh>
+nghost = 2
+nx1 = 128
+x1min = -2.0
+x1max = 2.0
+nx2 = 1
+x2min = -0.5
+x2max = 0.5
+nx3 = 1
+x3min = -0.5
+x3max = 0.5
+
+<time>
+evolution = dynamic
+integrator = rk2
+cfl_number = 0.3
+tlim = {tlim}
+
+<coord>
+general_rel = true
+minkowski = true
+
+<hydro>
+eos = ideal
+gamma = 1.6666666666666667
+reconstruct = plm
+rsolver = hlle
+
+<radiation>
+nlevel = 2
+arad = 1.0
+kappa_a = 0.0
+kappa_s = 40.0
+kappa_p = 0.0
+fixed_fluid = true
+
+<problem>
+pgen_name = rad_diffusion
+v1 = 0.0
+nu = 4.0
+"""
+
+
+@pytest.mark.slow
+def test_rad_diffusion_pulse():
+    """Scattering-dominated Gaussian pulse spreads at the analytic
+    diffusion rate: at time t the comoving solution has width factor
+    W(t) = 4 D nu^2 (t0'+t') + 1 with D = 1/(3 kappa_s)
+    (reference: rad_diffusion.cpp ICs evaluated at a later time)."""
+    from athenak_tpu.main import run as _run
+    tlim = 1.0
+    pin = ParameterInput.from_string(DIFF_DECK.format(tlim=tlim))
+    mesh, phys, driver, state = _run(pin)
+    er = np.asarray(phys.rad.coord_energy_density(state))
+    mbi = mesh.mb_indcs
+    assert np.isfinite(er).all()
+    x1v, _, _ = mesh.cell_centers(0)
+    x = x1v[mbi.is_:mbi.ie + 1]
+    prof = er[0, 0, 0, mbi.is_:mbi.ie + 1]
+    nu, ks = 4.0, 40.0
+    dd = 1.0 / (3.0 * ks)
+    want = (np.exp(-nu**2 * x**2 / (4*dd*nu**2*tlim + 1.0))
+            / np.sqrt(4*dd*nu**2*tlim + 1.0))
+    # M1/angular discretization keeps the pulse within a few % of the
+    # diffusion solution at tau >> 1
+    core = np.abs(x) < 1.0
+    err = np.abs(prof - want)[core].max() / want.max()
+    assert err < 0.08, err
