@@ -267,9 +267,9 @@ def main() -> int:
     # budgets sized for COLD persistent-cache runs: the z4c bulk-table
     # kernel and the coalesced 124^3 megakernel each compile in
     # ~2-4 min on first sight of a shape (subsequent runs are seconds)
-    per_case_timeout = float(os.environ.get("BENCH_CASE_TIMEOUT", "480"))
+    per_case_timeout = float(os.environ.get("BENCH_CASE_TIMEOUT", "600"))
     deadline = time.monotonic() + float(
-        os.environ.get("BENCH_BUDGET", "1500"))
+        os.environ.get("BENCH_BUDGET", "1800"))
     for case, key, nc, np_ in secondaries:
         left = deadline - time.monotonic()
         if left < 30:
