@@ -383,8 +383,12 @@ class Driver:
             self.ecounters[key] = self.ecounters.get(key, 0) + int(v)
 
     def _unpadded(self, state):
-        """View with block-pool padding stripped and superblock
-        coalescing undone (for outputs/returns)."""
+        """View with block-pool padding stripped, superblock
+        coalescing undone, and physics-level layout packing (e.g. Z4c
+        row packing) unpacked (for outputs/returns)."""
+        unpack = getattr(self.phys, "unpack_state", None)
+        if unpack is not None:
+            state = unpack(state)
         if self._coal is not None:
             return self._coal.unpack(state)
         lay = getattr(self, "_layout", None)

@@ -47,6 +47,26 @@ def _lroll(q, s: int, axis: int):
     return pltpu.roll(q, _np.int32((-s) % q.shape[axis]), axis=axis)
 
 
+def _x2_shift_packed(S, s: int, g: int, n1L: int, sub_axis: int,
+                     lane_axis: int):
+    """x2 shift on a row-packed stack: result[..., J, 64h+i] holds the
+    value at logical row j + s, j = g*J + h.
+
+    Lane-packing g logical x2 rows per 128-lane vreg row makes an x2
+    shift by s = g*m + r (0 <= r < g) a lane roll by r*n1L plus a
+    sublane roll by m (m+1 for the h-positions that wrap a packed row);
+    even (mod g) shifts are pure sublane rolls.  Contamination from the
+    packed-row wrap lands only in ghost columns (|s| <= ng < n1L)."""
+    m, r = divmod(s, g)
+    if r == 0:
+        return _lroll(S, m, sub_axis)
+    B = _lroll(S, r * n1L, lane_axis)
+    lo = _lroll(B, m, sub_axis)
+    hi = _lroll(B, m + 1, sub_axis)
+    lane = jax.lax.broadcasted_iota(jnp.int32, S.shape, lane_axis)
+    return jnp.where(lane < (g - r) * n1L, lo, hi)
+
+
 class _WindowOps:
     """rhs_core backend over the channel-stacked [C, P, n2, n1] VMEM
     window: P = K + 2*ng planes in, K center planes out.
@@ -74,7 +94,7 @@ class _WindowOps:
 
     def __init__(self, uu, views, ng: int, K: int, idx, beta_ctr,
                  mats=None, prec="split3", x1mode="mxu", x2mode="roll",
-                 have_sbc=False, need_ko=True):
+                 have_sbc=False, need_ko=True, pack=1, n1L=0):
         self._uu = uu          # [C, P, n2, n1] full window stack
         self._views = views    # per-channel [P, n2, n1] views of uu
         self._cid = {id(v): c for c, v in enumerate(views)}
@@ -87,6 +107,14 @@ class _WindowOps:
         self._prec = prec
         self._x1 = x1mode if mats is not None else "roll"
         self._x2 = x2mode if mats is not None else "roll"
+        # row packing: g logical x2 rows per lane row (full 128-lane
+        # occupancy for n1 = 64-style extents); x2 stencils go through
+        # _x2_shift_packed, x1 lane rolls are unchanged (ghost-only
+        # contamination), x2-MXU is unavailable
+        self._g = pack
+        self._n1L = n1L if pack > 1 else uu.shape[-1]
+        if pack > 1:
+            self._x2 = "roll"
         self._build_tables(have_sbc, need_ko)
 
     def center(self, f):
@@ -139,7 +167,11 @@ class _WindowOps:
         ax = self._AX[d] % S.ndim
         out = None
         for off, c in sten:
-            t = (c * scale) * _lroll(S, off, ax)
+            if d == 1 and self._g > 1:
+                t = (c * scale) * _x2_shift_packed(
+                    S, off, self._g, self._n1L, ax, ax + 1)
+            else:
+                t = (c * scale) * _lroll(S, off, ax)
             out = t if out is None else out + t
         return out
 
@@ -269,7 +301,8 @@ class _WindowOps:
         return self._sbc
 
 
-def _build_band_mats(ng: int, idx, n1: int, n2: int, have_sbc: bool):
+def _build_band_mats(ng: int, idx, n1: int, n2: int, have_sbc: bool,
+                     pack: int = 1):
     """Stacked banded stencil matrices [nmat, nmax, nmax] (f32) for the
     MXU transverse-stencil path, plus the (kind, d) -> index map.
 
@@ -277,13 +310,18 @@ def _build_band_mats(ng: int, idx, n1: int, n2: int, have_sbc: bool):
     the sublane (d=1) matrices have the same form (the kernel right-
     multiplies in swapaxes layout).  No wraparound: band-edge rows are
     simply truncated, so output ghost columns are garbage exactly as
-    with rolls (overwritten by the post-stage fill)."""
+    with rolls (overwritten by the post-stage fill).
+
+    With row packing (pack > 1) the lane axis holds `pack` logical x2
+    rows of n1L = n1/pack cells each, so the x1 matrix is block-diagonal
+    with `pack` identical n1L-bands (no cross-row terms)."""
     stens = [("d1", fd._D1[ng], 1), ("d2", fd._D2[ng], 2),
              ("advl", fd._ADV_L[ng], 1), ("advr", fd._ADV_R[ng], 1),
              ("diss", fd._DISS[ng], 1)]
     if have_sbc:
         stens.append(("d1o2", fd._D1[2], 1))
     nmax = max(n1, n2)
+    n1L = n1 // pack
     mats, index = [], {}
     i = _np.arange(nmax)
     for kind, sten, pw in stens:
@@ -293,6 +331,8 @@ def _build_band_mats(ng: int, idx, n1: int, n2: int, have_sbc: bool):
             for off, c in sten:
                 src = i[:n] + off
                 ok = (src >= 0) & (src < n)
+                if d == 0 and pack > 1:
+                    ok = ok & (src // n1L == i[:n] // n1L)
                 M[src[ok], i[:n][ok]] = c * scale
             index[(kind, d)] = len(mats)
             mats.append(M)
@@ -342,7 +382,7 @@ def fold_bc_supported(z, mesh) -> bool:
 
 
 def fused_z4c_stage(u, u1, z, gam0, gam1, beta_dt, tmunu=None,
-                    fold_bc=False):
+                    fold_bc=False, pack=1):
     """u' = AlgConstr(gam0*u + gam1*u1 + beta_dt*RHS(u)) in one pass.
 
     ``z``: the Z4c physics object (opt/diss/ng/idx/sbc geometry).
@@ -352,9 +392,15 @@ def fused_z4c_stage(u, u1, z, gam0, gam1, beta_dt, tmunu=None,
     fields [nmb, n3, n2, n1] (E, S_d x3, S_dd x6), windowed alongside u.
     ``fold_bc``: also apply the outflow BC (fold_bc_supported gate), so
     no fill_ghosts pass is needed after the stage.
+    ``pack``: row-packing factor g — ``u`` arrives as
+    [nmb, nch, n3, n2/g, g*n1] with g logical x2 rows per lane row
+    (z4c.py keeps the state packed across the cycle), lifting lane
+    occupancy to 100% for 64-cell extents (60^3 + 2*ng).
     """
     import os
     nmb, nch, n3, n2, n1 = u.shape
+    n1L = n1 // pack           # logical x1 extent
+    n2L = n2 * pack            # logical x2 extent
     ng = z.ng
     ni3 = n3 - 2 * ng
     # bulk transverse-stencil backends: x1 default MXU banded matmul,
@@ -379,15 +425,20 @@ def fused_z4c_stage(u, u1, z, gam0, gam1, beta_dt, tmunu=None,
     if have_sbc:
         from ..comm import local_blocks
         sbc_arr = local_blocks(z.sbc_channels())  # device rows in shard
+        if pack > 1:
+            sbc_arr = sbc_arr.reshape(sbc_arr.shape[:3] + (n2, n1))
     else:
         sbc_arr = None
     have_mat = tmunu is not None
     if have_mat:
         mat = jnp.stack([tmunu["E"], *tmunu["S_d"], *tmunu["S_dd"]],
                         axis=1).astype(dt)
+        if pack > 1:
+            mat = mat.reshape(mat.shape[:3] + (n2, n1))
     band = None
     if use_mxu:
-        band_np, band_idx = _build_band_mats(ng, idx, n1, n2, have_sbc)
+        band_np, band_idx = _build_band_mats(ng, idx, n1, n2, have_sbc,
+                                             pack=pack)
         band = jnp.asarray(band_np)
 
     def z0(s):
@@ -427,7 +478,8 @@ def fused_z4c_stage(u, u1, z, gam0, gam1, beta_dt, tmunu=None,
             uu, views, ng, K, idx,
             [views[I_BETAX + a][ng:ng + K] for a in range(3)],
             mats=mats, prec=prec, x1mode=x1mode, x2mode=x2mode,
-            have_sbc=have_sbc, need_ko=(diss != 0.0))
+            have_sbc=have_sbc, need_ko=(diss != 0.0),
+            pack=pack, n1L=n1L)
         if have_sbc:
             sw = sbc_ref[0]            # [5, K, n2, n1]
             ops._sbc = (sw[0] != 0.0, sw[1], (sw[2], sw[3], sw[4]))
@@ -481,15 +533,25 @@ def fused_z4c_stage(u, u1, z, gam0, gam1, beta_dt, tmunu=None,
         if fold_bc:
             # outflow BC on the transverse ghosts, x1 sweep before x2
             # (matches bvals fill order; x3 ghost planes are two slab
-            # broadcasts after the pallas_call)
-            ii = jax.lax.broadcasted_iota(jnp.int32, (1, K, n2, n1), 3)
-            jj = jax.lax.broadcasted_iota(jnp.int32, (1, K, n2, n1), 2)
+            # broadcasts after the pallas_call).  Formulated as masked
+            # rolls so the same code serves packed layouts, where the
+            # edge columns are lane-interior positions.
+            shp = (1, K, n2, n1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, shp, 3)
+            ii = lane % n1L
+            jj = (pack * jax.lax.broadcasted_iota(jnp.int32, shp, 2)
+                  + lane // n1L)
             q = un_stack
-            q = jnp.where(ii < ng, q[..., ng:ng + 1], q)
-            q = jnp.where(ii >= n1 - ng, q[..., n1 - ng - 1:n1 - ng], q)
-            q = jnp.where(jj < ng, q[..., ng:ng + 1, :], q)
-            q = jnp.where(jj >= n2 - ng,
-                          q[..., n2 - ng - 1:n2 - ng, :], q)
+            for t in range(1, ng + 1):
+                q = jnp.where(ii == ng - t, _lroll(q, t, 3), q)
+                q = jnp.where(ii == n1L - ng - 1 + t, _lroll(q, -t, 3),
+                              q)
+            for t in range(1, ng + 1):
+                q = jnp.where(jj == ng - t,
+                              _x2_shift_packed(q, t, pack, n1L, 2, 3), q)
+                q = jnp.where(jj == n2L - ng - 1 + t,
+                              _x2_shift_packed(q, -t, pack, n1L, 2, 3),
+                              q)
             un_stack = q
 
         out_ref[0] = un_stack

@@ -236,7 +236,13 @@ def make_outputs(pin, mesh, phys) -> List[BaseOutput]:
             ftype = pin.get_string(block, "file_type")
             cls = _TYPES.get(ftype)
             if cls is None:
-                continue  # unimplemented output types are skipped, not fatal
+                # unknown file_type is a hard error, matching the
+                # reference factory (reference: src/outputs/outputs.cpp:
+                # 224-260) — a deck typo must not silently produce a
+                # run with no output
+                raise ValueError(
+                    f"<{block}>/file_type = '{ftype}' is not a valid "
+                    f"output type (valid: {sorted(_TYPES)})")
             outs.append(cls(pin, mesh, phys, block))
     # CCE worldtubes and horizon cube dumps are enabled by their own deck
     # blocks, not <outputN> (reference: z4c.cpp:195-233 constructs them

@@ -146,6 +146,53 @@ def rad_fluid_coupling(rad, i0, u, w, gm1, dt_eff, affect_fluid=True):
     # badcells keep the old intensity
     i0_new = jnp.where(badcell[:, None], i0, i0_new)
 
+    if getattr(rad, "is_compton", False):
+        # --- Compton scattering stage (reference:
+        # radiation_source.cpp:290-377): a second implicit update against
+        # the partially-updated gas temperature, exchanging energy
+        # between gas and radiation at the thermal-Compton rate
+        # 4 sigma_s (T_gas - T_rad) / T_electron until T_rad -> T_gas.
+        inv_te = rad.inv_t_electron
+        tgas_c = tgasnew            # partially updated gas temperature
+        wght_cm = omega_cm / wght_sum[:, None]
+        intensity_c = FOUR_PI * (i0_new / (n0c * n_0)) * n0_cm ** 4
+        jr_cm_c = jnp.sum(intensity_c * wght_cm, axis=1)
+        csuma1 = jnp.sum((n0_cm / n0c) * 4.0 * dtcsigs[:, None]
+                         * inv_te * wght_cm, axis=1)
+        csuma2 = 4.0 * dtaucsigs * inv_te * gm1 / wdn
+        trad = jnp.sqrt(jnp.sqrt(jnp.maximum(jr_cm_c, 0.0) / rad.arad))
+        # equilibrium deadband: the reference's absolute 1e-12 test
+        # (radiation_source.cpp:314) widened to a relative band so the
+        # quartic's cbrt cancellation noise cannot re-excite the cell
+        eps_t = 8.0 * jnp.finfo(i0.dtype).eps
+        temp_equil = jnp.abs(trad - tgas_c) < (
+            1.0e-12 + eps_t * jnp.abs(tgas_c))
+        denom1 = csuma1 * jr_cm_c
+        ccoef4 = (1.0 + csuma2 * jr_cm_c) \
+            / jnp.where(denom1 == 0.0, 1e-300, denom1) * rad.arad
+        ccoef0 = -(1.0 + csuma2 * jr_cm_c) \
+            / jnp.where(csuma1 == 0.0, 1e-300, csuma1) - tgas_c
+        tradnew, cok = fourth_poly_root(ccoef4, ccoef0)
+        apply_c = cok & jnp.isfinite(tradnew) & (~temp_equil) \
+            & (denom1 > 0.0)
+        tgasnew_c = (rad.arad * tradnew ** 4 - jr_cm_c) \
+            / jnp.where(denom1 == 0.0, 1e-300, denom1) + tradnew
+        # the exact implicit Compton step moves both temperatures
+        # monotonically toward each other; bracketing the computed
+        # roots to [min, max](trad, tgas) removes root-solve noise
+        # (which otherwise runs away near equilibrium at f32) without
+        # changing the converged physics
+        t_lo = jnp.minimum(trad, tgas_c)
+        t_hi = jnp.maximum(trad, tgas_c)
+        tradnew = jnp.clip(tradnew, t_lo, t_hi)
+        tgasnew_c = jnp.clip(tgasnew_c, t_lo, t_hi)
+        di_cm_c = ((n0_cm / n0c) * dtcsigs[:, None] * 4.0
+                   * jr_cm_c[:, None] * inv_te
+                   * (tgasnew_c - tradnew)[:, None])
+        prim_c = i0_new / (n0c * n_0) + di_cm_c / (FOUR_PI * n0_cm ** 4)
+        i0_compton = n0c * n_0 * jnp.maximum(prim_c, 0.0)
+        i0_new = jnp.where(apply_c[:, None], i0_compton, i0_new)
+
     if rad.excise_mask is not None:
         m = rad.excise_mask[:, None]
         i0_new = jnp.where(m, 0.0, i0_new)

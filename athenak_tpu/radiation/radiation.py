@@ -77,6 +77,18 @@ class Radiation:
         self.arad = pin.get_or_add_real("radiation", "arad", 1.0)
         self.is_compton = pin.get_or_add_boolean(
             "radiation", "compton", False)
+        if self.is_compton:
+            # Compton needs the electron rest-mass temperature in code
+            # units, so units must be enabled (reference:
+            # src/radiation/radiation.cpp:81-86,
+            # radiation_source.cpp:68-76)
+            if not pin.does_block_exist("units"):
+                raise ValueError(
+                    "<radiation>/compton requires enabling units "
+                    "(a <units> block)")
+            from ..units import ELECTRON_REST_MASS_ENERGY_CGS, Units
+            self.inv_t_electron = (Units(pin).temperature_cgs
+                                   / ELECTRON_REST_MASS_ENERGY_CGS)
         self.fixed_fluid = pin.get_or_add_boolean(
             "radiation", "fixed_fluid", False)
         self.affect_fluid = pin.get_or_add_boolean(

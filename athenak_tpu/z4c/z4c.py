@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import itertools
 import math
+import os as _os
 
 import jax.numpy as jnp
 import numpy as np
@@ -193,6 +194,21 @@ class Z4c:
             self.use_pallas = on_tpu and supports_z4c_stage(self, mesh)
             self.fold_bc = (self.use_pallas
                             and fold_bc_supported(self, mesh))
+        # row packing: g logical x2 rows per 128-lane vreg row so e.g.
+        # 60^3 + 2*ng = 64-cell extents occupy full lanes (the round-4
+        # kernel measured VPU-roofline-bound at 64/128 occupancy).  Only
+        # the fold_bc fast path keeps state packed across the cycle; the
+        # general fill paths see logical 5-D arrays.
+        self.pack = 1
+        if self.fold_bc and _os.environ.get("ATHENAK_Z4C_PACK",
+                                            "1") != "0":
+            for g in (2, 4):
+                if ((mbi.ncells1 * g) % 128 == 0
+                        and mbi.ncells2 % g == 0
+                        and mbi.ncells1 % 128 != 0
+                        and mbi.ncells1 >= 2 * self.ng + 1):
+                    self.pack = g
+                    break
 
         self.sbc_mask = mask if any_sbc else None
         if self.sbc_mask is not None:
@@ -409,8 +425,11 @@ class Z4c:
             return state
         from .z4c_amr import device_interp
         pos = state["co_pos"]
-        beta = device_interp(self.mesh, state["u"],
-                             [I_BETAX + a for a in range(3)], pos)
+        u = state["u"]
+        beta = device_interp(self.mesh, u,
+                             [I_BETAX + a for a in range(3)], pos,
+                             pack=self.pack if self._is_packed(u)
+                             else 1)
         return dict(state, co_pos=pos - dt * beta)
 
     def save_state(self, state):
@@ -419,9 +438,36 @@ class Z4c:
     def accumulate_rk4(self, saved, state, delta):
         return {"u1": saved["u1"] + delta * state["u"]}
 
+    # -- row-packed state layout (ops/pallas_z4c.py pack) --------------
+    def _is_packed(self, u) -> bool:
+        return self.pack > 1 and u.shape[-1] != self.mesh.mb_indcs.ncells1
+
+    def pack_arr(self, a):
+        g = self.pack
+        return a.reshape(a.shape[:-2] + (a.shape[-2] // g,
+                                         g * a.shape[-1]))
+
+    def unpack_arr(self, a):
+        g = self.pack
+        return a.reshape(a.shape[:-2] + (a.shape[-2] * g,
+                                         a.shape[-1] // g))
+
+    def unpack_state(self, state):
+        """Logical 5-D view of a possibly row-packed state (driver
+        output/restart hook)."""
+        if "u" in state and self._is_packed(state["u"]):
+            u = self.unpack_arr(state["u"])
+            state = dict(state, u=u, w=u)
+        return state
+
     def init_ghosts(self, state):
-        u = self.bvals.fill_ghosts(state["u"])
+        u = state["u"]
+        if self._is_packed(u):
+            u = self.unpack_arr(u)
+        u = self.bvals.fill_ghosts(u)
         u = self.alg_constr(u)
+        if self.pack > 1 and u.dtype == jnp.float32:
+            u = self.pack_arr(u)
         return dict(state, u=u, w=u)
 
     def cons_to_prim(self, u):
@@ -456,7 +502,9 @@ class Z4c:
             # after physics construction)
             fold = self.fold_bc and self.bvals.user_bc_func is None
             u = fused_z4c_stage(u, saved["u1"], self, gam0, gam1,
-                                beta_dt, fold_bc=fold)
+                                beta_dt, fold_bc=fold,
+                                pack=self.pack if self._is_packed(u)
+                                else 1)
             if not fold:
                 u = self.bvals.fill_ghosts(u)
             return dict(state, u=u, w=u), {}

@@ -28,7 +28,7 @@ from .z4c import I_CHI
 # ---------------------------------------------------------------------------
 # on-device multi-block trilinear interpolation
 # ---------------------------------------------------------------------------
-def device_interp(mesh, u, chans: List[int], pos):
+def device_interp(mesh, u, chans: List[int], pos, pack: int = 1):
     """Trilinear interpolation of channels of a block array on device.
 
     ``u``: [nmb, nch, n3, n2, n1] (ghosts included, filled);
@@ -79,12 +79,20 @@ def device_interp(mesh, u, chans: List[int], pos):
         w.append(fi - ii.astype(dt))
     ch = jnp.asarray(chans)
     out = jnp.zeros((pos.shape[0], len(chans)), dt)
+    n1L = u.shape[-1] // pack
     for dk in range(2):
         for dj in range(2):
             for di in range(2):
+                jj = i0[1] + dj
+                ii = i0[0] + di
+                if pack > 1:
+                    # row-packed layout: logical (j, i) lives at
+                    # (j // g, (j % g) * n1L + i)
+                    ii = (jj % pack) * n1L + ii
+                    jj = jj // pack
                 c = u[gid[:, None], ch[None, :],
-                      (i0[2] + dk)[:, None], (i0[1] + dj)[:, None],
-                      (i0[0] + di)[:, None]]
+                      (i0[2] + dk)[:, None], jj[:, None],
+                      ii[:, None]]
                 wt = ((w[2] if dk else 1.0 - w[2])
                       * (w[1] if dj else 1.0 - w[1])
                       * (w[0] if di else 1.0 - w[0]))

@@ -41,8 +41,34 @@ _SLOW_FILES = {
 }
 
 
+# Individually-slow tests in otherwise-fast files (measured >40s on the
+# 1-core CI box).  Each component keeps a cheaper fast representative:
+# Z4c -> test_minkowski_rhs_zero + test_z4c_amr; coalesce -> sod
+# bitmatch; particle comm -> routes_to_destination; Pallas parity ->
+# mega (superset of the split fused stage); GR -> test_gr_bondi;
+# load balance -> the three algorithm tests; importers -> BNS path.
+_SLOW_TESTS = {
+    "test_z4c_linear_wave_propagates",
+    "test_z4c_constraints_small",
+    "test_coalesce_mhd_blast_bitmatch",
+    "test_exchange_respects_dead_slots",
+    "test_exchange_overflow_keeps_particles",
+    "test_particles_in_shard_cycle",
+    "test_fused_stage_ct_parity",
+    "test_monopole_field_rotation_rate",
+    "test_gr_mhd_bondi_stationary",
+    "test_weighted_shard_cycle_bit_matches",
+    "test_z4c_adm_import_matches_direct",
+    "test_plot_slice_and_hst",
+}
+# parametrized cases that dwarf their siblings
+_SLOW_CASES = {"test_cpaw_smr_convergence[2D-0.007-0.45]"}
+
+
 def pytest_collection_modifyitems(config, items):
     import pytest as _pytest
     for it in items:
-        if it.fspath.basename in _SLOW_FILES:
+        if (it.fspath.basename in _SLOW_FILES
+                or it.originalname in _SLOW_TESTS
+                or it.name in _SLOW_CASES):
             it.add_marker(_pytest.mark.slow)

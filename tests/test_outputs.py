@@ -74,6 +74,18 @@ def _run_in(tmp_path, deck):
         os.chdir(cwd)
 
 
+def test_unknown_file_type_is_fatal():
+    """A deck typo like file_type = binn must refuse to run, matching
+    the reference output factory (reference: outputs.cpp:224-260)."""
+    from athenak_tpu.main import build
+    from athenak_tpu.outputs import make_outputs
+    pin = ParameterInput.from_string(
+        DECK.replace("file_type = bin\n", "file_type = binn\n"))
+    mesh, phys, pgen, driver, state = build(pin)
+    with pytest.raises(ValueError, match="binn"):
+        make_outputs(pin, mesh, phys)
+
+
 def test_bin_output_reference_reader(tmp_path):
     mesh, phys, driver, state = _run_in(tmp_path, DECK)
     files = sorted(tmp_path.glob("outtest.mhd_w_bcc.*.bin"))

@@ -101,3 +101,49 @@ def test_z4c_stage_kernel_matches_jnp(f32_interpret, ng, bc, mb):
     scale = np.maximum(np.abs(want[core]), 1.0)
     np.testing.assert_allclose(got[core] / scale, want[core] / scale,
                                atol=2e-5, rtol=0)
+
+
+def test_z4c_stage_packed_matches_jnp(f32_interpret):
+    """Row-packed layout parity: g logical x2 rows per 128-lane row
+    (ops/pallas_z4c.py pack) must reproduce the jnp stage + outflow
+    ghost fill exactly on interior cells, and the folded BC on ghosts."""
+    deck = DECK.format(ng=2, bc="outflow", mb=16) \
+        .replace("nx1 = 16", "nx1 = 28") \
+        .replace("nx2 = 16", "nx2 = 28") \
+        .replace("nx3 = 16", "nx3 = 28") \
+        .replace("<z4c>", "<z4c>\nuse_pallas = true")
+    pin = ParameterInput.from_string(deck)
+    pin.set_value("meshblock", "nx1", 28)
+    pin.set_value("meshblock", "nx2", 28)
+    pin.set_value("meshblock", "nx3", 28)
+    mesh, phys, pgen, driver, state = build(pin)
+    assert phys.fold_bc and phys.pack == 4, (phys.fold_bc, phys.pack)
+    ng = 2
+
+    u = jnp.asarray(state["u"], jnp.float32)
+    u = phys.bvals.fill_ghosts(u)
+    u = phys.alg_constr(u)
+    rng = np.random.default_rng(7)
+    u1 = u * (1.0 + 1e-3 * jnp.asarray(
+        rng.normal(size=u.shape), jnp.float32))
+    gam0, gam1, beta_dt = 0.25, 0.75, 0.01
+
+    def ref(u, u1):
+        rhs = phys.rhs(u)
+        un = gam0 * u + gam1 * u1 + beta_dt * rhs
+        un = phys.bvals.fill_ghosts(un)
+        return phys.alg_constr(un)
+
+    want = np.asarray(jax.jit(ref)(u, u1))
+
+    def packed(a, b):
+        out = pallas_z4c.fused_z4c_stage(
+            phys.pack_arr(a), phys.pack_arr(b), phys, gam0, gam1,
+            beta_dt, fold_bc=True, pack=phys.pack)
+        return phys.unpack_arr(out)
+
+    got = np.asarray(jax.jit(packed)(u, u1))
+    # whole array: the folded outflow BC must match fill_ghosts too
+    scale = np.maximum(np.abs(want), 1.0)
+    np.testing.assert_allclose(got / scale, want / scale,
+                               atol=2e-5, rtol=0)

@@ -182,6 +182,62 @@ def test_rad_relax_equilibrium():
     assert np.allclose(tgas + er, 101.0, rtol=1e-10)
 
 
+def test_rad_relax_compton_equilibrium():
+    """Pure-scattering relaxation with Compton exchange (reference:
+    radiation_source.cpp:290-377): absorption cannot move energy
+    (kappa_a = kappa_p = 0), but thermal Compton drives
+    T_rad -> T_gas while conserving gas+radiation energy, so the
+    equilibrium is the same T^4 + T = 101 root as the absorption
+    relax test."""
+    from athenak_tpu.main import run as _run
+    # pure scattering: kappa_s = 2 with inv_te ~ 0.1 gives a Compton
+    # exchange rate ~ 4 ks inv_te jr ~ 7/time; the gas velocity is
+    # EXPLICIT in the coupling (reference radiation_source.cpp u_tet
+    # from the stage primitives), so dt must resolve the radiation-drag
+    # time 1/(ks * Er) ~ 0.05 -- hence cfl 0.1 and a mild temperature
+    # contrast (the same restriction applies to the reference scheme)
+    deck = RELAX_DECK.replace("kappa_a = 1.0", "kappa_a = 0.0") \
+                     .replace("kappa_s = 0.0", "kappa_s = 2.0") \
+                     .replace("temp = 100.0", "temp = 10.0") \
+                     .replace("cfl_number = 0.3", "cfl_number = 0.1") \
+                     .replace("tlim = 10.0", "tlim = 6.0")
+    # GR code units fix temperature_cgs = mu m_u c^2 / k_B; pick mu so
+    # inv_t_electron ~ 0.1, keeping the Compton exchange well-resolved
+    deck = deck.replace("<problem>", """<units>
+density_cgs = 1.0
+bhmass_msun = 1.0
+mu = 5.486e-5
+
+<problem>""")
+    pin = ParameterInput.from_string(deck)
+    pin.set_value("radiation", "compton", "true")
+    mesh, phys, driver, state = _run(pin)
+    mbi = mesh.mb_indcs
+    act = (slice(None), slice(mbi.ks, mbi.ke + 1),
+           slice(mbi.js, mbi.je + 1), slice(mbi.is_, mbi.ie + 1))
+    w = np.asarray(state["w"])
+    tgas = w[:, 4][act] / w[:, 0][act]
+    er = np.asarray(phys.rad.coord_energy_density(state))
+    er = er[(slice(None),) + act[1:]]
+    # equilibrium of T^4 + T = 11 (arad = rho = gm1 = 1)
+    teq = 1.7442276
+    trad = er.mean() ** 0.25
+    # energy conserved through the Compton exchange
+    assert np.allclose(tgas + er, 11.0, rtol=1e-6), (tgas + er).mean()
+    # gas and radiation temperatures equilibrated
+    assert np.allclose(tgas, teq, rtol=2e-3), tgas.mean()
+    assert np.allclose(trad, teq, rtol=2e-3), trad
+
+
+def test_compton_requires_units():
+    import pytest
+    deck = RELAX_DECK + "\n"
+    pin = ParameterInput.from_string(deck)
+    pin.set_value("radiation", "compton", "true")
+    with pytest.raises(ValueError, match="units"):
+        build(pin)
+
+
 SHADOW_DECK = """
 <job>
 basename = shadow
