@@ -165,6 +165,11 @@ class Driver:
         self.use_coalesce = pin.get_or_add_boolean(
             "mesh", "coalesce", True) if hasattr(pin, "get_or_add_boolean") \
             else True
+        # x1-pencil lane packing for the block pool (applies when full
+        # coalescing is off or unavailable; parallel/coalesce.py)
+        self.use_pencil = pin.get_or_add_boolean(
+            "mesh", "pencil_pack", True) if hasattr(
+                pin, "get_or_add_boolean") else True
         self._coal = None
         self._block_phys = None
 
@@ -336,6 +341,18 @@ class Driver:
             from .parallel.coalesce import maybe_coalesce
             coal = maybe_coalesce(self.pin, self.mesh, self.phys,
                                   self.dmesh)
+            if coal is not None:
+                self._coal = coal
+                self._block_phys = self.phys
+                self.phys = coal.phys2
+                state = jax.jit(coal.pack)(state)
+        if self._coal is None and self.pamr is None and self.use_pencil:
+            # pool lane packing: merge x1-adjacent blocks into pencils
+            # whose lane extent tiles the 128-lane vregs (the block pool
+            # keeps >1 blocks and the pool ghost exchange in x2/x3)
+            from .parallel.coalesce import maybe_coalesce
+            coal = maybe_coalesce(self.pin, self.mesh, self.phys,
+                                  self.dmesh, pencil=True)
             if coal is not None:
                 self._coal = coal
                 self._block_phys = self.phys

@@ -175,7 +175,7 @@ def _merge_sweep(a, kind, idx, ng, ax):
     hi_d, hi_s, lo_d, lo_s = _ghost_cols(kind, ax, n, ng)
 
     nch = int(np.prod(lead[1:])) if len(lead) > 1 else 1
-    bytes_per_plane = 4 * nch * (-(-n2 // 8) * 8) * max(n1, 128)
+    bytes_per_plane = 4 * nch * (-(-n2 // 8) * 8) * (-(-n1 // 128) * 128)
     kz = max(1, min(n3, _VMEM_BUDGET // (8 * bytes_per_plane)))
     nwin = -(-n3 // kz)
 

@@ -126,11 +126,39 @@ def _run_pair(deck):
 
     pin_b = ParameterInput.from_string(deck)
     pin_b.set_value("mesh", "coalesce", "false")
+    pin_b.set_value("mesh", "pencil_pack", "false")
     _, _, drv_b, st_b = run(pin_b)
 
     assert drv_a._coal is not None, "coalescer did not engage"
     assert drv_b._coal is None
     return drv_a, st_a, drv_b, st_b
+
+
+def test_pencil_blast_bitmatch():
+    """x1-pencil lane packing (coalesce=false, pencil_pack on) must
+    bit-match the unpacked block pool: the re-blocking is exact."""
+    pin_a = ParameterInput.from_string(BLAST)
+    pin_a.set_value("mesh", "coalesce", "false")
+    _, _, drv_a, st_a = run(pin_a)
+    assert drv_a._coal is not None, "pencil packing did not engage"
+    assert drv_a._coal.factors == (1, 1, 2)
+    assert drv_a._coal.mesh2.nmb_total == 4
+
+    pin_b = ParameterInput.from_string(BLAST)
+    pin_b.set_value("mesh", "coalesce", "false")
+    pin_b.set_value("mesh", "pencil_pack", "false")
+    _, _, drv_b, st_b = run(pin_b)
+    assert drv_b._coal is None
+
+    assert drv_a.mesh.ncycle == drv_b.mesh.ncycle
+    np.testing.assert_allclose(np.asarray(st_a["u"]),
+                               np.asarray(st_b["u"]),
+                               rtol=0, atol=1e-12)
+    for c in ("b1f", "b2f", "b3f"):
+        if c in st_a:
+            np.testing.assert_allclose(np.asarray(st_a[c]),
+                                       np.asarray(st_b[c]),
+                                       rtol=0, atol=1e-12)
 
 
 def test_coalesce_sod_bitmatch():
