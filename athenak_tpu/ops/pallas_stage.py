@@ -769,6 +769,12 @@ def fused_aux3d(u, bfc, eos: EOSData, dxs=None, wrap: bool = True):
     (reference: mhd_newdt.cpp) so the new-dt pass needs no extra state
     read; counters then include "dtmin" = min_d dx_d / max_d.
 
+    ``wrap``: apply the single-block periodic in-plane ghost wrap (and
+    the x3 ghost-plane heal of w).  Pass False on multi-block pools,
+    where ghosts are owned by the pool fill: inputs must arrive with
+    ghosts already filled, and outputs carry exact ghost values wherever
+    the inputs did (c2p/bcc are pointwise).
+
     Returns (u_fixed, w, bcc, counters)."""
     from .pallas_fill import _wrap_plane
 
@@ -779,10 +785,10 @@ def fused_aux3d(u, bfc, eos: EOSData, dxs=None, wrap: bool = True):
     efloor = eos.pfloor / gm1
     want_dt = dxs is not None
     # plane-group size: bounded by scoped VMEM (13 output channels
-    # x KP planes live, double-buffered; 16 overflows at 128^2 planes)
-    KP = 8 if n2 * n1 >= 96 * 96 else 16
-    while n3 % KP:
-        KP //= 2
+    # x KP planes live, double-buffered; 16 overflows at 128^2 planes);
+    # largest divisor of the depth within the budget
+    cap = 8 if n2 * (-(-n1 // 128) * 128) >= 96 * 128 else 16
+    KP = max(d for d in range(1, cap + 1) if n3 % d == 0)
 
     def kern(u_ref, b1_ref, b2_ref, b3_ref,
              u_out, w_out, bcc_out, cnt_ref):
@@ -860,11 +866,16 @@ def fused_aux3d(u, bfc, eos: EOSData, dxs=None, wrap: bool = True):
                     cnt_ref[0, 3 + c], jnp.max(dv).astype(jnp.float32))
 
         ni2, ni1 = n2 - 4, n1 - 4
-        u_out[0] = _wrap_plane(
-            jnp.stack([d, mx, my, mz, etot_fixed]), ni2, ni1)
-        w_out[0] = _wrap_plane(
-            jnp.stack([d, vx, vy, vz, e]), ni2, ni1)
-        bcc_out[0] = _wrap_plane(jnp.stack([bx, by, bz]), ni2, ni1)
+        uu_out = jnp.stack([d, mx, my, mz, etot_fixed])
+        ww_out = jnp.stack([d, vx, vy, vz, e])
+        bb_out = jnp.stack([bx, by, bz])
+        if wrap:
+            uu_out = _wrap_plane(uu_out, ni2, ni1)
+            ww_out = _wrap_plane(ww_out, ni2, ni1)
+            bb_out = _wrap_plane(bb_out, ni2, ni1)
+        u_out[0] = uu_out
+        w_out[0] = ww_out
+        bcc_out[0] = bb_out
 
     def cwin(ch):
         return pl.BlockSpec(
@@ -895,9 +906,10 @@ def fused_aux3d(u, bfc, eos: EOSData, dxs=None, wrap: bool = True):
             vmem_limit_bytes=64 * 1024 * 1024),
     )(u, bfc["x1f"], bfc["x2f"], bfc["x3f"])
 
-    # heal w's x3 ghost planes (periodic wrap) with one concatenate
-    w = jnp.concatenate([w[:, :, n3 - 4:n3 - 2], w[:, :, 2:n3 - 2],
-                         w[:, :, 2:4]], axis=2)
+    if wrap:
+        # heal w's x3 ghost planes (periodic wrap) with one concatenate
+        w = jnp.concatenate([w[:, :, n3 - 4:n3 - 2], w[:, :, 2:n3 - 2],
+                             w[:, :, 2:4]], axis=2)
 
     counters = {"neos_dfloor": cnt[0, 0].astype(jnp.int32),
                 "neos_efloor": cnt[0, 1].astype(jnp.int32),

@@ -1521,16 +1521,26 @@ class MHD:
             if self.srcterms_func is not None:
                 u = self.srcterms_func(u, w, beta_dt)
             bfc = self.fill_ghosts_fc(bfc)
+            fuse_dt = (self.ppart is None
+                       and self.time_evolution == "dynamic")
             if self.bvals.use_pallas_fill \
                     and self.bvals.user_bc_func is None:
                 # bcc + c2p + periodic CC fill in one pallas pass; the
                 # new-dt maxima ride along so the driver's dt pass needs
                 # no extra read of the state (counters["dtmin"])
                 from ..ops.pallas_stage import fused_aux3d
-                fuse_dt = (self.ppart is None
-                           and self.time_evolution == "dynamic")
                 u, w, bcc, counters = fused_aux3d(
                     u, bfc, self.eos, dxs=dxs if fuse_dt else None)
+            elif self.bvals.pool_fill_active(u.dtype) \
+                    and self.bvals.user_bc_func is None:
+                # block pool: ghosts come from the pool fill first, then
+                # the same fused bcc+c2p+dt pass runs pointwise (wrap
+                # off) — outputs carry exact ghosts everywhere
+                from ..ops.pallas_stage import fused_aux3d
+                u = self.bvals.fill_ghosts(u)
+                u, w, bcc, counters = fused_aux3d(
+                    u, bfc, self.eos, dxs=dxs if fuse_dt else None,
+                    wrap=False)
             else:
                 u = self.bvals.fill_ghosts(u)
                 bcc = self.compute_bcc(bfc)
