@@ -544,7 +544,7 @@ class Driver:
                     # NewTimeStep calls after RedistAndRefine)
                     mesh.dt = min(mesh.dt, self.cfl_no * dtnew)
 
-            if outputs:
+            if outputs and any(out.due(mesh) for out in outputs):
                 sv = self._unpadded(state)
                 for out in outputs:
                     out.maybe_write(mesh, sv["u"], sv["w"], state=sv)

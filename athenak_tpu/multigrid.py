@@ -169,11 +169,53 @@ class MGPoisson:
             raise ValueError("Either gravity/threshold or "
                              "gravity/niteration must be set "
                              "(reference: mg_gravity.cpp:52-59)")
+        # isolated boundary conditions (reference: mg_gravity.cpp:68-121,
+        # multigrid_driver.cpp:1827-2120 multipole/zerofixed/zerograd):
+        # mg_bc applies to every non-periodic mesh face; periodic faces
+        # stay periodic.
         self.periodic = all(v == "periodic" for v in mesh.mesh_bcs.values())
-        if not self.periodic:
+        mg_bc = pin.get_or_add_string("gravity", "mg_bc", "none")
+        if mg_bc not in ("none", "zerofixed", "zerograd", "multipole"):
+            raise ValueError(f"gravity/mg_bc = '{mg_bc}' unknown "
+                             "(none/zerofixed/zerograd/multipole)")
+        if mg_bc == "none" and not self.periodic:
             raise NotImplementedError(
-                "multigrid gravity currently supports periodic meshes "
-                "(reference mg_bc zerofixed/zerograd/multipole pending)")
+                "multigrid gravity on non-periodic meshes requires "
+                "gravity/mg_bc = zerofixed | zerograd | multipole "
+                "(reference: mg_gravity.cpp:68-88)")
+        # per-axis (lo, hi) BC flags in array-axis order (x3, x2, x1)
+        def _flag(face):
+            bc = mesh.mesh_bcs.get(face, "periodic")
+            return "periodic" if bc == "periodic" else mg_bc
+        self.mg_bc = mg_bc
+        self.bc_flags = ((_flag("ix3"), _flag("ox3")),
+                         (_flag("ix2"), _flag("ox2")),
+                         (_flag("ix1"), _flag("ox1")))
+        self.isolated = any(f != "periodic" for lh in self.bc_flags
+                            for f in lh)
+        self.mporder = 0
+        self._mp = None
+        if mg_bc == "multipole":
+            if not (mesh.mesh_indcs.nx2 > 1 and mesh.mesh_indcs.nx3 > 1):
+                raise ValueError("gravity/mg_bc = multipole requires a "
+                                 "3D mesh")
+            self.mporder = pin.get_or_add_integer("gravity", "mporder", 4)
+            if self.mporder not in (2, 4):
+                raise ValueError("gravity/mporder must be 2 or 4")
+            self.autompo = pin.get_or_add_boolean(
+                "gravity", "auto_mporigin", True)
+            self.nodipole = pin.get_or_add_boolean(
+                "gravity", "nodipole", False)
+            if self.autompo and self.nodipole:
+                raise ValueError("auto_mporigin and nodipole cannot be "
+                                 "used together")
+            if not self.autompo:
+                self.mpo = (pin.get_real("gravity", "mporigin_x1"),
+                            pin.get_real("gravity", "mporigin_x2"),
+                            pin.get_real("gravity", "mporigin_x3"))
+        if self.isolated:
+            # the isolated problem is non-singular: never shift the mean
+            self.subtract_average = False
 
         ms = mesh.mesh_size
         self.total_vol = ((ms.x1max - ms.x1min) * (ms.x2max - ms.x2min)
@@ -256,15 +298,48 @@ class MGPoisson:
         return [2] + ([1] if self.active[1] else []) \
             + ([0] if self.active[2] else [])
 
-    def _lap(self, g, dxs, periodic):
-        out = (jnp.roll(g, 1, 2) - 2.0 * g + jnp.roll(g, -1, 2)) \
-            / dxs[2] ** 2
+    def _nbrs(self, g, ax, gi=None, homog=False):
+        """(left, right) neighbor arrays along ``ax``; on isolated
+        global levels the wrap values are replaced by boundary ghosts
+        (reference: ApplyPhysicalBoundaries, multigrid_driver.cpp:
+        1732-2030): zerofixed ghost = -interior, zerograd = +interior,
+        multipole = 2*phi_mp(face) - interior.  ``homog`` selects the
+        homogeneous variant (corrections): multipole -> zerofixed."""
+        gm = jnp.roll(g, 1, ax)
+        gp = jnp.roll(g, -1, ax)
+        if gi is None or not self.isolated:
+            return gm, gp
+        lo, hi = self.bc_flags[ax]
+        n = g.shape[ax]
+
+        def ghost(side, flag):
+            edge = jax.lax.slice_in_dim(g, 0, 1, axis=ax) if side == 0 \
+                else jax.lax.slice_in_dim(g, n - 1, n, axis=ax)
+            if flag == "zerograd":
+                return edge
+            if flag == "multipole" and not homog and self._mp is not None:
+                return 2.0 * self._mp[gi][(ax, side)] - edge
+            return -edge        # zerofixed / homogeneous multipole
+
+        if lo != "periodic":
+            gm = jnp.concatenate(
+                [ghost(0, lo), jax.lax.slice_in_dim(g, 0, n - 1, axis=ax)],
+                axis=ax)
+        if hi != "periodic":
+            gp = jnp.concatenate(
+                [jax.lax.slice_in_dim(g, 1, n, axis=ax), ghost(1, hi)],
+                axis=ax)
+        return gm, gp
+
+    def _lap(self, g, dxs, gi=None):
+        gm, gp = self._nbrs(g, 2, gi)
+        out = (gm - 2.0 * g + gp) / dxs[2] ** 2
         if self.active[1]:
-            out = out + (jnp.roll(g, 1, 1) - 2.0 * g
-                         + jnp.roll(g, -1, 1)) / dxs[1] ** 2
+            gm, gp = self._nbrs(g, 1, gi)
+            out = out + (gm - 2.0 * g + gp) / dxs[1] ** 2
         if self.active[2]:
-            out = out + (jnp.roll(g, 1, 0) - 2.0 * g
-                         + jnp.roll(g, -1, 0)) / dxs[0] ** 2
+            gm, gp = self._nbrs(g, 0, gi)
+            out = out + (gm - 2.0 * g + gp) / dxs[0] ** 2
         return out
 
     def _diag(self, dxs):
@@ -275,16 +350,18 @@ class MGPoisson:
             d = d + 2.0 / dxs[0] ** 2
         return d
 
-    def _smooth(self, g, rhs, dxs, red, omega, update_mask=None):
+    def _smooth(self, g, rhs, dxs, red, omega, update_mask=None,
+                gi=None):
         diag = self._diag(dxs)
         for color in (True, False):
-            num = (jnp.roll(g, 1, 2) + jnp.roll(g, -1, 2)) / dxs[2] ** 2
+            gm, gp = self._nbrs(g, 2, gi)
+            num = (gm + gp) / dxs[2] ** 2
             if self.active[1]:
-                num = num + (jnp.roll(g, 1, 1)
-                             + jnp.roll(g, -1, 1)) / dxs[1] ** 2
+                gm, gp = self._nbrs(g, 1, gi)
+                num = num + (gm + gp) / dxs[1] ** 2
             if self.active[2]:
-                num = num + (jnp.roll(g, 1, 0)
-                             + jnp.roll(g, -1, 0)) / dxs[0] ** 2
+                gm, gp = self._nbrs(g, 0, gi)
+                num = num + (gm + gp) / dxs[0] ** 2
             gs = (num - rhs) / diag
             mask = red if color else ~red
             if update_mask is not None:
@@ -303,12 +380,16 @@ class MGPoisson:
                       g.shape[2] // 2, 2).mean(axis=3)
         return g
 
-    def _prolong(self, c):
-        """Linear cell-centered 2x prolongation (wraps at array edges —
-        callers mask out the edge ring when wrap is not meaningful)."""
+    def _prolong(self, c, gi=None, homog=True):
+        """Linear cell-centered 2x prolongation.  On isolated global
+        levels the edge neighbors come from the boundary ghosts of the
+        COARSE level ``gi`` (homog=True for corrections); elsewhere it
+        wraps at array edges — callers mask out the edge ring when wrap
+        is not meaningful."""
         for ax in self._axes():
-            lo = 0.75 * c + 0.25 * jnp.roll(c, 1, axis=ax)
-            hi = 0.75 * c + 0.25 * jnp.roll(c, -1, axis=ax)
+            cm, cp = self._nbrs(c, ax, gi, homog=homog)
+            lo = 0.75 * c + 0.25 * cm
+            hi = 0.75 * c + 0.25 * cp
             st = jnp.stack([lo, hi], axis=ax + 1)
             sh = list(c.shape)
             sh[ax] *= 2
@@ -433,19 +514,22 @@ class MGPoisson:
         red = self._g_red(shape)
         if gi + 1 >= len(self.glevels):
             return _repeat(self.nbottom,
-                           lambda v: self._smooth(v, rhs, dxs, red, 1.0),
+                           lambda v: self._smooth(v, rhs, dxs, red, 1.0,
+                                                  gi=gi),
                            g)
         g = _repeat(self.npre,
-                    lambda v: self._smooth(v, rhs, dxs, red, self.omega),
+                    lambda v: self._smooth(v, rhs, dxs, red, self.omega,
+                                           gi=gi),
                     g)
-        res = rhs - self._lap(g, dxs, True)
+        res = rhs - self._lap(g, dxs, gi)
         g0c = self._restrict(g)
-        rhsc = self._lap(g0c, self.glevels[gi + 1][1], True) \
+        rhsc = self._lap(g0c, self.glevels[gi + 1][1], gi + 1) \
             + self._restrict(res)
         gc = self._vcycle_glob(gi + 1, g0c, rhsc)
-        g = g + self._prolong(gc - g0c)
+        g = g + self._prolong(gc - g0c, gi=gi + 1)
         g = _repeat(self.npost,
-                    lambda v: self._smooth(v, rhs, dxs, red, self.omega),
+                    lambda v: self._smooth(v, rhs, dxs, red, self.omega,
+                                           gi=gi),
                     g)
         return g
 
@@ -520,7 +604,7 @@ class MGPoisson:
             jnp.where(act_r, phi_r, coarse_phi[sl]))
         # tau correction: rhs_c = A_c(phi_c) + R(res) on covered cells
         dxs_c = self.glevels[0][1] if li == 1 else self.boxes[li - 2].dxs
-        lap_c = self._lap(phi_c, dxs_c, li == 1)
+        lap_c = self._lap(phi_c, dxs_c, 0 if li == 1 else None)
         pad = jnp.zeros_like(coarse_rhs)
         pad = pad.at[sl].set(jnp.where(act_r, res_r, 0.0))
         cov = self._cov_mask(li)
@@ -593,7 +677,7 @@ class MGPoisson:
                       lambda v: self._smooth(v, rhs, bl.dxs, red,
                                              self.omega, update_mask=am),
                       phi)
-        res = jnp.where(am, rhs - self._lap(phi, bl.dxs, False), 0.0)
+        res = jnp.where(am, rhs - self._lap(phi, bl.dxs, None), 0.0)
         phi_c0, rhs_c, cov = self._box_coarsen(
             li, phi, res, coarse, rhs_levels[li - 1])
         levels2 = levels[:li - 1] + [phi_c0] + levels[li:]
@@ -644,7 +728,7 @@ class MGPoisson:
             rhs_eff = rhs_levels[li]
             if corr_next is not None:
                 rhs_eff = rhs_eff + corr_next
-            r = rhs_eff - self._lap(phi, bl.dxs, False)
+            r = rhs_eff - self._lap(phi, bl.dxs, None)
             dv = float(np.prod(bl.dxs))
             acc = acc + jnp.sum(
                 jnp.where(jnp.asarray(bl.owned), r ** 2, 0.0)) * dv
@@ -666,7 +750,7 @@ class MGPoisson:
         rhs0 = rhs_levels[0]
         if corr_next is not None:
             rhs0 = rhs0 + corr_next
-        r = rhs0 - self._lap(g, dxs, True)
+        r = rhs0 - self._lap(g, dxs, 0)
         own0 = np.ones(self.glevels[0][0], dtype=bool)
         if self.boxes:
             own0 &= ~self._cov_mask(1)
@@ -701,10 +785,11 @@ class MGPoisson:
         g = jnp.zeros(shape, rhs_g[-1].dtype)
         red = self._g_red(shape)
         g = _repeat(self.nbottom,
-                    lambda v: self._smooth(v, rhs_g[-1], dxs, red, 1.0),
+                    lambda v: self._smooth(v, rhs_g[-1], dxs, red, 1.0,
+                                           gi=len(self.glevels) - 1),
                     g)
         for gi in range(len(self.glevels) - 2, -1, -1):
-            g = self._prolong(g)
+            g = self._prolong(g, gi=gi + 1)
             for _ in range(self.fmg_ncycle):
                 g = self._vcycle_glob(gi, g, rhs_g[gi])
         levels = [g]
@@ -750,12 +835,198 @@ class MGPoisson:
             tuple(levels))
         return list(levels)
 
+    # ------------------------------------------------------------------
+    # multipole boundary values (reference: multigrid_driver.cpp:
+    # 2210-2366 CalculateMultipoleCoefficients/Scale, multigrid.hpp:
+    # 679-708 EvalMultipolePhi, 2371-2434 CalculateCenterOfMass)
+    # ------------------------------------------------------------------
+    def _block_coords(self):
+        """Cell-center coordinate arrays (x, y, z), each [nmb, n3, n2,
+        n1] over block interiors (numpy, static)."""
+        mbi = self.mesh.mb_indcs
+        mbs = self.mesh.mb_size
+
+        def ax(name, n):
+            lo = np.asarray(mbs[f"{name}min"], np.float64)[:, None]
+            d = np.asarray(mbs["d" + name], np.float64)[:, None]
+            return lo + (np.arange(n)[None, :] + 0.5) * d
+        x = ax("x1", mbi.nx1)[:, None, None, :]
+        y = ax("x2", max(mbi.nx2, 1))[:, None, :, None]
+        z = ax("x3", max(mbi.nx3, 1))[:, :, None, None]
+        return x, y, z
+
+    def _mp_harmonics(self, x, y, z, s):
+        """Raw multipole moments: sum of s * solid harmonics (the
+        reference's per-cell accumulation, multigrid_driver.cpp:
+        2244-2300).  Returns [25] (unused entries zero)."""
+        x2, y2, z2 = x * x, y * y, z * z
+        xy, yz, zx = x * y, y * z, z * x
+        r2 = x2 + y2 + z2
+        hx2my2 = 0.5 * (x2 - y2)
+        mp = [None] * 25
+        one = jnp.ones_like(s)
+        mp[0] = one
+        if self.nodipole:
+            mp[1] = mp[2] = mp[3] = jnp.zeros_like(s)
+        else:
+            mp[1], mp[2], mp[3] = y, z, x
+        mp[4], mp[5] = xy, yz
+        mp[6] = 3.0 * z2 - r2
+        mp[7], mp[8] = zx, hx2my2
+        if self.mporder == 4:
+            tx2my2 = 3.0 * x2 - y2
+            x2mty2 = x2 - 3.0 * y2
+            fz2mr2 = 5.0 * z2 - r2
+            sz2mr2 = 7.0 * z2 - r2
+            sz2mtr2 = 7.0 * z2 - 3.0 * r2
+            mp[9] = y * tx2my2
+            mp[10] = xy * z
+            mp[11] = y * fz2mr2
+            mp[12] = z * (z2 - 3.0 * r2)
+            mp[13] = x * fz2mr2
+            mp[14] = z * hx2my2
+            mp[15] = x * x2mty2
+            mp[16] = xy * hx2my2
+            mp[17] = yz * tx2my2
+            mp[18] = xy * sz2mr2
+            mp[19] = yz * sz2mtr2
+            mp[20] = 35.0 * z2 * z2 - 30.0 * z2 * r2 + 3.0 * r2 * r2
+            mp[21] = zx * sz2mtr2
+            mp[22] = hx2my2 * sz2mr2
+            mp[23] = zx * x2mty2
+            mp[24] = 0.125 * (x2 * x2mty2 - y2 * tx2my2)
+        else:
+            for c in range(9, 25):
+                mp[c] = jnp.zeros_like(s)
+        return jnp.stack([jnp.sum(s * h) for h in mp])
+
+    _MP_SCALE = None  # class-level cache of the 25 scaling constants
+
+    @classmethod
+    def _mp_scale(cls):
+        """Normalization constants (reference:
+        ScaleMultipoleCoefficients, multigrid_driver.cpp:2320-2366)."""
+        if cls._MP_SCALE is None:
+            pi = np.pi
+            c0 = c1 = 0.25 / pi
+            c2 = 0.0625 / pi
+            c2a = 0.75 / pi
+            c30 = 0.0625 / pi
+            c31 = 0.0625 * 1.5 / pi
+            c32 = 0.25 * 15.0 / pi
+            c33 = 0.0625 * 2.5 / pi
+            c40 = 0.0625 * 0.0625 / pi
+            c41 = 0.0625 * 2.5 / pi
+            c42 = 0.0625 * 5.0 / pi
+            c43 = 0.0625 * 17.5 / pi
+            c44 = 0.25 * 35.0 / pi
+            cls._MP_SCALE = np.array(
+                [c0, c1, c1, c1, c2a, c2a, c2, c2a, c2a,
+                 c33, c32, c31, c30, c31, c32, c33,
+                 c44, c43, c42, c41, c40, c41, c42, c43, c44])
+        return cls._MP_SCALE
+
+    def _eval_mp_phi(self, mpc, x, y, z):
+        """phi_mp at (x, y, z) relative to the expansion origin
+        (reference: EvalMultipolePhi, multigrid.hpp:679-708)."""
+        x2, y2, z2 = x * x, y * y, z * z
+        xy, yz, zx = x * y, y * z, z * x
+        r2 = x2 + y2 + z2
+        ir2 = 1.0 / r2
+        ir1 = jnp.sqrt(ir2)
+        ir3 = ir2 * ir1
+        ir5 = ir3 * ir2
+        hx2my2 = 0.5 * (x2 - y2)
+        phis = (ir1 * mpc[0]
+                + ir3 * (mpc[1] * y + mpc[2] * z + mpc[3] * x)
+                + ir5 * (mpc[4] * xy + mpc[5] * yz
+                         + (3.0 * z2 - r2) * mpc[6]
+                         + mpc[7] * zx + mpc[8] * hx2my2))
+        if self.mporder == 4:
+            ir7 = ir5 * ir2
+            ir9 = ir7 * ir2
+            x2mty2 = x2 - 3.0 * y2
+            tx2my2 = 3.0 * x2 - y2
+            phis = phis + ir7 * (
+                y * tx2my2 * mpc[9] + x * x2mty2 * mpc[15]
+                + xy * z * mpc[10] + z * hx2my2 * mpc[14]
+                + (5.0 * z2 - r2) * (y * mpc[11] + x * mpc[13])
+                + z * (z2 - 3.0 * r2) * mpc[12]) + ir9 * (
+                xy * hx2my2 * mpc[16]
+                + 0.125 * (x2 * x2mty2 - y2 * tx2my2) * mpc[24]
+                + yz * tx2my2 * mpc[17] + zx * x2mty2 * mpc[23]
+                + (7.0 * z2 - r2) * (xy * mpc[18] + hx2my2 * mpc[22])
+                + (7.0 * z2 - 3.0 * r2) * (yz * mpc[19] + zx * mpc[21])
+                + (35.0 * z2 * z2 - 30.0 * z2 * r2
+                   + 3.0 * r2 * r2) * mpc[20])
+        return phis
+
+    def _multipole_setup(self, u):
+        """Compute multipole coefficients from the block source and
+        evaluate boundary-face phi_mp slabs for every global level."""
+        if self.mporder == 0:
+            self._mp = None
+            return
+        mbi = self.mesh.mb_indcs
+        rho = u[:, 0][(slice(None),) + self.act_in]
+        # reference convention: moments of src = -4 pi G rho, positive
+        # scaling constants -> negative (attractive) potential
+        vol = (np.asarray(self.mesh.mb_size["dx1"])
+               * np.asarray(self.mesh.mb_size["dx2"])
+               * np.asarray(self.mesh.mb_size["dx3"]))
+        s = -self.four_pi_G * rho * jnp.asarray(
+            vol.reshape(-1, 1, 1, 1), rho.dtype)
+        xs, ys, zs = self._block_coords()
+        xs = jnp.asarray(xs, rho.dtype)
+        ys = jnp.asarray(ys, rho.dtype)
+        zs = jnp.asarray(zs, rho.dtype)
+        if getattr(self, "autompo", False):
+            tot = jnp.sum(s)
+            xo = jnp.sum(s * xs) / tot
+            yo = jnp.sum(s * ys) / tot
+            zo = jnp.sum(s * zs) / tot
+        else:
+            xo, yo, zo = [jnp.asarray(v, rho.dtype) for v in self.mpo]
+        mpc = self._mp_harmonics(xs - xo, ys - yo, zs - zo, s)
+        mpc = mpc * jnp.asarray(self._mp_scale(), mpc.dtype)
+
+        ms = self.mesh.mesh_size
+        lims = ((ms.x3min, ms.x3max), (ms.x2min, ms.x2max),
+                (ms.x1min, ms.x1max))
+        self._mp = []
+        for shape, dxs in self.glevels:
+            slabs = {}
+            # cell-center coords per axis at this level
+            cc = [lims[a][0] + (np.arange(shape[a]) + 0.5) * dxs[a]
+                  for a in range(3)]
+            for ax in range(3):
+                lo_f, hi_f = self.bc_flags[ax]
+                for side, flag in ((0, lo_f), (1, hi_f)):
+                    if flag != "multipole":
+                        continue
+                    # face-plane position along ax, cell centers across
+                    face = lims[ax][side]
+                    oth = [a for a in range(3) if a != ax]
+                    g0, g1 = np.meshgrid(cc[oth[0]], cc[oth[1]],
+                                         indexing="ij")
+                    vals = [None, None, None]
+                    vals[oth[0]] = jnp.asarray(g0, u.dtype)
+                    vals[oth[1]] = jnp.asarray(g1, u.dtype)
+                    vals[ax] = jnp.full(g0.shape, face, u.dtype)
+                    z, y, x = vals  # array axes (0,1,2) = (x3,x2,x1)
+                    phi = self._eval_mp_phi(mpc, x - xo, y - yo, z - zo)
+                    # shape with a singleton along ax for concatenation
+                    slabs[(ax, side)] = jnp.expand_dims(phi, ax)
+            self._mp.append(slabs)
+
     def solve(self, u, bvals, phi0=None):
         """phi with ghosts filled, [nmb, 1, n3, n2, n1].
 
         ``phi0`` warm-starts the V-cycles from a previous solution (the
         driver carries state["phi"] across stages), replacing the FMG
         start — the dominant trace cost inside a jitted cycle."""
+        if self.mg_bc == "multipole":
+            self._multipole_setup(u)
         rhs_levels = self._make_rhs_levels(u)
         if phi0 is not None:
             levels = self._blocks_to_levels(
@@ -782,6 +1053,8 @@ class MGPoisson:
         """Host-side solve printing the reference's defect diagnostics
         (reference: SolveIterative, multigrid_driver.cpp:788-860).
         Returns the defect history."""
+        if self.mg_bc == "multipole":
+            self._multipole_setup(u)
         rhs_levels = jax.jit(self._make_rhs_levels)(u)
         if self.fmg:
             levels = jax.jit(self._fmg_start)(rhs_levels)

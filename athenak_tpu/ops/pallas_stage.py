@@ -514,7 +514,7 @@ def fused_ct3d(w, bcc, fden, emf, bfc, bfc_old, gam0: float, gam1: float,
 # Megakernel: recon + HLLD + RK accumulation + corner EMF + CT in ONE
 # pallas pass — no flux, face-EMF, or edge-EMF arrays touch HBM.
 # ===================================================================
-def _mega_k(n3: int) -> int:
+def _mega_k(n3: int, v2: bool = False) -> int:
     """Cell planes per megakernel grid step: the kernel is VPU-bound,
     so pick the largest K (bounded by the HLLD live-set fitting VMEM)
     to minimize the (K+2)/K redundant x1/x2 flux compute at window
@@ -522,9 +522,14 @@ def _mega_k(n3: int) -> int:
     start is clamped (overlapping windows recompute identical values).
     ATHENAK_MEGA_K_MAX overrides the bound for VMEM tuning (default 6:
     K+2 > 8 planes of HLLD live-set blows the 128MB VMEM at 128^2
-    planes, measured ~14MB/plane)."""
+    planes, measured ~14MB/plane).  The v2 kernel additionally holds
+    the in-window c2p/bcc live set on both the read and write side, so
+    its default is one plane smaller (ATHENAK_MEGA_V2_K_MAX)."""
     import os
-    kmax = int(os.environ.get("ATHENAK_MEGA_K_MAX", "6"))
+    if v2:
+        kmax = int(os.environ.get("ATHENAK_MEGA_V2_K_MAX", "5"))
+    else:
+        kmax = int(os.environ.get("ATHENAK_MEGA_K_MAX", "6"))
     return max(1, min(kmax, n3 - 4))
 
 
@@ -745,6 +750,354 @@ def fused_mega_stage3d(w, bcc, bfc, u0, u1, bfc_old, eos: EOSData,
             vmem_limit_bytes=100 * 1024 * 1024),
     )(*args)
     return acc, {"x1f": nb1, "x2f": nb2, "x3f": nb3}
+
+
+# ===================================================================
+# Megakernel v2: the whole stage INCLUDING c2p/bcc/floors/new-dt in one
+# pass over (u, bfc) — the w and bcc arrays never exist in HBM.
+# ===================================================================
+def supports_mega_v2(phys, mesh) -> bool:
+    """Gate for fused_mega_stage3d_v2: the mega envelope plus no
+    module that reads state["w"]/state["bcc"] between stages (the v2
+    state carries only u and bfc; primitives live in VMEM)."""
+    return (supports_mega_stage(phys, mesh)
+            and getattr(phys, "pturb", None) is None
+            and getattr(phys, "ppart", None) is None
+            and getattr(phys, "psbox", None) is None
+            and getattr(phys, "srcterms_func", None) is None
+            and phys.bvals.user_bc_func is None
+            and not phys.bvals.prolong_prims)
+
+
+def _c2p5(uu, bx, by, bz, eos: EOSData, efloor):
+    """Newtonian ideal-MHD cons->prim with the full floor chain
+    (mirrors fused_aux3d / eos.cons_to_prim): returns (w5-list, u5-list
+    floored, dfloor_mask, e_or_s_mask, tfloor_mask)."""
+    gm1 = eos.gamma - 1.0
+    d, mx, my, mz, etot = uu[0], uu[1], uu[2], uu[3], uu[4]
+    b2 = bx * bx + by * by + bz * bz
+    dfl = jnp.maximum(eos.dfloor, b2 / eos.sigma_max)
+    dfloor_used = d < dfl
+    d = jnp.maximum(d, dfl)
+    di = 1.0 / d
+    vx, vy, vz = di * mx, di * my, di * mz
+    e_k = 0.5 * di * (mx * mx + my * my + mz * mz)
+    e_m = 0.5 * b2
+    e = etot - e_k - e_m
+    efloor_used = e < efloor
+    e = jnp.maximum(e, efloor)
+    tfloor_used = gm1 * e * di < eos.tfloor
+    e = jnp.where(tfloor_used, d * eos.tfloor / gm1, e)
+    spe = gm1 / jnp.power(d, gm1)
+    sfloor_used = spe * e * di <= eos.sfloor
+    e = jnp.where(sfloor_used, d * eos.sfloor / spe, e)
+    etot_fixed = jnp.where(efloor_used | tfloor_used | sfloor_used,
+                           e + e_k + e_m, etot)
+    return ([d, vx, vy, vz, e], [d, mx, my, mz, etot_fixed],
+            dfloor_used, efloor_used | sfloor_used, tfloor_used)
+
+
+def fused_mega_stage3d_v2(u, bfc, u1, bfc_old, eos: EOSData,
+                          gam0: float, gam1: float, beta_dt, dxs,
+                          wrap: bool = False, want_dt: bool = True):
+    """One full RK stage of 3-D Newtonian MHD from (u, bfc) alone.
+
+    Extends fused_mega_stage3d (reference task chain mhd_fluxes.cpp ->
+    mhd_update.cpp -> mhd_corner_e.cpp -> mhd_ct.cpp + ideal_c2p_mhd
+    + mhd_newdt.cpp) by moving cons_to_prim, the face->cell bcc
+    average, the floor chain, the floor event counters, and the new-dt
+    maxima INTO the stage kernel: per stage the HBM traffic is one read
+    of (u, bfc[, u1, bfc_old]) and one write of (u', bfc') — the w and
+    bcc arrays never exist.
+
+    ``u``/``bfc`` must arrive ghost-filled; outputs carry stale ghosts
+    (``wrap=True`` wraps the in-plane ghosts of u' for single-block
+    periodic meshes; x3 ghost planes are healed by the caller).
+
+    Returns (u_new_floored, bfc_new, counters) where counters holds the
+    floor counts of the UPDATED state and (want_dt) its "dtmin".
+    """
+    from .pallas_fill import _wrap_plane
+    from ..indices import IVY, IVZ
+
+    nmb, nv, n3, n2, n1 = u.shape
+    dt = u.dtype
+    K = _mega_k(n3, v2=True)
+    dfloor = eos.dfloor
+    gm1 = eos.gamma - 1.0
+    gam = eos.gamma
+    efloor = eos.pfloor / gm1 if eos.is_ideal else 0.0
+    J, I = 0, 1
+
+    bd = jnp.stack([beta_dt / dxs["x1"], beta_dt / dxs["x2"],
+                    beta_dt / dxs["x3"]]).astype(dt).reshape(1, 3)
+
+    def s0(s):
+        return jnp.minimum(s * K, n3 - 4 - K)
+
+    def win(ch, planes, off, nj=n2, ni=n1):
+        if ch is None:
+            return pl.BlockSpec(
+                (pl.Element(1), pl.Element(planes), pl.Element(nj),
+                 pl.Element(ni)),
+                lambda m, s: (m, s0(s) + off, 0, 0),
+                memory_space=pltpu.VMEM)
+        return pl.BlockSpec(
+            (pl.Element(1), pl.Element(ch), pl.Element(planes),
+             pl.Element(nj), pl.Element(ni)),
+            lambda m, s: (m, 0, s0(s) + off, 0, 0),
+            memory_space=pltpu.VMEM)
+
+    skip_old = (float(gam1) == 0.0)
+    ncnt = 6 if want_dt else 3
+
+    def kern(*refs):
+        bd_ref, u_ref, b1_ref, b2_ref, b3_ref = refs[:5]
+        if skip_old:
+            u1_ref = b1o_ref = b2o_ref = b3o_ref = None
+            acc_ref, nb1_ref, nb2_ref, nb3_ref, cnt_ref = refs[5:]
+        else:
+            u1_ref, b1o_ref, b2o_ref, b3o_ref = refs[5:9]
+            acc_ref, nb1_ref, nb2_ref, nb3_ref, cnt_ref = refs[9:]
+        m = pl.program_id(0)
+        s = pl.program_id(1)
+
+        @pl.when(jnp.logical_and(s == 0, m == 0))
+        def _init():
+            for c in range(ncnt):
+                cnt_ref[0, c] = 0.0
+
+        bdx, bdy, bdz = bd_ref[0, 0], bd_ref[0, 1], bd_ref[0, 2]
+
+        # ---- in-kernel bcc + c2p on the (K+4)-plane window
+        uu = u_ref[0]                 # [5, K+4, n2, n1]
+        b1w = b1_ref[0]               # [K+4, n2, n1+1]
+        b2w = b2_ref[0]               # [K+4, n2+1, n1]
+        b3w = b3_ref[0]               # [K+5, n2, n1]
+        if wrap:
+            # READ-side periodic in-plane ghost wrap: single-block
+            # periodic meshes never materialize in-plane ghosts in HBM
+            # (the caller heals only the x3 ghost planes/faces with slab
+            # copies).  _wrap_plane's roll distance is the interior
+            # extent, which is the correct wrap for both cell axes and
+            # (n+1)-extent face axes.
+            uu = _wrap_plane(uu, n2 - 4, n1 - 4)
+            b1w = _wrap_plane(b1w, n2 - 4, n1 - 4)
+            b2w = _wrap_plane(b2w, n2 - 4, n1 - 4)
+            b3w = _wrap_plane(b3w, n2 - 4, n1 - 4)
+        bxw = 0.5 * (b1w[:, :, :n1] + b1w[:, :, 1:])
+        byw = 0.5 * (b2w[:, :n2, :] + b2w[:, 1:, :])
+        bzw = 0.5 * (b3w[0:K + 4] + b3w[1:K + 5])
+        w5, u5, _, _, _ = _c2p5([uu[c] for c in range(5)],
+                                bxw, byw, bzw, eos, efloor)
+        ww = jnp.stack(w5)            # [5, K+4, n2, n1] primitives
+        bb = jnp.stack([bxw, byw, bzw])
+
+        # ---- x1 / x2 fluxes+EMFs on local planes 1..K+2
+        wmid = ww[:, 1:K + 3]
+        bmid = bb[:, 1:K + 3]
+
+        wl, wr = _plm(wmid, 3)
+        bl, br = _plm(bmid, 3)
+        wl = _floors(wl, eos, dfloor, efloor)
+        wr = _floors(wr, eos, dfloor, efloor)
+        bx1 = b1w[1:K + 3, :, :n1]
+        f1, e3x1, e2x1 = rsolvers_mhd.hlld(wl, wr, bl, br, bx1, eos, 1)
+        fd1 = f1[IDN]
+
+        wl, wr = _plm(wmid, 2)
+        bl, br = _plm(bmid, 2)
+        wl = _floors(wl, eos, dfloor, efloor)
+        wr = _floors(wr, eos, dfloor, efloor)
+        bx2 = b2w[1:K + 3, :n2, :]
+        f2, e1x2, e3x2 = rsolvers_mhd.hlld(wl, wr, bl, br, bx2, eos, IVY)
+        fd2 = f2[IDN]
+
+        # ---- x3 fluxes+EMFs on faces local q = 0..K
+        dql = ww[:, 1:K + 3] - ww[:, 0:K + 2]
+        dqr = ww[:, 2:K + 4] - ww[:, 1:K + 3]
+        dq2 = dql * dqr
+        dqm = jnp.where(dq2 <= 0.0, jnp.zeros_like(dql), dq2 / (dql + dqr))
+        wl = _floors(ww[:, 1:K + 2] + dqm[:, 0:K + 1], eos, dfloor, efloor)
+        wr = _floors(ww[:, 2:K + 3] - dqm[:, 1:K + 2], eos, dfloor, efloor)
+        dql = bb[:, 1:K + 3] - bb[:, 0:K + 2]
+        dqr = bb[:, 2:K + 4] - bb[:, 1:K + 3]
+        dq2 = dql * dqr
+        dqm = jnp.where(dq2 <= 0.0, jnp.zeros_like(dql), dq2 / (dql + dqr))
+        bl = bb[:, 1:K + 2] + dqm[:, 0:K + 1]
+        br = bb[:, 2:K + 3] - dqm[:, 1:K + 2]
+        bx3 = b3w[2:K + 3]
+        f3, e2x3, e1x3 = rsolvers_mhd.hlld(wl, wr, bl, br, bx3, eos, IVZ)
+        fd3 = f3[IDN]
+
+        # ---- RK update of cell planes c0..c0+K-1 (u window local 2..K+1)
+        df1 = _roll(f1, 1, 3) - f1
+        df2 = _roll(f2, 1, 2) - f2
+        u_old = 0.0 if skip_old else gam1 * u1_ref[0]
+        u0_stack = jnp.stack([u5[c][2:K + 2] for c in range(5)])
+        acc = (gam0 * u0_stack + u_old
+               - bdx * df1[:, 1:K + 1] - bdy * df2[:, 1:K + 1]
+               - bdz * (f3[:, 1:K + 1] - f3[:, 0:K]))
+
+        # ---- corner EMFs on planes c0..c0+K
+        vx, vy, vz = ww[1], ww[2], ww[3]
+        bxc, byc, bzc = bb[0], bb[1], bb[2]
+        e1cc = vz * byc - vy * bzc
+        e2cc = vx * bzc - vz * bxc
+        e3cc = vy * bxc - vx * byc
+        e1 = [None] * (K + 2)
+        e2 = [None] * (K + 2)
+        e3 = [None] * (K + 2)
+        for a in range(1, K + 2):
+            q = a - 1
+            t2 = a + 1
+            cc = e3cc[t2]
+            e3[a] = _gs07(
+                cc, _roll(cc, -1, I), _roll(cc, -1, J),
+                _roll(_roll(cc, -1, I), -1, J),
+                e3x1[a], _roll(e3x1[a], -1, J),
+                e3x2[a], _roll(e3x2[a], -1, I),
+                fd1[a], _roll(fd1[a], -1, J),
+                fd2[a], _roll(fd2[a], -1, I))
+            cc = e1cc[t2]
+            e1[a] = _gs07(
+                cc, _roll(cc, -1, J), e1cc[t2 - 1],
+                _roll(e1cc[t2 - 1], -1, J),
+                e1x2[a], e1x2[a - 1],
+                e1x3[q], _roll(e1x3[q], -1, J),
+                fd2[a], fd2[a - 1],
+                fd3[q], _roll(fd3[q], -1, J))
+            cc = e2cc[t2]
+            e2[a] = _gs07(
+                cc, e2cc[t2 - 1], _roll(cc, -1, I),
+                _roll(e2cc[t2 - 1], -1, I),
+                e2x3[q], _roll(e2x3[q], -1, I),
+                e2x1[a], e2x1[a - 1],
+                fd3[q], _roll(fd3[q], -1, I),
+                fd1[a], fd1[a - 1])
+
+        # ---- CT: build new faces in-register (b1/b2 on K planes, b3 on
+        # K+1), then store (b1/b2 windows are disjoint; b3 overlaps one
+        # face whose value both steps compute identically)
+        b1n = [None] * K
+        b2n = [None] * K
+        b3n = [None] * (K + 1)
+        for a in range(1, K + 1):
+            q = a - 1
+            b1_old = 0.0 if skip_old else gam1 * b1o_ref[0, q, :, :n1]
+            b1n[q] = (gam0 * b1w[a + 1, :, :n1] + b1_old
+                      - bdy * (_roll(e3[a], 1, J) - e3[a])
+                      + bdz * (e2[a + 1] - e2[a]))
+            b2_old = 0.0 if skip_old else gam1 * b2o_ref[0, q, :n2, :]
+            b2n[q] = (gam0 * b2w[a + 1, :n2, :] + b2_old
+                      + bdx * (_roll(e3[a], 1, I) - e3[a])
+                      - bdz * (e1[a + 1] - e1[a]))
+        for a in range(1, K + 2):
+            q = a - 1
+            b3_old = 0.0 if skip_old else gam1 * b3o_ref[0, q]
+            b3n[q] = (gam0 * b3w[q + 2] + b3_old
+                      - bdx * (_roll(e2[a], 1, I) - e2[a])
+                      + bdy * (_roll(e1[a], 1, J) - e1[a]))
+
+        # ---- output-side bcc + c2p + floors + counters + new-dt maxima
+        # (reference: ideal_c2p_mhd.hpp floors + mhd_newdt.cpp); the
+        # lane/sublane rolls leave only ghost cells wrong (no face n1)
+        b1s = jnp.stack(b1n)
+        b2s = jnp.stack(b2n)
+        nbx = 0.5 * (b1s + _roll(b1s, -1, 2))
+        nby = 0.5 * (b2s + _roll(b2s, -1, 1))
+        nbz = 0.5 * (jnp.stack(b3n[:K]) + jnp.stack(b3n[1:]))
+        w5n, u5n, dfl_m, efl_m, tfl_m = _c2p5(
+            [acc[c] for c in range(5)], nbx, nby, nbz, eos, efloor)
+        acc = jnp.stack(u5n)
+
+        # interior mask; exclude planes re-covered by the clamped last
+        # window (kk < s*K + 2) so counters count each cell once
+        shp = acc.shape[1:]
+        kk = jax.lax.broadcasted_iota(jnp.int32, shp, 0) + s0(s) + 2
+        jj = jax.lax.broadcasted_iota(jnp.int32, shp, 1)
+        ii = jax.lax.broadcasted_iota(jnp.int32, shp, 2)
+        interior = ((kk >= s * K + 2) & (kk < n3 - 2) & (jj >= 2)
+                    & (jj < n2 - 2) & (ii >= 2) & (ii < n1 - 2))
+
+        def count(msk):
+            return jnp.sum((msk & interior).astype(jnp.float32))
+
+        cnt_ref[0, 0] += count(dfl_m)
+        cnt_ref[0, 1] += count(efl_m)
+        cnt_ref[0, 2] += count(tfl_m)
+
+        if want_dt:
+            d, vxn, vyn, vzn, e = w5n
+            di = 1.0 / d
+            asq = gam * gm1 * e * di
+
+            def cfast(bn, bt1, bt2):
+                ct2 = bt1 * bt1 + bt2 * bt2
+                qsq = bn * bn + ct2 + asq * d
+                tmp = bn * bn + ct2 - asq * d
+                return jnp.sqrt(
+                    0.5 * (qsq + jnp.sqrt(tmp * tmp
+                                          + 4.0 * asq * d * ct2)) * di)
+
+            for c, (vv, args) in enumerate((
+                    (vxn, (nbx, nby, nbz)), (vyn, (nby, nbz, nbx)),
+                    (vzn, (nbz, nbx, nby)))):
+                dv = jnp.where(interior, jnp.abs(vv) + cfast(*args), 0.0)
+                cnt_ref[0, 3 + c] = jnp.maximum(
+                    cnt_ref[0, 3 + c], jnp.max(dv).astype(jnp.float32))
+
+        acc_ref[0] = acc
+        for q in range(K):
+            nb1_ref[0, q, :, :n1] = b1n[q]
+            nb2_ref[0, q, :n2, :] = b2n[q]
+        for q in range(K + 1):
+            nb3_ref[0, q] = b3n[q]
+
+    grid = (nmb, -(-(n3 - 4) // K))
+    smem = pl.BlockSpec((1, 3), lambda *a: (0, 0),
+                        memory_space=pltpu.SMEM)
+    in_specs = [smem,
+                win(nv, K + 4, 0),                           # u
+                win(None, K + 4, 0, ni=n1 + 1),              # b1f
+                win(None, K + 4, 0, nj=n2 + 1),              # b2f
+                win(None, K + 5, 0)]                         # b3f
+    args = [bd, u, bfc["x1f"], bfc["x2f"], bfc["x3f"]]
+    if not skip_old:
+        in_specs += [win(nv, K, 2),                          # u1
+                     win(None, K, 2, ni=n1 + 1),             # b1 old
+                     win(None, K, 2, nj=n2 + 1),             # b2 old
+                     win(None, K + 1, 2)]                    # b3 old
+        args += [u1, bfc_old["x1f"], bfc_old["x2f"], bfc_old["x3f"]]
+    acc, nb1, nb2, nb3, cnt = _pcall(
+        kern, grid=grid,
+        in_specs=in_specs,
+        out_specs=(win(nv, K, 2),
+                   win(None, K, 2, ni=n1 + 1),
+                   win(None, K, 2, nj=n2 + 1),
+                   win(None, K + 1, 2),
+                   pl.BlockSpec((1, ncnt), lambda *a: (0, 0),
+                                memory_space=pltpu.SMEM)),
+        out_shape=(jax.ShapeDtypeStruct(u.shape, dt),
+                   jax.ShapeDtypeStruct(bfc["x1f"].shape, dt),
+                   jax.ShapeDtypeStruct(bfc["x2f"].shape, dt),
+                   jax.ShapeDtypeStruct(bfc["x3f"].shape, dt),
+                   jax.ShapeDtypeStruct((1, ncnt), jnp.float32)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(*args)
+
+    counters = {"neos_dfloor": cnt[0, 0].astype(jnp.int32),
+                "neos_efloor": cnt[0, 1].astype(jnp.int32),
+                "neos_tfloor": cnt[0, 2].astype(jnp.int32)}
+    if want_dt:
+        dtmin = jnp.asarray(dxs["x1"], jnp.float32) / cnt[0, 3]
+        dtmin = jnp.minimum(
+            dtmin, jnp.asarray(dxs["x2"], jnp.float32) / cnt[0, 4])
+        dtmin = jnp.minimum(
+            dtmin, jnp.asarray(dxs["x3"], jnp.float32) / cnt[0, 5])
+        counters["dtmin"] = dtmin.astype(dt)
+    return acc, {"x1f": nb1, "x2f": nb2, "x3f": nb3}, counters
 
 
 # ===================================================================

@@ -230,6 +230,13 @@ class MHD:
         self.use_mega_stage = (self.use_pallas
                                and self.psbox is None
                                and supports_mega_stage(self, mesh))
+        # megakernel v2: the stage also absorbs c2p/bcc/floors/new-dt,
+        # so the cycle state carries only (u, bfc) — w and bcc never
+        # exist in HBM (srcterms_func/user-BC parts of the gate are
+        # pgen-installed later, so _mega_v2_active() re-checks them)
+        from ..ops.pallas_stage import supports_mega_v2
+        self.use_mega_v2 = (self.use_mega_stage
+                            and supports_mega_v2(self, mesh))
 
         if self.multilevel:
             from ..multigrid import MGPoisson
@@ -1494,6 +1501,24 @@ class MHD:
                 "bfc1": {k: saved["bfc1"][k] + delta * state["bfc"][k]
                          for k in saved["bfc1"]}}
 
+    def _mega_v2_active(self) -> bool:
+        """fused_mega_stage3d_v2 gate, re-checked after pgen callbacks
+        are installed (srcterms_func/user BCs arrive post-construction)."""
+        return (self.use_mega_v2 and self.srcterms_func is None
+                and self.bvals.user_bc_func is None)
+
+    def unpack_state(self, state):
+        """Materialize w/bcc for output/restart consumers when the v2
+        stage path carries only (u, bfc).  The v2 cycle wraps in-plane
+        ghosts on read, so ghosts are healed here for presentation."""
+        if "u" in state and "bfc" in state and "w" not in state:
+            u = self.bvals.fill_ghosts(state["u"])
+            bfc = self.fill_ghosts_fc(state["bfc"])
+            bcc = self.compute_bcc(bfc)
+            w, u, _ = self.cons_to_prim(u, bcc)
+            state = dict(state, u=u, w=w, bfc=bfc, bcc=bcc)
+        return state
+
     def init_ghosts(self, state):
         u = self.bvals.fill_ghosts(state["u"])
         bfc = self.fill_ghosts_fc(state["bfc"])
@@ -1504,10 +1529,52 @@ class MHD:
                 u, w, lambda w2: self.prim_to_cons(w2, bcc))
         out = dict(state)
         out.update({"u": u, "w": w, "bfc": bfc, "bcc": bcc})
+        if self._mega_v2_active():
+            # the v2 stage computes primitives in VMEM; keep the cycle
+            # carry minimal so lax.scan state stays structurally stable
+            out.pop("w")
+            out.pop("bcc")
         return out
 
     def stage_update(self, state, saved, gam0, gam1, beta_dt):
         """One RK stage (reference task chain mhd_tasks.cpp:48-81)."""
+        if self._mega_v2_active():
+            # whole stage incl. c2p/bcc/floors/new-dt in ONE pallas pass
+            # (ops/pallas_stage.py fused_mega_stage3d_v2): per stage the
+            # HBM traffic is one read of (u, bfc, saved) and one write
+            # of (u', bfc')
+            from ..ops.pallas_stage import fused_mega_stage3d_v2
+            u, bfc = state["u"], state["bfc"]
+            dxs = {n: dx for n, _a, _i, dx in self.dirs}
+            wrap = self.bvals.use_pallas_fill  # single-block periodic
+            fuse_dt = self.time_evolution == "dynamic"
+            u, bfc, counters = fused_mega_stage3d_v2(
+                u, bfc, saved["u1"], saved["bfc1"], self.eos,
+                gam0, gam1, beta_dt, dxs, wrap=wrap, want_dt=fuse_dt)
+            if wrap:
+                # in-plane ghosts are wrapped on READ inside the kernel;
+                # only the x3 ghost planes/faces live in HBM — heal them
+                # with ghost-sized slab copies (no full fill passes)
+                n3 = u.shape[2]
+                nin = n3 - 4
+                u = u.at[:, :, 0:2].set(u[:, :, nin:nin + 2])
+                u = u.at[:, :, n3 - 2:].set(u[:, :, 2:4])
+                b1 = bfc["x1f"]
+                b1 = b1.at[:, 0:2].set(b1[:, nin:nin + 2])
+                b1 = b1.at[:, n3 - 2:].set(b1[:, 2:4])
+                b2 = bfc["x2f"]
+                b2 = b2.at[:, 0:2].set(b2[:, nin:nin + 2])
+                b2 = b2.at[:, n3 - 2:].set(b2[:, 2:4])
+                b3 = bfc["x3f"]       # n3+1 faces: ghosts {0,1},{n3-1,n3}
+                b3 = b3.at[:, 0:2].set(b3[:, nin:nin + 2])
+                b3 = b3.at[:, n3 - 1:].set(b3[:, 3:5])
+                bfc = {"x1f": b1, "x2f": b2, "x3f": b3}
+            else:
+                bfc = self.fill_ghosts_fc(bfc)
+                u = self.bvals.fill_ghosts(u)
+            out = dict(state)
+            out.update({"u": u, "bfc": bfc})
+            return out, counters
         u, w, bfc, bcc = state["u"], state["w"], state["bfc"], state["bcc"]
         if self.use_mega_stage:
             # whole stage in ONE pallas pass (ops/pallas_stage.py
@@ -1634,6 +1701,8 @@ class MHD:
         return out, counters
 
     def dt_from_state(self, state):
+        if "w" not in state:       # v2 stage path carries only (u, bfc)
+            state = self.unpack_state(state)
         dt = self.new_dt(state["w"], state["bcc"])
         ndim = len(self.dirs)
         dtype = state["w"].dtype

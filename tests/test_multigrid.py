@@ -274,3 +274,100 @@ def test_binary_gravity_coupled_run(tmp_path):
     mesh, phys, driver, state = run(pin)
     assert mesh.ncycle == 1
     assert np.all(np.isfinite(np.asarray(state["u"])))
+
+
+ISO_OVER = dict(mesh__ix1_bc="outflow", mesh__ox1_bc="outflow",
+                mesh__ix2_bc="outflow", mesh__ox2_bc="outflow",
+                mesh__ix3_bc="outflow", mesh__ox3_bc="outflow",
+                gravity__mg_bc="multipole")
+
+
+def _gaussian_setup(center, **extra):
+    """Gaussian sphere on an isolated box; returns (mg, u, exact_fn)."""
+    over = dict(ISO_OVER)
+    over.update(extra)
+    pin = ParameterInput.from_string(DECK)
+    for k, v in over.items():
+        blk, par = k.split("__")
+        pin.set_value(blk, par, str(v))
+    mesh = Mesh(pin)
+    mg = MGPoisson(pin, mesh)
+    mbi = mesh.mb_indcs
+    sig = 0.08
+    u = np.zeros((mesh.nmb_total, 5, mbi.ncells3, mbi.ncells2,
+                  mbi.ncells1))
+    for g in range(mesh.nmb_total):
+        x1v, x2v, x3v = mesh.cell_centers(g)
+        X3, X2, X1 = np.meshgrid(x3v[mbi.ks:mbi.ke + 1],
+                                 x2v[mbi.js:mbi.je + 1],
+                                 x1v[mbi.is_:mbi.ie + 1], indexing="ij")
+        r2 = ((X1 - center[0]) ** 2 + (X2 - center[1]) ** 2
+              + (X3 - center[2]) ** 2)
+        u[g, 0, mbi.ks:mbi.ke + 1, mbi.js:mbi.je + 1,
+          mbi.is_:mbi.ie + 1] = np.exp(-0.5 * r2 / sig ** 2)
+
+    from math import erf, pi, sqrt
+    M = (2.0 * pi) ** 1.5 * sig ** 3          # rho0 = 1
+    G = 1.0 / (4.0 * pi)                      # four_pi_G = 1
+
+    def exact(r):
+        r = np.maximum(r, 1e-12)
+        return -G * M * np.vectorize(erf)(r / (sqrt(2.0) * sig)) / r
+
+    return mesh, mg, jnp.asarray(u), exact
+
+
+def _phi_err(mesh, mg, u, exact, center):
+    """Max relative error of the solved potential vs the analytic one."""
+    mg.solve_verbose(u)
+    phi = np.asarray(jnp.stack([p for p in mg._last_phi]))
+    mbi = mesh.mb_indcs
+    errs = []
+    for g in range(mesh.nmb_total):
+        x1v, x2v, x3v = mesh.cell_centers(g)
+        X3, X2, X1 = np.meshgrid(x3v[mbi.ks:mbi.ke + 1],
+                                 x2v[mbi.js:mbi.je + 1],
+                                 x1v[mbi.is_:mbi.ie + 1], indexing="ij")
+        r = np.sqrt((X1 - center[0]) ** 2 + (X2 - center[1]) ** 2
+                    + (X3 - center[2]) ** 2)
+        ex = exact(r)
+        ph = phi[g, 0, mbi.ks:mbi.ke + 1, mbi.js:mbi.je + 1,
+                 mbi.is_:mbi.ie + 1]
+        errs.append(np.abs(ph - ex) / np.abs(ex))
+    return float(np.max(np.stack(errs)))
+
+
+def test_mg_multipole_gaussian_sphere():
+    """Isolated (outflow) box with mg_bc=multipole: the potential of a
+    centered Gaussian sphere matches -G M erf(r/sqrt(2)sigma)/r
+    (reference machinery: multigrid_driver.cpp:1827-2366)."""
+    mesh, mg, u, exact = _gaussian_setup((0.0, 0.0, 0.0))
+    err = _phi_err(mesh, mg, u, exact, (0.0, 0.0, 0.0))
+    assert err < 0.01, f"max relative potential error {err:g}"
+
+
+def test_mg_multipole_offcenter_auto_origin():
+    """auto_mporigin recenters the expansion on the center of mass, so
+    an off-center sphere stays monopole-dominated."""
+    c = (0.12, -0.08, 0.05)
+    mesh, mg, u, exact = _gaussian_setup(c)
+    err = _phi_err(mesh, mg, u, exact, c)
+    assert err < 0.015, f"max relative potential error {err:g}"
+
+
+def test_mg_zerofixed_converges():
+    """mg_bc=zerofixed (Dirichlet phi=0): defect converges at multigrid
+    rates on the isolated problem."""
+    mesh, mg, u, exact = _gaussian_setup(
+        (0.0, 0.0, 0.0), gravity__mg_bc="zerofixed")
+    hist = mg.solve_verbose(u)
+    _check(hist, 1e-8, 14, 0.2, "zerofixed")
+
+
+def test_mg_nonperiodic_requires_mg_bc():
+    pin = ParameterInput.from_string(DECK)
+    for f in ("ix1_bc", "ox1_bc", "ix2_bc", "ox2_bc", "ix3_bc", "ox3_bc"):
+        pin.set_value("mesh", f, "outflow")
+    mesh = Mesh(pin)
+    with pytest.raises(NotImplementedError):
+        MGPoisson(pin, mesh)

@@ -89,7 +89,7 @@ def _cycles(driver, state, n=2):
     return jax.tree_util.tree_map(np.asarray, state), float(dtnew)
 
 
-def _run(force_pallas: bool, mega: bool = True):
+def _run(force_pallas: bool, mega: bool = True, v2: bool = False):
     pin = ParameterInput.from_string(DECK)
     pin.set_value("mesh", "coalesce", "false")
     if force_pallas:
@@ -102,6 +102,10 @@ def _run(force_pallas: bool, mega: bool = True):
         if not mega:
             phys.use_mega_stage = False
             assert phys.use_fused_stage and phys.use_fused_ct
+        if not v2:
+            phys.use_mega_v2 = False
+        else:
+            assert phys._mega_v2_active(), "mega-v2 gate did not engage"
         # the single-block periodic ghost fill is TPU-gated; force it so
         # interpret mode covers ops/pallas_fill.py too
         phys.bvals.use_pallas_fill = True
@@ -164,3 +168,18 @@ def test_mega_stage_parity(f32_interpret):
     assert drv.phys.use_mega_stage, "mega-stage gate did not engage"
     _compare(ref, got)
     assert np.isclose(dt_got, dt_ref, rtol=1e-4)
+
+
+def test_mega_v2_parity(f32_interpret):
+    """fused_mega_stage3d_v2 (stage + in-kernel c2p/bcc/floors/new-dt,
+    state = (u, bfc) only) vs the jnp path."""
+    _, ref, dt_ref = _run(False)
+    drv, got, dt_got = _run(True, v2=True)
+    assert "w" not in got and "bcc" not in got
+    _compare(ref, got)
+    assert np.isclose(dt_got, dt_ref, rtol=1e-4)
+    # the driver-facing view rebuilds primitives for outputs/restart
+    sv = drv._unpadded(jax.tree_util.tree_map(jnp.asarray, got))
+    err = np.abs(np.asarray(sv["w"][:, 0], np.float64) - ref["w"][:, 0])
+    err /= np.abs(ref["w"][:, 0]).max()
+    assert (err < 3e-5).mean() > 0.95 and err.max() < 5e-3
