@@ -62,6 +62,20 @@ def local_blocks(tab, pad_edge: bool = False):
     return _CURRENT.local_rows(np.asarray(tab), pad_edge)
 
 
+def global_sum(x):
+    """All-block reduction of a per-block partial sum.
+
+    Outside ``use_comm`` this is the identity (a jnp reduction already
+    sees every block).  Inside the shard cycle the calling device holds
+    only its own blocks, so the partial is ``lax.psum``-reduced over the
+    block axis — the TPU-native analogue of the reference's
+    ``MPI_Allreduce`` in the turbulence normalization
+    (reference: src/srcterms/turb_driver.cpp:742)."""
+    if _CURRENT is None:
+        return x
+    return _CURRENT.psum(x)
+
+
 @contextmanager
 def use_comm(comm):
     global _CURRENT

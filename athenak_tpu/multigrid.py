@@ -217,6 +217,17 @@ class MGPoisson:
             # the isolated problem is non-singular: never shift the mean
             self.subtract_average = False
 
+        # source masking: zero the Poisson source outside mask_radius
+        # (reference: Multigrid::ApplyMask, multigrid.cpp:355-385 +
+        # mg_gravity.cpp:123-126 — keeps outflow-boundary inflow from
+        # polluting the multipole source in collapse runs)
+        self.mask_radius = pin.get_or_add_real("gravity",
+                                               "mask_radius", -1.0)
+        self.mask_origin = (
+            pin.get_or_add_real("gravity", "mask_origin_x1", 0.0),
+            pin.get_or_add_real("gravity", "mask_origin_x2", 0.0),
+            pin.get_or_add_real("gravity", "mask_origin_x3", 0.0))
+
         ms = mesh.mesh_size
         self.total_vol = ((ms.x1max - ms.x1min) * (ms.x2max - ms.x2min)
                           * (ms.x3max - ms.x3min))
@@ -696,6 +707,22 @@ class MGPoisson:
         """four_pi_G*(rho - <rho>) injected into the per-level arrays."""
         mbi = self.mesh.mb_indcs
         rho = u[:, 0][(slice(None),) + self.act_in]
+        if self.mask_radius > 0.0:
+            # zero the source outside the mask sphere (ApplyMask,
+            # reference: multigrid.cpp:355-385); host mask baked at
+            # trace time from the current tree's cell centers
+            nmb = rho.shape[0]
+            m = np.ones((nmb,) + rho.shape[1:], dtype=bool)
+            ox, oy, oz = self.mask_origin
+            r2m = self.mask_radius ** 2
+            for g in range(min(nmb, self.mesh.nmb_total)):
+                c1, c2, c3 = self.mesh.cell_centers(g)
+                c1 = c1[mbi.is_:mbi.ie + 1] - ox
+                c2 = c2[mbi.js:mbi.je + 1] - oy
+                c3 = c3[mbi.ks:mbi.ke + 1] - oz
+                m[g] = (c1[None, None, :] ** 2 + c2[None, :, None] ** 2
+                        + c3[:, None, None] ** 2) <= r2m
+            rho = jnp.where(jnp.asarray(m), rho, 0.0)
         # volume-weighted mean over the composite mesh
         if self.subtract_average:
             vol = (np.asarray(self.mesh.mb_size["dx1"])

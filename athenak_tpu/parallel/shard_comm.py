@@ -297,13 +297,16 @@ def supports_shard_cycle(driver, state) -> bool:
     a device mesh is present.  Excluded configurations fall back to the
     NamedSharding gather path (still multi-device-correct, higher comm
     volume): modules with global-array state (FFT gravity, turbulence
-    normalization, particles, shearing box, two-fluid ImEx, Z4c/dyngr,
-    radiation).
+    driving, shearing box, two-fluid ImEx).  Radiation and
+    RadiationFluid ride the cycle: the angle axis stays on-device
+    (SURVEY §5) and the block halo is the same CC exchange hydro uses
+    (reference: src/bvals/bvals_cc.cpp:42-289); per-block tetrad tables
+    localize via radiation._lb.
     """
     phys = driver.phys
-    if type(phys).__name__ not in ("Hydro", "MHD", "Z4c", "DynGRMHD"):
-        # Radiation/IonNeutral carry module state the route tables
-        # don't cover yet
+    if type(phys).__name__ not in ("Hydro", "MHD", "Z4c", "DynGRMHD",
+                                   "Radiation", "RadiationFluid"):
+        # IonNeutral (two-fluid ImEx) still falls to the gather path
         return False
     if getattr(driver.mesh, "adaptive", False) \
             and getattr(driver, "pamr", None) is not None \
@@ -311,7 +314,10 @@ def supports_shard_cycle(driver, state) -> bool:
         return False
     if hasattr(phys, "imex_cycle"):
         return False
-    for mod in ("pturb", "psbox", "pgrav"):
+    # turbulence driving rides the cycle: its volume integrals psum via
+    # comm.global_sum (the MPI_Allreduce analogue, turb_driver.cpp:742)
+    # and the OU PRNG key replicates across devices
+    for mod in ("psbox", "pgrav"):
         if getattr(phys, mod, None) is not None:
             return False
     if getattr(phys, "bvals", None) is None:
@@ -337,9 +343,27 @@ def supports_shard_cycle(driver, state) -> bool:
             return False  # ambiguous with the block axis: gather path
         ok_dims.add(ppart.nprtcl)
     rep_dims = _replicated_dims(phys, ok_dims)
-    return all(hasattr(leaf, "shape") and leaf.ndim >= 1
-               and (leaf.shape[0] in ok_dims or leaf.shape[0] in rep_dims)
-               for leaf in jax.tree_util.tree_leaves(state))
+    return all(_is_replicated_leaf(path, leaf, rep_dims)
+               or (hasattr(leaf, "shape") and leaf.ndim >= 1
+                   and leaf.shape[0] in ok_dims)
+               for path, leaf in
+               jax.tree_util.tree_flatten_with_path(state)[0])
+
+
+#: state keys replicated (identical) on every device rather than
+#: block-sharded: the turbulence OU PRNG key (every device draws the
+#: same modes; the reference broadcasts the same amplitudes to all
+#: ranks, turb_driver.cpp:500-560)
+_REPLICATED_KEYS = frozenset({"turb_key"})
+
+
+def _is_replicated_leaf(path, leaf, rep_dims) -> bool:
+    if not hasattr(leaf, "shape") or leaf.ndim < 1:
+        return False
+    name = getattr(path[-1], "key", None) if path else None
+    if name in _REPLICATED_KEYS:
+        return True
+    return leaf.shape[0] in rep_dims
 
 
 def _replicated_dims(phys, ok_dims):
@@ -371,11 +395,11 @@ def build_shard_cycle(driver, dmesh: DeviceMesh, state_template):
     # per-leaf specs: block/particle-axis leaves shard over the mesh,
     # tracker positions (and other tiny replicated leaves) stay P()
     rep_dims = _replicated_dims(driver.phys, {comm.nmb, comm.nmb_pad})
-    leaves, treedef = jax.tree_util.tree_flatten(state_template)
+    pleaves, treedef = jax.tree_util.tree_flatten_with_path(
+        state_template)
     state_spec = jax.tree_util.tree_unflatten(
-        treedef, [P() if (hasattr(lf, "shape") and lf.ndim >= 1
-                          and lf.shape[0] in rep_dims)
-                  else P(BLOCK_AXIS) for lf in leaves])
+        treedef, [P() if _is_replicated_leaf(path, lf, rep_dims)
+                  else P(BLOCK_AXIS) for path, lf in pleaves])
 
     fn = jax.shard_map(
         local_cycle, mesh=dmesh,

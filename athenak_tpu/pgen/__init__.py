@@ -20,6 +20,7 @@ _REGISTRY = {
     "advection": "athenak_tpu.pgen.advection",
     "orszag_tang": "athenak_tpu.pgen.orszag_tang",
     "binary_gravity": "athenak_tpu.pgen.binary_gravity",
+    "be_collapse": "athenak_tpu.pgen.be_collapse",
     "blast": "athenak_tpu.pgen.blast",
     "cpaw": "athenak_tpu.pgen.cpaw",
     "alfven_wave": "athenak_tpu.pgen.cpaw",

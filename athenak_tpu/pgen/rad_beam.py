@@ -76,7 +76,9 @@ def init(pin, mesh, phys):
     beam = np.where(in_beam,
                     np.asarray(rad.n0) * np.asarray(rad.n_0) * dii_dt,
                     0.0)
-    rad.beam_dii0 = jnp.asarray(beam, dtype=dtype)
+    # keep the beam table a host (numpy) constant so the shard cycle
+    # can hand each device its own rows (radiation._lb)
+    rad.beam_dii0 = np.asarray(beam, dtype=dtype)
 
     # zero-intensity user boundaries (reference: ZeroIntensity)
     mbi = mesh.mb_indcs
@@ -96,11 +98,14 @@ def init(pin, mesh, phys):
                 sli = list(sl)
                 sli[0] = gid
                 gmask[tuple(sli)] = True
-    gmask_j = jnp.asarray(gmask)
-
     def zero_bc(u, bv):
-        return jnp.where(gmask_j, 0.0, u)
+        # per-block host mask localized for the shard cycle (identity on
+        # one device); pad slots get an all-False mask (local_blocks
+        # zero-pads), i.e. no physical BC — matching shard_comm.pad_state
+        from ..comm import local_blocks
+        return jnp.where(jnp.asarray(local_blocks(gmask)), 0.0, u)
 
+    zero_bc.shard_safe = True
     phys.bvals.user_bc_func = zero_bc
     i0 = jnp.zeros(rad.shape, dtype=dtype)
     if rad is phys:

@@ -1586,7 +1586,7 @@ class MHD:
                 w, bcc, bfc, u, saved["u1"], saved["bfc1"], self.eos,
                 gam0, gam1, beta_dt, dxs)
             if self.srcterms_func is not None:
-                u = self.srcterms_func(u, w, beta_dt)
+                u = self._user_srcs(u, w, beta_dt, bcc)
             bfc = self.fill_ghosts_fc(bfc)
             fuse_dt = (self.ppart is None
                        and self.time_evolution == "dynamic")
@@ -1624,7 +1624,7 @@ class MHD:
                 w, bcc, bfc, u, saved["u1"], self.eos,
                 gam0, gam1, beta_dt, dxs)
             if self.srcterms_func is not None:
-                u = self.srcterms_func(u, w, beta_dt)
+                u = self._user_srcs(u, w, beta_dt, bcc)
             if self.use_fused_ct:
                 from ..ops.pallas_stage import fused_ct3d
                 bfc = fused_ct3d(w, bcc, fden, emf, bfc, saved["bfc1"],
@@ -1665,7 +1665,7 @@ class MHD:
             u = self.psbox.src_terms(u, w, beta_dt, self.eos.is_ideal,
                                      len(self.dirs) == 3, bcc=bcc)
         if self.srcterms_func is not None:
-            u = self.srcterms_func(u, w, beta_dt)
+            u = self._user_srcs(u, w, beta_dt, bcc)
         if self.use_fused_ct:
             from ..ops.pallas_stage import fused_ct3d
             bfc = fused_ct3d(w, bcc, {n: flx[n][:, IDN] for n in flx},
@@ -1699,6 +1699,16 @@ class MHD:
         if phi is not None and "phi" in state:
             out["phi"] = phi
         return out, counters
+
+
+    def _user_srcs(self, u, w, beta_dt, bcc):
+        """Apply the pgen-enrolled source term.  Functions that declare
+        ``needs_bcc = True`` receive the cell-centered field as a kwarg
+        (reference: user_srcs_func reads pmbp->pmhd->bcc0 directly,
+        e.g. BarotropicCooling in src/pgen/tests/be_collapse.cpp)."""
+        if getattr(self.srcterms_func, "needs_bcc", False):
+            return self.srcterms_func(u, w, beta_dt, bcc=bcc)
+        return self.srcterms_func(u, w, beta_dt)
 
     def dt_from_state(self, state):
         if "w" not in state:       # v2 stage path carries only (u, bfc)

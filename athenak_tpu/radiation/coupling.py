@@ -60,7 +60,8 @@ def rad_fluid_coupling(rad, i0, u, w, gm1, dt_eff, affect_fluid=True):
     nh = rad.nh4  # [nangles, 4]
     nh_b = [nh[:, a].reshape(1, -1, 1, 1, 1) for a in range(4)]
 
-    xv, yv, zv = rad._coords[:3]
+    from .radiation import _lb as _local
+    xv, yv, zv = (_local(c) for c in rad._coords[:3])
     X = xv[:, None, None, :]
     Y = yv[:, None, :, None]
     Z = zv[:, :, None, None]
@@ -194,9 +195,9 @@ def rad_fluid_coupling(rad, i0, u, w, gm1, dt_eff, affect_fluid=True):
         i0_new = jnp.where(apply_c[:, None], i0_compton, i0_new)
 
     if rad.excise_mask is not None:
-        m = rad.excise_mask[:, None]
+        m = _local(rad.excise_mask)[:, None]
         i0_new = jnp.where(m, 0.0, i0_new)
-        i0_new = jnp.where(np.abs(n_0) < rad.n_0_floor, 0.0, i0_new)
+        i0_new = jnp.where(jnp.abs(n_0) < rad.n_0_floor, 0.0, i0_new)
 
     if not affect_fluid:
         return i0_new, u

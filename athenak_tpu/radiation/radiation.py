@@ -38,6 +38,16 @@ from .geodesic_grid import GeodesicGrid
 _HUGE = float(np.finfo(np.float32).max)
 
 
+def _lb(tab):
+    """Device-local rows of a per-block host table when tracing inside
+    the shard_map cycle; identity otherwise (comm.local_blocks).  Pad
+    slots clone block 0's geometry, matching shard_comm.pad_state; the
+    reference's analogue is each rank holding only its own blocks' tetrad
+    arrays (src/radiation/radiation.cpp per-pack allocations)."""
+    from ..comm import local_blocks
+    return local_blocks(tab, pad_edge=True)
+
+
 class Radiation:
     is_mhd = False
 
@@ -265,19 +275,23 @@ class Radiation:
                               self.spin, self.minkowski)
             self._n2t = [[np.asarray(n2t[a][nu]) for nu in range(4)]
                          for a in range(4)]
-        return self.n0, self.n_0, self._n_mu, self._n2t
+        # localized views inside the shard cycle (identity elsewhere)
+        return (_lb(self.n0), _lb(self.n_0),
+                [_lb(x) for x in self._n_mu],
+                [[_lb(y) for y in row] for row in self._n2t])
 
     # ------------------------------------------------------------------
     def fluxes(self, i0):
         """Upwind transport fluxes F^d = n^d (n_0 I)
         (reference: radiation_fluxes.cpp:27-220)."""
-        prim = i0 / self.n0
+        prim = i0 / _lb(self.n0)
         out = {}
         for name, axis, d, _dx in self.dirs:
             nd = self.nd_face[name]
             # face d has cell extent +1; flux stored cell-indexed (face i
             # = lower face of cell i) like the hydro fluxes
-            ndc = np.take(nd, np.arange(nd.shape[axis] - 1), axis=axis)
+            ndc = _lb(np.take(nd, np.arange(nd.shape[axis] - 1),
+                              axis=axis))
             im1 = jnp.roll(prim, 1, axis=axis)
             ip1 = jnp.roll(prim, -1, axis=axis)
             im2 = jnp.roll(prim, 2, axis=axis)
@@ -301,11 +315,12 @@ class Radiation:
         """Angular flux divergence (reference:
         radiation_fluxes.cpp:225-246)."""
         g = self.grid
-        prim = i0 / self.n0
+        prim = i0 / _lb(self.n0)
         nmax = g.ind_neighbors.shape[1]
+        na_loc = _lb(self.na)
         out = 0.0
         for nb in range(nmax):
-            na = self.na[:, :, nb]
+            na = na_loc[:, :, nb]
             nbr = jnp.take(prim, g.ind_neighbors[:, nb], axis=1)
             upw = jnp.where(na < 0.0, nbr, prim)
             arc = g.arc_lengths[:, nb].reshape(1, -1, 1, 1, 1)
@@ -323,7 +338,7 @@ class Radiation:
         divf = None
         for name, axis, _d, dx in self.dirs:
             f = flx[name]
-            d = (jnp.roll(f, -1, axis=axis) - f) / dx
+            d = (jnp.roll(f, -1, axis=axis) - f) / _lb(dx)
             divf = d if divf is None else divf + d
         out = gam0 * i0 + gam1 * i1 - beta_dt * divf
         if self.angular_fluxes:
@@ -337,21 +352,23 @@ class Radiation:
         lives in coupling.py)."""
         if self.kappa_a == 0.0 and self.kappa_s == 0.0:
             return i0
-        prim = i0 / self.n0          # n_0 I
+        n0 = _lb(self.n0)
+        prim = i0 / n0               # n_0 I
         J = jnp.sum(self.wgt * prim, axis=1, keepdims=True)
         ka, ks = self.kappa_a, self.kappa_s
         denom = 1.0 + beta_dt * (ka + ks)
-        return self.n0 * (prim + beta_dt * ks * J) / denom
+        return n0 * (prim + beta_dt * ks * J) / denom
 
     def _floor(self, i0):
         # n^0 n_0 I with I >= 0: n_0 < 0, so i0 must stay <= 0 where
         # n0 > 0; enforce via the primitive (reference update floor)
-        nn = self.n0 * self.n_0
+        nn = _lb(self.n0) * _lb(self.n_0)
         i0 = nn * jnp.maximum(i0 / nn, 0.0)
         if self.excise_mask is not None:
-            m = self.excise_mask[:, None]
+            m = _lb(self.excise_mask)[:, None]
             i0 = jnp.where(m, 0.0, i0)
-            i0 = jnp.where(np.abs(self.n_0) < self.n_0_floor, 0.0, i0)
+            i0 = jnp.where(jnp.abs(_lb(self.n_0)) < self.n_0_floor,
+                           0.0, i0)
         return i0
 
     # ------------------------------------------------- state-dict interface
@@ -377,7 +394,7 @@ class Radiation:
         i0 = self.rk_update(i0, saved["u1"], flx, gam0, gam1, beta_dt)
         i0 = self.source(i0, beta_dt)
         if self.beam_dii0 is not None:
-            i0 = i0 + beta_dt * self.beam_dii0
+            i0 = i0 + beta_dt * _lb(self.beam_dii0)
         i0 = self._floor(i0)
         i0 = self.bvals.fill_ghosts(i0)
         return dict(state, u=i0, w=i0), {}

@@ -116,9 +116,13 @@ class TurbulenceDriver:
         b = (b - kv * jnp.sum(kv * b, axis=1, keepdims=True) / ksq) \
             * nrm[:, None]
 
-        xc = jnp.asarray(self.xc, dtype=dtype)
-        yc = jnp.asarray(self.yc, dtype=dtype)
-        zc = jnp.asarray(self.zc, dtype=dtype)
+        # per-block coordinate tables: localized to the calling device
+        # inside the shard cycle (pad slots clone block 0; their
+        # contribution is killed by the zero-padded volume weights)
+        from .comm import local_blocks
+        xc = jnp.asarray(local_blocks(self.xc, pad_edge=True), dtype)
+        yc = jnp.asarray(local_blocks(self.yc, pad_edge=True), dtype)
+        zc = jnp.asarray(local_blocks(self.zc, pad_edge=True), dtype)
 
         def body(carry, inputs):
             kx, ky, kz, av, bv = inputs
@@ -129,7 +133,7 @@ class TurbulenceDriver:
                 + bv[None, :, None, None, None] * s
             return carry + add, None
 
-        zero = jnp.zeros(self.shape, dtype=dtype)
+        zero = jnp.zeros((xc.shape[0],) + self.shape[1:], dtype=dtype)
         force, _ = jax.lax.scan(
             body, zero, (kv[:, 0], kv[:, 1], kv[:, 2], a, b))
         return force
@@ -155,19 +159,24 @@ class TurbulenceDriver:
         dact = (slice(None), slice(mbi.ks, mbi.ke + 1),
                 slice(mbi.js, mbi.je + 1), slice(mbi.is_, mbi.ie + 1))
         den_a = den[dact]
-        wv = jnp.asarray(self.wvol, dtype)  # per-block volume weights
+        # per-block volume weights; zero on pool-pad slots so the global
+        # integrals ignore them (local_blocks zero-pads without pad_edge)
+        from .comm import global_sum, local_blocks
+        wv = jnp.asarray(local_blocks(self.wvol), dtype)
 
-        # remove net momentum injection (reference: turb_driver.cpp:717-755)
-        t0 = jnp.sum(wv * den_a)
+        # remove net momentum injection (reference: turb_driver.cpp:717-755;
+        # the volume integrals psum over devices in the shard cycle, the
+        # MPI_Allreduce analogue of turb_driver.cpp:742)
+        t0 = global_sum(jnp.sum(wv * den_a))
         for c in range(3):
-            tc = jnp.sum(wv * den_a * ftmp[act][:, c])
+            tc = global_sum(jnp.sum(wv * den_a * ftmp[act][:, c]))
             ftmp = ftmp.at[:, c].add(-tc / t0)
 
         # normalize to dedt (reference: turb_driver.cpp:757-812)
         fa = ftmp[act]
         mom = u[act][:, IM1:IM3 + 1]
-        t0 = jnp.sum(wv * den_a * jnp.sum(fa * fa, axis=1))
-        t1 = jnp.sum(wv * jnp.sum(mom * fa, axis=1))
+        t0 = global_sum(jnp.sum(wv * den_a * jnp.sum(fa * fa, axis=1)))
+        t1 = global_sum(jnp.sum(wv * jnp.sum(mom * fa, axis=1)))
         m0 = jnp.maximum(0.5 * t0 * dt, 1.0e-20)
         m1 = t1
         # quadratic for s:  m0 s^2 + m1 s = dedt
@@ -195,9 +204,9 @@ class TurbulenceDriver:
             u = u.at[:, IEN].add(fv * den * dt)
 
         # remove residual net momentum (reference: turb_driver.cpp:1138-1200)
-        t0 = jnp.sum(wv * u[act][:, IDN])
+        t0 = global_sum(jnp.sum(wv * u[act][:, IDN]))
         for c, im in ((0, IM1), (1, IM2), (2, IM3)):
-            tc = jnp.sum(wv * u[act][:, im])
+            tc = global_sum(jnp.sum(wv * u[act][:, im]))
             u = u.at[:, im].add(-den * tc / t0)
 
         out = dict(state)

@@ -67,6 +67,10 @@ def _run_cycles(dmesh, ncyc=3):
     dt = jnp.asarray(driver.mesh.dt, dtype=state["u"].dtype)
     for _ in range(ncyc):
         state, dtnew, _ = cycle(state, dt)
+    # compare in gid-ordered block layout: strip pool padding / pencil
+    # lane packing (the single-device pool packs x1-adjacent blocks into
+    # 128-lane pencils; outputs go through the same view)
+    state = driver._unpadded(state)
     return jax.tree_util.tree_map(np.asarray, state), float(dtnew)
 
 
