@@ -792,10 +792,21 @@ class AMR:
         from .amr_pool import extract_tables, pool_pad_state
 
         mesh, phys = driver.mesh, driver.phys
-        self.pool_T = jax.device_put(
-            extract_tables(mesh, phys.bvals, self.capacity))
+        self.pool_T = self._put_tables(
+            extract_tables(mesh, phys.bvals, self.capacity), driver)
         driver._npad = self.capacity - mesh.nmb_total
         return pool_pad_state(state, mesh.nmb_total, self.capacity)
+
+    def _put_tables(self, T, driver):
+        """Stage the table pytree on device; replicated across a device
+        mesh (the traced gather indices must be whole on every device —
+        the reference analogue is every rank holding the full neighbor
+        metadata, src/mesh/mesh.hpp:176-184)."""
+        if driver.dmesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            rep = NamedSharding(driver.dmesh, PartitionSpec())
+            return jax.device_put(T, rep)
+        return jax.device_put(T)
 
     def pool_dt(self, driver, state) -> float:
         """Post-update dt through the pooled (compile-once) dt fn."""
@@ -844,11 +855,16 @@ class AMR:
             act_axes.append("x3")
         nquad = 2 ** len(act_axes)
         while mesh.nmb_total > self.capacity:
-            # climb the capacity ladder (shape change -> one recompile)
+            # climb the capacity ladder (shape change -> one recompile:
+            # the jitted pool programs cache one entry per rung)
             self.capacity = min(2 * self.capacity, self.max_nmb)
+        if driver.dmesh is not None:
+            ndev = driver.dmesh.devices.size
+            self.capacity = -(-self.capacity // ndev) * ndev
         tbl = prov_tables_padded(prov, old_mesh.nmb_total, self.capacity,
                                  nquad)
-        T_new = jax.device_put(extract_tables(mesh, bvals, self.capacity))
+        T_new = self._put_tables(extract_tables(mesh, bvals,
+                                                self.capacity), driver)
 
         if self._pool_remap is None:
             def remap(st, tb, T):
@@ -875,6 +891,9 @@ class AMR:
             self._pool_remap = jax.jit(remap, donate_argnums=(0,))
 
         state = self._pool_remap(state, tbl, T_new)
+        if driver.dmesh is not None:
+            from .parallel import shard_state
+            state = shard_state(state, driver.dmesh)
         self.pool_T = T_new
 
         driver.mesh = mesh

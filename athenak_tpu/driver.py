@@ -368,10 +368,15 @@ class Driver:
                 self.mesh.dt = self.tlim - self.mesh.time
         if self.pamr is not None and self.pamr.use_pool \
                 and self.dmesh is not None:
-            # multi-device AMR redistributes + retraces per tree epoch
-            # (ppermute routes are trace-time constants; the pool's
-            # traced tables can't drive them) — see shard_comm docstring
-            self.pamr.use_pool = False
+            # multi-device pool: capacity must tile the device mesh so
+            # the slot axis shards evenly; the cycle stays ONE compiled
+            # program per capacity rung (tables are traced inputs) with
+            # XLA's SPMD partitioner moving donor slabs — the reference
+            # analogue is rebuilding only comm metadata on amr_lb_seq_
+            # changes (reference: src/mesh/mesh.hpp:176-184,
+            # bvals.cpp:258-263)
+            ndev = self.dmesh.devices.size
+            self.pamr.capacity = -(-self.pamr.capacity // ndev) * ndev
         if self.pamr is not None and self.pamr.use_pool:
             state = self.pamr.init_pool(self, state)
         if self.dmesh is not None:

@@ -162,6 +162,7 @@ class DynGRMHD:
         if self.fixed_evolution:
             self.z4c = None
             self._fixed_adm = None  # set by the problem generator
+            self._adm_fn = None     # time-dependent prescribed ADM
             self.nco = 0
         else:
             from .z4c.z4c import Z4c
@@ -189,8 +190,18 @@ class DynGRMHD:
             "g3d": list(g3d), "alpha": alpha, "beta_u": list(beta_u),
             "K_dd": list(K_dd) if K_dd is not None else zeros}
 
+    def set_adm_fn(self, fn):
+        """Prescribed TIME-DEPENDENT ADM background: ``fn(t) -> adm``
+        dict with g3d/alpha/beta_u/K_dd, traced into the cycle so the
+        spacetime moves without recompiles (the reference's
+        padm->SetADMVariables hook re-evaluated per step, e.g. the
+        superposed-BBH metric, src/pgen/dyn_grmhd/dynbbh.cpp:242-313)."""
+        self._adm_fn = fn
+
     def adm_of(self, state):
         if self.fixed_evolution:
+            if getattr(self, "_adm_fn", None) is not None:
+                return self._adm_fn(state.get("t", 0.0))
             if self._fixed_adm is None:
                 raise RuntimeError("fixed-spacetime DynGRMHD needs the "
                                    "pgen to call set_fixed_adm")

@@ -419,6 +419,23 @@ class Mesh:
                      if isinstance(v, dict) and "same" in v]
         self.nbr_gid = {k: self.ml[k]["same"] for k in face_keys}
         self.phys_bc_mask = {k: self.ml[k]["phys"] for k in face_keys}
+        # shear_periodic x1: the ml tables wrap like periodic (the ghost
+        # fill uses the wraparound donors), but the boundary blocks must
+        # stay FLAGGED so the sheared y-remap can find and overwrite
+        # them — same convention as the uniform path above (reference:
+        # shear-periodic runs its own comm pass after the periodic fill,
+        # src/shearing_box/shearing_box_cc.cpp:63-140)
+        if self.mesh_bcs.get("ix1") == "shear_periodic":
+            nrbx1 = self.tree_nrbx[0]
+            for side in ("m", "p"):
+                mask = np.array(self.phys_bc_mask[f"x1{side}"],
+                                dtype=bool, copy=True)
+                for g, l in enumerate(self.lloc_eachmb):
+                    lev = int(self.mb_lev[g])
+                    edge = 0 if side == "m" else (nrbx1 << lev) - 1
+                    if int(l[0]) == edge:
+                        mask[g] = True
+                self.phys_bc_mask[f"x1{side}"] = mask
 
     # ------------------------------------------------------------------
     def cell_centers(self, gid: int):

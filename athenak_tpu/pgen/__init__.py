@@ -21,6 +21,8 @@ _REGISTRY = {
     "orszag_tang": "athenak_tpu.pgen.orszag_tang",
     "binary_gravity": "athenak_tpu.pgen.binary_gravity",
     "be_collapse": "athenak_tpu.pgen.be_collapse",
+    "disk_magnetosphere": "athenak_tpu.pgen.disk_magnetosphere",
+    "dynbbh": "athenak_tpu.pgen.dynbbh",
     "blast": "athenak_tpu.pgen.blast",
     "cpaw": "athenak_tpu.pgen.cpaw",
     "alfven_wave": "athenak_tpu.pgen.cpaw",
@@ -39,6 +41,7 @@ _REGISTRY = {
     "z4c_linear_wave": "athenak_tpu.pgen.z4c_linear_wave",
     "z4c_one_puncture": "athenak_tpu.pgen.z4c_one_puncture",
     "rad_hohlraum": "athenak_tpu.pgen.rad_hohlraum",
+    "rad_snake": "athenak_tpu.pgen.rad_snake",
     "rad_relax": "athenak_tpu.pgen.rad_relax",
     "rad_shadow": "athenak_tpu.pgen.rad_shadow",
     "rad_diffusion": "athenak_tpu.pgen.rad_diffusion",

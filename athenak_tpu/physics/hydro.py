@@ -189,10 +189,11 @@ class Hydro:
             blockers = {
                         # multigrid gravity handles refined meshes; the
                         # FFT fast path does not
+                        # shearing box composes via per-level ring
+                        # tables (shearing_box._check_zslab)
                         "self-gravity (fft)": self.pgrav
                         if not isinstance(self.pgrav, MGPoisson)
-                        else None,
-                        "shearing box": self.psbox}
+                        else None}
             for what, on in blockers.items():
                 if on is not None and on is not False:
                     raise NotImplementedError(
@@ -497,7 +498,10 @@ class Hydro:
             u = self.psbox.src_terms(u, w, beta_dt, self.eos.is_ideal,
                                      len(self.dirs) == 3)
         if self.srcterms_func is not None:
-            u = self.srcterms_func(u, w, beta_dt)
+            kw = {}
+            if getattr(self.srcterms_func, "needs_time", False):
+                kw["t"] = state.get("t")
+            u = self.srcterms_func(u, w, beta_dt, **kw)
         u = self.bvals.fill_ghosts(u)
         if self.psbox is not None:
             u = self.psbox.remap_ghosts(u, state["t"])

@@ -147,6 +147,19 @@ class Radiation:
             xf[g], yf[g], zf[g] = f1, f2, f3
         self._coords = (xv, yv, zv, xf, yf, zf)
 
+        # geometry functions (pluggable: rad_snake overrides them with
+        # its per-cell snake metric/tetrad via set_geometry, reference:
+        # src/pgen/radiation/rad_snake.cpp:26-370)
+        from .tetrad import norm_to_tet as _n2t
+        from .tetrad import ricci_rotation as _ric
+        from .tetrad import tetrad as _tet
+        self._tet_fn = lambda X, Y, Z: _tet(X, Y, Z, self.spin,
+                                            self.minkowski)
+        self._ricci_fn = lambda X, Y, Z: _ric(X, Y, Z, self.spin,
+                                              self.minkowski)
+        self._n2t_fn = lambda X, Y, Z: _n2t(X, Y, Z, self.spin,
+                                            self.minkowski)
+
         # precompute static tetrad-derived fields (numpy; XLA constants).
         # NOTE: all host-side tetrad math must run eagerly here — inside a
         # traced cycle the jnp ops in gr.cks.metric would become tracers
@@ -177,10 +190,9 @@ class Radiation:
                 np.broadcast_to(Z, shp))
 
     def _build_tet_fields(self) -> None:
-        from .tetrad import tetrad
         xv, yv, zv, xf, yf, zf = self._coords
         X, Y, Z = self._bcast(xv, yv, zv)
-        e, ecov = tetrad(X, Y, Z, self.spin, self.minkowski)
+        e, ecov = self._tet_fn(X, Y, Z)
         # n^0 = e_(0)^0 (angle-independent); n_mu per angle
         self.n0 = np.asarray(e[0][0])
         nh = self.nh4  # [nangles, 4]
@@ -200,7 +212,7 @@ class Radiation:
                 Xf, Yf, Zf = self._bcast(xv, yf, zv)
             else:
                 Xf, Yf, Zf = self._bcast(xv, yv, zf)
-            ef, _ = tetrad(Xf, Yf, Zf, self.spin, self.minkowski)
+            ef, _ = self._tet_fn(Xf, Yf, Zf)
             nd = sum(np.asarray(ef[a][d + 1])
                      * nh[:, a].reshape(1, -1, 1, 1, 1)
                      for a in range(4))
@@ -219,12 +231,11 @@ class Radiation:
     def _build_angular_speeds(self) -> None:
         """Edge advection speeds na[n, nb] from the Ricci rotation
         coefficients (reference: radiation_tetrad.cpp:180-220)."""
-        from .tetrad import ricci_rotation
         g = self.grid
         xv, yv, zv = self._coords[:3]
         X, Y, Z = self._bcast(xv, yv, zv)
         X, Y, Z = X[:, 0], Y[:, 0], Z[:, 0]  # [nmb, n3, n2, n1]
-        omega = ricci_rotation(X, Y, Z, self.spin, self.minkowski)
+        omega = self._ricci_fn(X, Y, Z)
         nmax = g.ind_neighbors.shape[1]
         na = np.zeros((self.mesh.nmb_total, self.nangles, nmax)
                       + X.shape[1:])
@@ -247,14 +258,33 @@ class Radiation:
         self.na = na
 
     # ------------------------------------------------------------------
+    def set_geometry(self, tet_fn, ricci_fn=None, n2t_fn=None) -> None:
+        """Per-cell metric/tetrad override: rebuild every derived
+        geometry table from user functions (reference: the rad_snake
+        pgen overwrites tet_c/tetcov_c/na per cell,
+        src/pgen/radiation/rad_snake.cpp:60-240).
+
+        ``tet_fn(X, Y, Z) -> (e, ecov)`` like radiation.tetrad.tetrad;
+        ``ricci_fn(X, Y, Z) -> omega[4][4][4]`` like ricci_rotation;
+        ``n2t_fn`` like norm_to_tet (only needed with fluid coupling).
+        """
+        self._tet_fn = tet_fn
+        if ricci_fn is not None:
+            self._ricci_fn = ricci_fn
+        if n2t_fn is not None:
+            self._n2t_fn = n2t_fn
+        self._build_tet_fields()
+        self._n_mu = None
+        if self.angular_fluxes:
+            self._build_angular_speeds()
+
     def tet_quantities(self):
         """(n0 [nmb,1,...], n_0 [nmb,nang,...], n_mu list, norm_to_tet
         [4][4] arrays) for pgen / coupling use."""
-        from .tetrad import norm_to_tet, tetrad
         xv, yv, zv = self._coords[:3]
         X, Y, Z = self._bcast(xv, yv, zv)
         if self._n_mu is None:
-            e, ecov = tetrad(X, Y, Z, self.spin, self.minkowski)
+            e, ecov = self._tet_fn(X, Y, Z)
             nh = self.nh4
             self._n_mu = [sum(np.asarray(ecov[a][c])
                               * nh[:, a].reshape(1, -1, 1, 1, 1)
@@ -271,8 +301,7 @@ class Radiation:
 
             self._ecov = [[_sq(ecov[a][c]) for c in range(4)]
                           for a in range(4)]
-            n2t = norm_to_tet(X[:, 0], Y[:, 0], Z[:, 0],
-                              self.spin, self.minkowski)
+            n2t = self._n2t_fn(X[:, 0], Y[:, 0], Z[:, 0])
             self._n2t = [[np.asarray(n2t[a][nu]) for nu in range(4)]
                          for a in range(4)]
         # localized views inside the shard cycle (identity elsewhere)

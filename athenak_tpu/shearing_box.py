@@ -133,25 +133,81 @@ class ShearingBox:
         self.xf = xf
         self.zc = zc
         self.dy = ms.dx2
+        self.multilevel = bool(getattr(mesh, "multilevel", False))
+        # per-block level + y spacing: the sheared remap works in block-
+        # local cell units, so every shift divides by the block's own dy
+        # (reference: FindTargetMB resolves targets per level,
+        # shearing_box.hpp:77; remap_fluxes.hpp works in local cells)
+        self.mb_lev = np.asarray(getattr(
+            mesh, "mb_lev", np.zeros(nmb, dtype=np.int64)))
+        self.dyb = (ms.dx2 / (2.0 ** self.mb_lev)).reshape(-1, 1, 1, 1)
+        if self.multilevel and self.oa_active:
+            self._check_zslab(mesh)
 
         # ---- shear-periodic ring tables: for each x1-boundary block, the
         # gids of the OPPOSITE boundary column ordered by y (reference:
-        # the sheared-overlap target search of shearing_box_cc.cpp:63-100)
+        # the sheared-overlap target search of shearing_box_cc.cpp:63-100).
+        # On refined meshes the rings are built per level (z-slab
+        # refinement keeps every x-row and its sheared partner at one
+        # level), so each ring concatenates same-level blocks only.
         self.ring = {}
         maskm = mesh.phys_bc_mask.get("x1m")
         if maskm is not None and mesh.mesh_bcs["ix1"] == "shear_periodic":
-            n1b, n2b = mesh.nmb_x1, mesh.nmb_x2
-            loc2gid = {tuple(loc): g
-                       for g, loc in enumerate(mesh.lloc_eachmb)}
-            for side, src_lx1 in (("m", n1b - 1), ("p", 0)):
+            nrbx1, nrbx2 = self._nrbx(mesh)
+            loc2gid = {(int(self.mb_lev[g]), int(l[0]), int(l[1]),
+                        int(l[2])): g
+                       for g, l in enumerate(mesh.lloc_eachmb)}
+            levels = sorted(set(int(v) for v in self.mb_lev))
+            for side in ("m", "p"):
                 bmask = mesh.phys_bc_mask[f"x1{side}"]
-                bgids = np.where(bmask)[0]
-                ring = np.zeros((nmb, n2b), dtype=np.int32)
-                for g in bgids:
-                    l1, l2, l3 = mesh.lloc_eachmb[g]
-                    for yi in range(n2b):
-                        ring[g, yi] = loc2gid[(src_lx1, yi, l3)]
-                self.ring[side] = (ring, bmask)
+                groups = []
+                for lv in levels:
+                    lmask = bmask & (self.mb_lev == lv)
+                    if not lmask.any():
+                        continue
+                    n2b = nrbx2 << lv
+                    src_lx1 = ((nrbx1 << lv) - 1) if side == "m" else 0
+                    ring = np.zeros((nmb, n2b), dtype=np.int32)
+                    for g in np.where(lmask)[0]:
+                        _l1, _l2, l3 = mesh.lloc_eachmb[g]
+                        for yi in range(n2b):
+                            ring[g, yi] = loc2gid[(lv, src_lx1, yi,
+                                                   int(l3))]
+                    groups.append((lv, ring, lmask))
+                if groups:
+                    self.ring[side] = groups
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _nrbx(mesh):
+        """Root-grid block counts (nrbx1, nrbx2): the tree's on refined
+        meshes, the uniform decomposition otherwise."""
+        t = getattr(mesh, "tree_nrbx", None)
+        if t is not None:
+            return int(t[0]), int(t[1])
+        return int(mesh.nmb_x1), int(mesh.nmb_x2)
+
+    def _check_zslab(self, mesh) -> None:
+        """Refined shearing boxes must refine z-slabs spanning the full
+        x and y extent: the sheared x1 rings then pair same-level
+        columns and every x2 neighbor is same-level (the reference's
+        general sheared-overlap search, shearing_box_cc.cpp:63-100,
+        also only exercises this layout in its MRI decks)."""
+        nrbx1, nrbx2 = mesh.tree_nrbx[0], mesh.tree_nrbx[1]
+        have = {(int(self.mb_lev[g]), int(l[0]), int(l[1]), int(l[2]))
+                for g, l in enumerate(mesh.lloc_eachmb)}
+        for g, l in enumerate(mesh.lloc_eachmb):
+            lv = int(self.mb_lev[g])
+            l3 = int(l[2])
+            for l1 in range(nrbx1 << lv):
+                for l2 in range(nrbx2 << lv):
+                    if (lv, l1, l2, l3) not in have:
+                        raise NotImplementedError(
+                            "shearing box with mesh refinement requires "
+                            "z-slab refinement regions spanning the "
+                            "full x1/x2 extent (block at level "
+                            f"{lv}, lloc {tuple(int(v) for v in l)} has "
+                            "a mixed-level x-row)")
 
     # ------------------------------------------------------------------
     def src_terms(self, u, w, beta_dt, is_ideal: bool, three_d: bool,
@@ -241,7 +297,8 @@ class ShearingBox:
         pad = self.maxjshift + 2  # stencil guard for the PLM flux
         ext = self._y_extended(u, pad)
         shift = (-(self.qshear * self.omega0)
-                 * jnp.asarray(self.xc) * dt) / self.dy
+                 * jnp.asarray(self.xc) * dt) \
+            / jnp.asarray(self.dyb[:, None])
         jo = jnp.floor(shift).astype(jnp.int32)
         eps = shift - jo
 
@@ -288,7 +345,7 @@ class ShearingBox:
         three_d = mbi.nx3 > 1
         qo = self.qshear * self.omega0
         pad = self.maxjshift + 2
-        dy = self.dy
+        dyb4 = jnp.asarray(self.dyb)  # [nmb,1,1,1] block y spacing
         ms = mesh.mesh_size
 
         def eff_emf(arr, x1):
@@ -296,7 +353,7 @@ class ShearingBox:
             of B sampled like ``arr`` (4D [nmb, n3c, n2c, nX]):
             emf(j) = flx(j - jo) + sum of the jo cells crossed."""
             yshear = -qo * jnp.asarray(x1[:, 0]) * dt   # [nmb,1,1,nX]
-            shift = yshear / dy
+            shift = yshear / dyb4
             jo = jnp.trunc(shift).astype(jnp.int32)
             eps = shift - jo
             ext = self._y_extended(arr, pad)
@@ -332,12 +389,12 @@ class ShearingBox:
             -(emfz[:, ks:ke + 1, 1:nx2 + 1, :]
               - emfz[:, ks:ke + 1, 0:nx2, :]))
         # B2: b2 += (dy/dx)*d(emfz)/dx [- (dy/dz)*d(emfx)/dz]
-        dydx = dy / ms.dx1
+        dydx = self.dy / ms.dx1  # level-invariant ratio
         d_emfz = emfz[..., 1:] - emfz[..., :-1]   # at x1 cell centers
         nb2 = x2f.at[:, ks:ke + 1, js:je + 2, is_:ie + 1].add(
             dydx * d_emfz[:, ks:ke + 1, :, is_:ie + 1])
         if emfx is not None:
-            dydz = dy / ms.dx3
+            dydz = self.dy / ms.dx3  # level-invariant ratio
             d_emfx = emfx[:, 1:, :, :] - emfx[:, :-1, :, :]
             nb2 = nb2.at[:, ks:ke + 1, js:je + 2, is_:ie + 1].add(
                 -dydz * d_emfx[:, ks:ke + 1, :, is_:ie + 1])
@@ -350,16 +407,15 @@ class ShearingBox:
         return {"x1f": nb1, "x2f": nb2, "x3f": nb3}
 
     # ------------------------------------------------------------------
-    def _ring_remap(self, u, side: str, s, slab_idx, ja,
-                    win_lo: int, win_hi: int):
+    def _ring_remap_one(self, u, ring_gids, s, slab_idx, ja,
+                        win_lo: int, win_hi: int):
         """Assemble the full azimuthal ring of the opposite x1-boundary
-        column, shift it by ``s`` cells, and return each boundary block's
-        window of global-y samples [lx2*nx2 + win_lo, lx2*nx2 + win_hi)
-        (periodic)."""
+        column (one level's gids), shift it by ``s`` cells, and return
+        each boundary block's window of global-y samples
+        [lx2*nx2 + win_lo, lx2*nx2 + win_hi) (periodic)."""
         mesh = self.mesh
         mbi = mesh.mb_indcs
         nx2 = mbi.nx2
-        ring_gids, bmask = self.ring[side]
         n2b = ring_gids.shape[1]
         ny = n2b * nx2
 
@@ -375,6 +431,28 @@ class ShearingBox:
             shifted, jnp.asarray(win).reshape(
                 (-1,) + (1,) * (ja - 1) + (win_hi - win_lo,)
                 + (1,) * (u.ndim - 1 - ja)), axis=ja)
+        return out
+
+    def _ring_remap(self, u, side: str, s_phys, slab_idx, ja,
+                    win_lo: int, win_hi: int):
+        """Per-level sheared window assembly.  ``s_phys`` is the shift
+        in PHYSICAL y units; each level divides by its own dy (cells).
+        Returns (win, bmask) with rows valid where bmask — mixing the
+        per-level results where each level's boundary mask holds."""
+        mbi = self.mesh.mb_indcs
+        out = None
+        bmask = np.zeros(u.shape[0], dtype=bool)
+        for lv, ring_gids, lmask in self.ring[side]:
+            dy_lv = self.dy / (2.0 ** lv)
+            win = self._ring_remap_one(u, ring_gids, s_phys / dy_lv,
+                                       slab_idx, ja, win_lo, win_hi)
+            if out is None:
+                out = win
+            else:
+                m = jnp.asarray(lmask).reshape(
+                    (-1,) + (1,) * (win.ndim - 1))
+                out = jnp.where(m, win, out)
+            bmask |= np.asarray(lmask)
         return out, bmask
 
     # ------------------------------------------------------------------
@@ -392,13 +470,12 @@ class ShearingBox:
         n2 = mbi.ncells2
         js, je = mbi.js, mbi.je
         yshear = self.qshear * self.omega0 * self.lx * t
-        s = yshear / self.dy
         ja = u.ndim - 2
 
         if "m" in self.ring:
             slab_idx = (slice(None), slice(None), slice(None),
                         slice(js, je + 1), slice(n1 - 2 * ng, n1 - ng))
-            win, bmask = self._ring_remap(u, "m", s, slab_idx, ja,
+            win, bmask = self._ring_remap(u, "m", yshear, slab_idx, ja,
                                           -ng, n2 - ng)
             mb = jnp.asarray(bmask).reshape((-1,) + (1,) * (u.ndim - 1))
             cur = u[:, :, :, :, 0:ng]
@@ -406,7 +483,7 @@ class ShearingBox:
         if "p" in self.ring:
             slab_idx = (slice(None), slice(None), slice(None),
                         slice(js, je + 1), slice(ng, 2 * ng))
-            win, bmask = self._ring_remap(u, "p", -s, slab_idx, ja,
+            win, bmask = self._ring_remap(u, "p", -yshear, slab_idx, ja,
                                           -ng, n2 - ng)
             mb = jnp.asarray(bmask).reshape((-1,) + (1,) * (u.ndim - 1))
             cur = u[:, :, :, :, n1 - ng:n1]
@@ -426,7 +503,6 @@ class ShearingBox:
         ng = mbi.ng
         js, je = mbi.js, mbi.je
         yshear = self.qshear * self.omega0 * self.lx * t
-        s = yshear / self.dy
 
         mbi2 = mbi
         n2c = mbi2.ncells2
@@ -457,7 +533,7 @@ class ShearingBox:
                         else slice(n1 - ng, n1)
                 slab_idx = (slice(None), slice(None),
                             slice(js, je + 1), dn)
-                win, bmask = self._ring_remap(arr, side, sgn * s,
+                win, bmask = self._ring_remap(arr, side, sgn * yshear,
                                               slab_idx, ja,
                                               -ng, n2c - ng + extra)
                 mb = jnp.asarray(bmask).reshape((-1, 1, 1, 1))

@@ -91,3 +91,47 @@ def test_pool_cycle_compiles_bounded():
     u = np.asarray(driver._unpadded(state)["u"])
     assert np.isfinite(u).all()
     assert u[:, 0].min() > 0.0
+
+
+def test_pool_cycle_multidevice_bounded():
+    """8 virtual devices: the pooled adaptive run crosses >= 2 tree
+    updates with a bounded compile count and matches the single-device
+    pool run (VERDICT r4 item 4; the reference analogue rebuilds only
+    comm metadata on amr_lb_seq_ changes, mesh.hpp:176-184)."""
+    import jax
+
+    from athenak_tpu.parallel import make_device_mesh
+
+    assert len(jax.devices()) >= 8
+
+    # single-device reference
+    pin = ParameterInput.from_string(DECK)
+    mesh, phys, pgen, driver, state = build(pin)
+    state = driver.initialize(state)
+    state = driver.execute(state)
+    ref = np.asarray(driver._unpadded(state)["u"])
+    ref_trees = driver.pamr.nmb_created
+
+    pin = ParameterInput.from_string(DECK)
+    mesh, phys, pgen, driver, state = build(pin)
+    assert driver.pamr is not None and driver.pamr.use_pool
+    driver.dmesh = make_device_mesh(8)
+    state = driver.initialize(state)
+    assert driver.pamr.use_pool, "pool must stay enabled on a device mesh"
+    assert driver.pamr.capacity % 8 == 0
+    state = driver.execute(state)
+
+    pamr = driver.pamr
+    assert pamr.nmb_created >= 8, pamr.nmb_created  # >= 2 tree updates
+    ncomp = pamr._pool_cycle._cache_size()
+    assert ncomp <= 3, f"pooled cycle retraced {ncomp} times"
+    assert pamr._pool_remap._cache_size() <= 3
+
+    out = np.asarray(driver._unpadded(state)["u"])
+    assert np.isfinite(out).all()
+    assert out[:, 0].min() > 0.0
+    # same tree evolution and same answer as one device (XLA partitions
+    # the identical program; reductions may reassociate)
+    assert pamr.nmb_created == ref_trees
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=5e-12, atol=1e-15)
