@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as _np
 
 from ..indices import IDN, IEN, IM1, IM2, IM3, IVX, IVY, IVZ
 from .eos import EOSData
@@ -25,6 +26,15 @@ from .eos import EOSData
 _MAX_ITER = 25
 _TOL = 1.0e-12
 _VMAX = 0.9999999999995
+
+
+def _tol_for(dtype):
+    """Convergence tolerance matched to the working precision: the f64
+    value mirrors the reference (ideal_c2p_mhd.hpp tol = 1e-12); at f32
+    that is below machine eps (~1.2e-7), so the root find can converge
+    to the last representable bit and still be branded a failure —
+    production TPU runs are f32, so scale to ~8 ULP instead."""
+    return max(_TOL, float(_np.finfo(_np.dtype(dtype)).eps) * 8.0)
 
 
 def sr_hydro_sound_speeds(eos: EOSData, d, p, ux, lor):
@@ -95,15 +105,19 @@ def cons_to_prim_sr_hydro(u, eos: EOSData):
     fp = _eq_c22(zp, d, q, r, eos)
 
     # skip flag: bracket already within tolerance
-    skip = (jnp.abs(zm - zp) < _TOL) | ((jnp.abs(fm) + jnp.abs(fp))
-                                        < 2.0 * _TOL)
+    tol = _tol_for(zm.dtype)
+    skip = (jnp.abs(zm - zp) < tol) | ((jnp.abs(fm) + jnp.abs(fp))
+                                       < 2.0 * tol)
     z0 = 0.5 * (zm + zp)
 
     def body(_, carry):
         zm, zp, fm, fp, z, done = carry
-        znew = (zm * fp - zp * fm) / (fp - fm + 1.0e-300)
+        # the secant denominator guard must survive the working
+        # precision (1e-300 flushes to zero in f32)
+        znew = (zm * fp - zp * fm) / (fp - fm + _np.finfo(
+            _np.dtype(zm.dtype)).tiny)
         f = _eq_c22(znew, d, q, r, eos)
-        newly_done = (jnp.abs(zm - zp) < _TOL) | (jnp.abs(f) < _TOL)
+        newly_done = (jnp.abs(zm - zp) < tol) | (jnp.abs(f) < tol)
         # Illinois update
         cond = f * fp < 0.0
         zm_n = jnp.where(cond, zp, zm)
@@ -218,15 +232,19 @@ def _eq44(mu, b2, rpar, r, q, ud, eos: EOSData):
 
 def _illinois(f, zm, zp, fm, fp):
     """Fixed-trip vectorized Illinois false-position solve of f(z)=0."""
-    skip = (jnp.abs(zm - zp) < _TOL) | ((jnp.abs(fm) + jnp.abs(fp))
-                                        < 2.0 * _TOL)
+    tol = _tol_for(zm.dtype)
+    skip = (jnp.abs(zm - zp) < tol) | ((jnp.abs(fm) + jnp.abs(fp))
+                                       < 2.0 * tol)
     z0 = 0.5 * (zm + zp)
 
     def body(_, carry):
         zm, zp, fm, fp, z, done = carry
-        znew = (zm * fp - zp * fm) / (fp - fm + 1.0e-300)
+        # the secant denominator guard must survive the working
+        # precision (1e-300 flushes to zero in f32)
+        znew = (zm * fp - zp * fm) / (fp - fm + _np.finfo(
+            _np.dtype(zm.dtype)).tiny)
         fv = f(znew)
-        newly = (jnp.abs(zm - zp) < _TOL) | (jnp.abs(fv) < _TOL)
+        newly = (jnp.abs(zm - zp) < tol) | (jnp.abs(fv) < tol)
         cond = fv * fp < 0.0
         zm_n = jnp.where(cond, zp, zm)
         fm_n = jnp.where(cond, fp, 0.5 * fm)

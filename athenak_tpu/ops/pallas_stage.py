@@ -44,6 +44,17 @@ def _pcall(*args, **kwargs):
 from ..indices import IDN
 from .eos import EOSData
 from . import rsolvers_mhd
+from . import rsolvers_srmhd
+
+
+def _solver_for(phys):
+    """In-kernel Riemann solver for the fused stage: the jnp solvers are
+    elementwise over face arrays, so they trace into Pallas directly
+    (reference solver set per regime: src/mhd/mhd_fluxes.cpp:39-70)."""
+    if getattr(phys, "is_sr", False):
+        return {"hlle": rsolvers_srmhd.hlle_srmhd,
+                "llf": rsolvers_srmhd.llf_srmhd}[phys.rsolver]
+    return rsolvers_mhd.hlld
 
 TK = 4            # planes per grid step (x1/x2 tiles and x3 windows)
 TK12 = 2          # planes per grid step for the x1/x2 roll kernels
@@ -77,9 +88,10 @@ def _floors(q, eos: EOSData, dfloor, efloor):
 
 
 def _mk_roll_kernel(eos: EOSData, ivx: int, axis_off: int,
-                    dfloor, efloor):
-    """x2 (axis_off=-2, sublanes) stage kernel: PLM+HLLD along the axis
-    and -betadx * d(flux) accumulated into the aliased RK register."""
+                    dfloor, efloor, solver=rsolvers_mhd.hlld):
+    """x2 (axis_off=-2, sublanes) stage kernel: PLM+Riemann along the
+    axis and -betadx * d(flux) accumulated into the aliased RK
+    register."""
 
     def kernel(bd_ref, w_ref, bcc_ref, bx_ref, acc_ref,
                out_ref, fd_ref, ey_ref, ez_ref):
@@ -93,7 +105,7 @@ def _mk_roll_kernel(eos: EOSData, ivx: int, axis_off: int,
         bl, br = _plm(b, axis)
         wl = _floors(wl, eos, dfloor, efloor)
         wr = _floors(wr, eos, dfloor, efloor)
-        f, ey, ez = rsolvers_mhd.hlld(wl, wr, bl, br, bx, eos, ivx)
+        f, ey, ez = solver(wl, wr, bl, br, bx, eos, ivx)
         df = _roll(f, 1, axis) - f
         out_ref[0] = acc_ref[0] - betadx * df
         fd_ref[0] = f[IDN]
@@ -103,7 +115,8 @@ def _mk_roll_kernel(eos: EOSData, ivx: int, axis_off: int,
     return kernel
 
 
-def _mk_x3_kernel(eos: EOSData, dfloor, efloor):
+def _mk_x3_kernel(eos: EOSData, dfloor, efloor,
+                  solver=rsolvers_mhd.hlld):
     """x3 stage kernel over sliding plane windows.
 
     Window holds cell planes [k0, k0+TK+4); computes faces
@@ -132,7 +145,7 @@ def _mk_x3_kernel(eos: EOSData, dfloor, efloor):
         wl = _floors(wl, eos, dfloor, efloor)
         wr = _floors(wr, eos, dfloor, efloor)
         from ..indices import IVZ
-        f, ey, ez = rsolvers_mhd.hlld(wl, wr, bl, br, bx, eos, IVZ)
+        f, ey, ez = solver(wl, wr, bl, br, bx, eos, IVZ)
         # update cells rel 2..TK+1 with faces rel offsets 0..TK
         out_ref[0] = acc_ref[0] - betadx * (f[:, 1:TK + 1] - f[:, 0:TK])
         fd_ref[0] = f[IDN]
@@ -155,10 +168,13 @@ def supports_fused_stage(phys, mesh) -> bool:
     mbi = mesh.mb_indcs
     # lane-padded extent, matching the kernel's own tile choice
     tj = _x3_tile(mbi.ncells2, -(-mbi.ncells1 // 128) * 128)
+    ok_solver = ((not (phys.is_sr or phys.is_gr)
+                  and phys.rsolver == "hlld")
+                 or (phys.is_sr and not phys.is_gr
+                     and phys.rsolver in ("hlle", "llf")))
     return (len(phys.dirs) == 3
-            and phys.recon_method == "plm" and phys.rsolver == "hlld"
+            and phys.recon_method == "plm" and ok_solver
             and phys.nscalars == 0 and phys.eos.is_ideal
-            and not (phys.is_sr or phys.is_gr)
             and not phys.multilevel
             and not phys.use_fofc and phys.fofc_excise_mask is None
             and phys.srcterms is None and phys.pgrav is None
@@ -173,7 +189,8 @@ def supports_fused_stage(phys, mesh) -> bool:
 
 
 def fused_stage3d(w, bcc, bfc, u0, u1, eos: EOSData,
-                  gam0: float, gam1: float, beta_dt, dxs):
+                  gam0: float, gam1: float, beta_dt, dxs,
+                  solver=rsolvers_mhd.hlld):
     """Fused recon+solve+RK accumulation for all three directions.
 
     Returns (u_new_pre_src, fden dict, emf dict).  ``u1`` must arrive
@@ -238,7 +255,7 @@ def fused_stage3d(w, bcc, bfc, u0, u1, eos: EOSData,
             bl, br = _plm(bb, axis)
             wl = _floors(wl, eos, dfloor, efloor)
             wr = _floors(wr, eos, dfloor, efloor)
-            f, ey, ez = rsolvers_mhd.hlld(wl, wr, bl, br, bx, eos, 1)
+            f, ey, ez = solver(wl, wr, bl, br, bx, eos, 1)
             df = _roll(f, 1, axis) - f
             reg = gam1 * u1_ref[0] if not read_u0 \
                 else gam0 * u0_ref[0] + gam1 * u1_ref[0]
@@ -265,7 +282,7 @@ def fused_stage3d(w, bcc, bfc, u0, u1, eos: EOSData,
 
     # ---- x2 (sublanes): accumulator aliased through
     bd2 = jnp.asarray(beta_dt / dxs["x2"], dt).reshape(1, 1)
-    k2 = _mk_roll_kernel(eos, 2, -2, dfloor, efloor)
+    k2 = _mk_roll_kernel(eos, 2, -2, dfloor, efloor, solver)
     acc, fd2, ey2, ez2 = _pcall(
         k2, grid=grid,
         in_specs=[smem_spec(), blk(nv), blk(3), blk(None), blk(nv)],
@@ -277,7 +294,7 @@ def fused_stage3d(w, bcc, bfc, u0, u1, eos: EOSData,
     # ---- x3 (plane windows)
     TJ = _x3_tile(n2, n1p)
     bd3 = jnp.asarray(beta_dt / dxs["x3"], dt).reshape(1, 1)
-    k3 = _mk_x3_kernel(eos, dfloor, efloor)
+    k3 = _mk_x3_kernel(eos, dfloor, efloor, solver)
 
     # when TJ spans the whole axis, drop the j grid axis: Mosaic cannot
     # prove 8 | j*TJ for non-multiple-of-8 TJ even though j is always 0
@@ -345,7 +362,7 @@ def supports_fused_ct(phys, mesh) -> bool:
     append resistive EMFs, mhd.py _add_resist)."""
     mbi = mesh.mb_indcs
     return (len(phys.dirs) == 3
-            and not (phys.is_sr or phys.is_gr)
+            and not phys.is_gr
             and not phys.multilevel
             and phys.presist is None
             and mbi.ng == 2)
@@ -363,7 +380,7 @@ def _gs07(e_cc, cc_am, cc_bm, cc_mm, e_a, e_a_m, e_b, e_b_m,
 
 
 def fused_ct3d(w, bcc, fden, emf, bfc, bfc_old, gam0: float, gam1: float,
-               beta_dt, dxs):
+               beta_dt, dxs, is_sr: bool = False):
     """Corner EMFs + CT face update in one pass: no edge-centered EMF
     arrays round-trip HBM (reference: src/mhd/mhd_corner_e.cpp +
     src/mhd/mhd_ct.cpp, fused).
@@ -414,6 +431,12 @@ def fused_ct3d(w, bcc, fden, emf, bfc, bfc_old, gam0: float, gam1: float,
         vx = w_ref[0, 1]
         vy = w_ref[0, 2]
         vz = w_ref[0, 3]
+        if is_sr:
+            # SR primitives store u^i = gamma v^i: the transport
+            # velocity in E = -v x B is the 3-velocity (reference:
+            # mhd_corner_e.cpp:136-143)
+            ilor = jax.lax.rsqrt(1.0 + vx * vx + vy * vy + vz * vz)
+            vx, vy, vz = vx * ilor, vy * ilor, vz * ilor
         bx = bcc_ref[0, 0]
         by = bcc_ref[0, 1]
         bz = bcc_ref[0, 2]

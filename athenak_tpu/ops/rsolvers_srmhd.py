@@ -69,14 +69,19 @@ def _state(w, bt, bx, eos: EOSData, ivx: int):
 
 
 def _pack(template, ivx, f):
-    """f = (fd, fmx, fmy, fmz, fE, fby, fbz) -> (flux5, ey, ez)."""
+    """f = (fd, fmx, fmy, fmz, fE, fby, fbz) -> (flux5, ey, ez).
+
+    Channel assembly via stack (not .at[].set): the solvers trace into
+    the fused Pallas stage kernels, where scatter has no Mosaic
+    lowering but stack (concatenate) does."""
     ivy, ivz = _vel_idx(ivx)
-    flx = jnp.zeros_like(template)
-    flx = flx.at[..., IDN, :, :, :].set(f[0])
-    flx = flx.at[..., ivx, :, :, :].set(f[1])
-    flx = flx.at[..., ivy, :, :, :].set(f[2])
-    flx = flx.at[..., ivz, :, :, :].set(f[3])
-    flx = flx.at[..., IEN, :, :, :].set(f[4] - f[0])  # tau = E - D
+    parts = [None] * 5
+    parts[IDN] = f[0]
+    parts[ivx] = f[1]
+    parts[ivy] = f[2]
+    parts[ivz] = f[3]
+    parts[IEN] = f[4] - f[0]  # tau = E - D
+    flx = jnp.stack(parts, axis=template.ndim - 4)
     # EMF sign convention matches the Newtonian solvers:
     # ey = -F(By), ez = +F(Bz) (reference: llf_mhd_singlestate.hpp:183-184)
     return flx, -f[5], f[6]

@@ -132,11 +132,16 @@ class MHD:
                          for d in _jax.devices()) if use_pallas == "auto" \
                 else True
             # f32 only: the TPU x64-rewriting pass cannot handle f64
-            # payloads inside Pallas custom calls
+            # payloads inside Pallas custom calls.  Newtonian rides
+            # plm+hlld; SR rides plm+(hlle|llf) (the SR solvers trace
+            # into the same fused stage kernels, rsolvers_srmhd.py)
+            ok_solver = ((not (self.is_sr or self.is_gr)
+                          and self.rsolver == "hlld")
+                         or (self.is_sr and not self.is_gr
+                             and self.rsolver in ("hlle", "llf")))
             self.use_pallas = (on_tpu and self.recon_method == "plm"
-                               and self.rsolver == "hlld"
+                               and ok_solver
                                and self.nscalars == 0
-                               and not (self.is_sr or self.is_gr)
                                and self.eos.is_ideal
                                and not _jax.config.jax_enable_x64)
 
@@ -243,12 +248,14 @@ class MHD:
             # diffusion operators take per-block dx (diffusion._dx_tab);
             # viscous/conductive fluxes ride the SMR flux correction and
             # resistive EMFs ride the edge-EMF correction
+            # shearing box composes with refinement via per-level ring
+            # tables (shearing_box._check_zslab enforces the z-slab
+            # layout; reference: FindTargetMB, shearing_box.hpp:77)
             blockers = {
                 # multigrid gravity handles refined meshes; the FFT
                 # fast path does not
                 "self-gravity (fft)": self.pgrav
                 if not isinstance(self.pgrav, MGPoisson) else None,
-                "shearing box": self.psbox,
             }
             for what, on in blockers.items():
                 if on is not None and on is not False:
@@ -1586,7 +1593,8 @@ class MHD:
                 w, bcc, bfc, u, saved["u1"], saved["bfc1"], self.eos,
                 gam0, gam1, beta_dt, dxs)
             if self.srcterms_func is not None:
-                u = self._user_srcs(u, w, beta_dt, bcc)
+                u = self._user_srcs(u, w, beta_dt, bcc,
+                                    t=state.get("t"))
             bfc = self.fill_ghosts_fc(bfc)
             fuse_dt = (self.ppart is None
                        and self.time_evolution == "dynamic")
@@ -1616,19 +1624,22 @@ class MHD:
             out.update({"u": u, "w": w, "bfc": bfc, "bcc": bcc})
             return out, counters
         if self.use_fused_stage:
-            # fully-fused recon+HLLD+RK path (ops/pallas_stage.py): the
-            # 5-channel flux arrays never round-trip HBM
-            from ..ops.pallas_stage import fused_stage3d
+            # fully-fused recon+Riemann+RK path (ops/pallas_stage.py):
+            # the 5-channel flux arrays never round-trip HBM; SR rides
+            # the same kernels with the SR solver traced in
+            from ..ops.pallas_stage import _solver_for, fused_stage3d
             dxs = {n: dx for n, _a, _i, dx in self.dirs}
             u, fden, emf = fused_stage3d(
                 w, bcc, bfc, u, saved["u1"], self.eos,
-                gam0, gam1, beta_dt, dxs)
+                gam0, gam1, beta_dt, dxs, solver=_solver_for(self))
             if self.srcterms_func is not None:
-                u = self._user_srcs(u, w, beta_dt, bcc)
+                u = self._user_srcs(u, w, beta_dt, bcc,
+                                    t=state.get("t"))
             if self.use_fused_ct:
                 from ..ops.pallas_stage import fused_ct3d
                 bfc = fused_ct3d(w, bcc, fden, emf, bfc, saved["bfc1"],
-                                 gam0, gam1, beta_dt, dxs)
+                                 gam0, gam1, beta_dt, dxs,
+                                 is_sr=self.is_sr)
             else:
                 e1, e2, e3 = self.corner_e(w, bcc, fden, emf, bfc=bfc)
                 bfc = self.ct_update(bfc, saved["bfc1"], e1, e2, e3,
@@ -1665,13 +1676,14 @@ class MHD:
             u = self.psbox.src_terms(u, w, beta_dt, self.eos.is_ideal,
                                      len(self.dirs) == 3, bcc=bcc)
         if self.srcterms_func is not None:
-            u = self._user_srcs(u, w, beta_dt, bcc)
+            u = self._user_srcs(u, w, beta_dt, bcc, t=state.get("t"))
         if self.use_fused_ct:
             from ..ops.pallas_stage import fused_ct3d
             bfc = fused_ct3d(w, bcc, {n: flx[n][:, IDN] for n in flx},
                              emf, bfc, saved["bfc1"], gam0, gam1,
                              beta_dt, {n: dx for n, _a, _i, dx
-                                       in self.dirs})
+                                       in self.dirs},
+                             is_sr=self.is_sr)
         else:
             e1, e2, e3 = self.corner_e(
                 w, bcc, {n: flx[n][:, IDN] for n in flx}, emf, bfc=bfc)
@@ -1701,13 +1713,21 @@ class MHD:
         return out, counters
 
 
-    def _user_srcs(self, u, w, beta_dt, bcc):
+    def _user_srcs(self, u, w, beta_dt, bcc, t=None):
         """Apply the pgen-enrolled source term.  Functions that declare
         ``needs_bcc = True`` receive the cell-centered field as a kwarg
         (reference: user_srcs_func reads pmbp->pmhd->bcc0 directly,
-        e.g. BarotropicCooling in src/pgen/tests/be_collapse.cpp)."""
+        e.g. BarotropicCooling in src/pgen/tests/be_collapse.cpp);
+        ``needs_time = True`` adds the simulation time (reference:
+        user sources receive (Mesh*, time, dt) — time-dependent terms
+        like orbiting planets need it, disk-magnetosphere.cpp)."""
+        kw = {}
         if getattr(self.srcterms_func, "needs_bcc", False):
-            return self.srcterms_func(u, w, beta_dt, bcc=bcc)
+            kw["bcc"] = bcc
+        if getattr(self.srcterms_func, "needs_time", False):
+            kw["t"] = t
+        if kw:
+            return self.srcterms_func(u, w, beta_dt, **kw)
         return self.srcterms_func(u, w, beta_dt)
 
     def dt_from_state(self, state):

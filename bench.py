@@ -75,6 +75,58 @@ punc_ADM_mass = 1.0
 """
 
 
+GR_TORUS_DECK = """
+<job>
+basename = bench_torus
+precision = single
+
+<mesh>
+nghost = 2
+nx1 = 124
+x1min = -20.0
+x1max = 20.0
+ix1_bc = outflow
+ox1_bc = outflow
+nx2 = 124
+x2min = -20.0
+x2max = 20.0
+ix2_bc = outflow
+ox2_bc = outflow
+nx3 = 64
+x3min = -10.0
+x3max = 10.0
+ix3_bc = outflow
+ox3_bc = outflow
+
+<coord>
+general_rel = true
+a = 0.9375
+excise = true
+dexcise = 1.0e-8
+pexcise = 0.333e-10
+
+<time>
+evolution = dynamic
+integrator = rk2
+cfl_number = 0.3
+tlim = 10.0
+
+<mhd>
+eos = ideal
+gamma = 1.4444444444444444
+reconstruct = plm
+rsolver = hlle
+fofc = true
+
+<problem>
+pgen_name = gr_torus
+r_edge = 6.0
+r_peak = 12.0
+b_norm = 0.1
+potential_cutoff = 0.2
+"""
+
+
 DECK = """
 <job>
 basename = bench_blast
@@ -114,6 +166,51 @@ pgen_name = blast
 inner_radius = 0.1
 outer_radius = 0.25
 prat = 100.0
+b_amb = 0.1
+"""
+
+
+# SR MHD blast on the hero geometry: the same fused stage/CT Pallas
+# kernels with the SR HLLE solver traced in (ops/pallas_stage.py
+# _solver_for) + the vectorized Kastaun c2p (ops/eos_sr.py); reference
+# workload class: src/pgen/fluids/blast.cpp with <coord> special_rel
+SR_DECK = """
+<job>
+basename = bench_srblast
+precision = single
+
+<mesh>
+nghost = 2
+nx1 = 124
+x1min = -1.0
+x1max = 1.0
+nx2 = 124
+x2min = -1.0
+x2max = 1.0
+nx3 = 124
+x3min = -1.0
+x3max = 1.0
+
+<coord>
+special_rel = true
+
+<time>
+evolution = dynamic
+integrator = rk2
+cfl_number = 0.25
+tlim = 10.0
+
+<mhd>
+eos = ideal
+gamma = 1.3333333333333333
+reconstruct = plm
+rsolver = hlle
+
+<problem>
+pgen_name = blast
+inner_radius = 0.1
+outer_radius = 0.25
+prat = 5.0
 b_amb = 0.1
 """
 
@@ -187,6 +284,14 @@ def _run_case(case: str, ncycles: int, npasses: int) -> float:
         return run_config(124, 62, ncycles, npasses, coalesce=False)
     if case == "z4c":
         return run_deck(Z4C_DECK, 60 ** 3, ncycles, npasses)
+    if case == "sr":
+        # SR MHD through the fused Pallas stage/CT kernels
+        return run_deck(SR_DECK, 124 ** 3, ncycles, npasses)
+    if case == "gr_torus":
+        # flagship GR MHD astrophysics config (reference:
+        # src/pgen/fluids/gr_torus.cpp + inputs/grmhd/ SANE decks);
+        # 124x124x64 single block so the lane axis tiles 128 exactly
+        return run_deck(GR_TORUS_DECK, 124 * 124 * 64, ncycles, npasses)
     raise ValueError(case)
 
 
@@ -263,6 +368,12 @@ def main() -> int:
                          max(ncycles // 2, 5), 1)]
     if os.environ.get("BENCH_Z4C", "1") != "0":
         secondaries += [("z4c", "z4c_puncture_60_value",
+                         max(ncycles // 4, 5), 1)]
+    if os.environ.get("BENCH_SR", "1") != "0":
+        secondaries += [("sr", "sr_blast_124_value",
+                         max(ncycles // 2, 5), 1)]
+    if os.environ.get("BENCH_GR", "1") != "0":
+        secondaries += [("gr_torus", "gr_torus_124_value",
                          max(ncycles // 4, 5), 1)]
     # budgets sized for COLD persistent-cache runs: the z4c bulk-table
     # kernel and the coalesced 124^3 megakernel each compile in

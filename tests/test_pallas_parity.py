@@ -66,6 +66,20 @@ prat = 100.0
 b_amb = 0.1
 """
 
+# SR MHD variant: the same fused stage/CT kernels with the SR HLLE
+# solver traced in (ops/pallas_stage._solver_for; reference solver set
+# per regime: src/mhd/mhd_fluxes.cpp:39-70) and the Lorentz-factor
+# transport velocity in the CT corner EMFs (mhd_corner_e.cpp:136-143)
+SR_DECK = (DECK
+           .replace("rsolver = hlld", "rsolver = hlle")
+           .replace("<mhd>", "<coord>\nspecial_rel = true\n\n<mhd>")
+           .replace("gamma = 1.6666666666666667",
+                    "gamma = 1.3333333333333333")
+           # mild overpressure: the 28^3 parity box has no FOFC, so keep
+           # the SR c2p comfortably inside its convergence basin
+           .replace("prat = 100.0", "prat = 5.0")
+           .replace("cfl_number = 0.3", "cfl_number = 0.25"))
+
 
 @pytest.fixture
 def f32_interpret():
@@ -89,8 +103,9 @@ def _cycles(driver, state, n=2):
     return jax.tree_util.tree_map(np.asarray, state), float(dtnew)
 
 
-def _run(force_pallas: bool, mega: bool = True, v2: bool = False):
-    pin = ParameterInput.from_string(DECK)
+def _run(force_pallas: bool, mega: bool = True, v2: bool = False,
+         deck: str = DECK):
+    pin = ParameterInput.from_string(deck)
     pin.set_value("mesh", "coalesce", "false")
     if force_pallas:
         pin.set_value("mhd", "use_pallas", "true")
@@ -155,6 +170,17 @@ def test_fused_stage_ct_parity(f32_interpret):
     _, ref, dt_ref = _run(False)
     drv, got, dt_got = _run(True, mega=False)
     assert not drv.phys.use_mega_stage
+    _compare(ref, got)
+    assert np.isclose(dt_got, dt_ref, rtol=1e-4)
+
+
+def test_fused_stage_ct_parity_sr(f32_interpret):
+    """SR MHD through the same fused stage/CT kernels (SR HLLE traced
+    in, SR transport velocity in the corner EMFs) vs the jnp path."""
+    _, ref, dt_ref = _run(False, deck=SR_DECK)
+    drv, got, dt_got = _run(True, mega=False, deck=SR_DECK)
+    assert drv.phys.is_sr and not drv.phys.use_mega_stage
+    assert drv.phys.use_fused_stage and drv.phys.use_fused_ct
     _compare(ref, got)
     assert np.isclose(dt_got, dt_ref, rtol=1e-4)
 
