@@ -292,28 +292,31 @@ def supports_shard_cycle(driver, state) -> bool:
     the ppermute routes after every tree update (amr.py step; the
     reference analogue is RedistAndRefineMeshBlocks over the AMR
     communicator, mesh_refinement.hpp:26-99).  The fixed-capacity block
-    pool is single-device-only (its tables are traced values; ppermute
-    routes must be trace-time constants), so the driver disables it when
-    a device mesh is present.  Excluded configurations fall back to the
+    pool rides the gather path with bounded compiles (amr.py
+    _put_tables).  Excluded configurations fall back to the
     NamedSharding gather path (still multi-device-correct, higher comm
-    volume): modules with global-array state (FFT gravity, turbulence
-    driving, shearing box, two-fluid ImEx).  Radiation and
-    RadiationFluid ride the cycle: the angle axis stays on-device
-    (SURVEY §5) and the block halo is the same CC exchange hydro uses
-    (reference: src/bvals/bvals_cc.cpp:42-289); per-block tetrad tables
-    localize via radiation._lb.
+    volume): modules with global-array state (FFT/multigrid gravity,
+    shearing box — the sheared ring remap reads the whole opposite
+    boundary column).  Turbulence driving rides the cycle (psum volume
+    integrals, replicated OU key); so do two-fluid ImEx, Radiation and
+    RadiationFluid: the angle axis stays on-device (SURVEY §5) and the
+    block halo is the same CC exchange hydro uses (reference:
+    src/bvals/bvals_cc.cpp:42-289); per-block tetrad tables localize
+    via radiation._lb.
     """
     phys = driver.phys
     if type(phys).__name__ not in ("Hydro", "MHD", "Z4c", "DynGRMHD",
-                                   "Radiation", "RadiationFluid"):
-        # IonNeutral (two-fluid ImEx) still falls to the gather path
+                                   "Radiation", "RadiationFluid",
+                                   "IonNeutral"):
         return False
     if getattr(driver.mesh, "adaptive", False) \
             and getattr(driver, "pamr", None) is not None \
             and driver.pamr.use_pool:
         return False
-    if hasattr(phys, "imex_cycle"):
-        return False
+    # IonNeutral two-fluid ImEx rides the cycle: both fluids' halos run
+    # the same per-peer ppermute exchange and the implicit drag solve is
+    # pointwise (reference: the ImEx task list reuses the rank-packed
+    # bvals, ion-neutral_tasks.cpp:95-295)
     # turbulence driving rides the cycle: its volume integrals psum via
     # comm.global_sum (the MPI_Allreduce analogue, turb_driver.cpp:742)
     # and the OU PRNG key replicates across devices

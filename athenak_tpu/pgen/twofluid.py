@@ -20,6 +20,13 @@ def init(pin, mesh, phys):
              mbi.ncells3, mbi.ncells2, mbi.ncells1)
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
+    # optional sinusoidal vx perturbation: gives the uniform coupling
+    # state spatial structure so multi-block/multi-device runs exercise
+    # the halo exchange (amp = 0 reproduces the reference's uniform IC)
+    amp = pin.get_or_add_real("problem", "amp", 0.0)
+    x1min = pin.get_real("mesh", "x1min")
+    x1max = pin.get_real("mesh", "x1max")
+
     def fluid(prefix, nvar):
         w = np.zeros((mesh.nmb_total, nvar,
                       mbi.ncells3, mbi.ncells2, mbi.ncells1))
@@ -28,6 +35,11 @@ def init(pin, mesh, phys):
         w[:, IVY] = pin.get_or_add_real("problem", f"vy_{prefix}", 0.0)
         w[:, IVZ] = pin.get_or_add_real("problem", f"vz_{prefix}", 0.0)
         w[:, IEN] = pin.get_or_add_real("problem", f"p_{prefix}", 1.0) / gm1
+        if amp != 0.0:
+            for g in range(mesh.nmb_total):
+                xv, _yv, _zv = mesh.cell_centers(g)
+                ph = 2.0 * np.pi * (xv - x1min) / (x1max - x1min)
+                w[g, IVX] += amp * np.sin(ph)[None, None, :]
         return jnp.asarray(w, dtype=dtype)
 
     wn = fluid("n", phys.phydro.nvar)

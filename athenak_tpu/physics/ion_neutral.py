@@ -49,7 +49,9 @@ class IonNeutral:
     def make_state(self, un, wn, ui, wi, bfc):
         mbi = self.mesh.mb_indcs
         nimp = 4  # max implicit stages (imex3); imex2 uses first 3
-        ru = jnp.zeros((nimp, self.mesh.nmb_total, 8,
+        # block axis leads so the history shards over the device mesh
+        # like every other state leaf (parallel/shard_comm state specs)
+        ru = jnp.zeros((self.mesh.nmb_total, nimp, 8,
                         mbi.ncells3, mbi.ncells2, mbi.ncells1),
                        dtype=un.dtype)
         return {"u": un, "w": wn,
@@ -103,7 +105,7 @@ class IonNeutral:
                 if integ.a_twid[istage - 2][s] == 0.0:
                     continue
                 adt = integ.a_twid[istage - 2][s] * dt
-                r = ru[s]
+                r = ru[:, s]
                 for c, im in ((0, IM1), (1, IM2), (2, IM3)):
                     ui = ui.at[:, im].add(adt * r[:, c])
                 for c, im in ((3, IM1), (4, IM2), (5, IM3)):
@@ -138,7 +140,7 @@ class IonNeutral:
                 un = un.at[:, im].set(tot - u_i)
 
             # (c) store the stiff residual at the new state
-            ru = ru.at[istage - 1].set(self._stiff_residual(ui, un))
+            ru = ru.at[:, istage - 1].set(self._stiff_residual(ui, un))
         return dict(state, ui=ui, u=un, ru=ru)
 
     # ---------------------------------------------------------------- cycle
